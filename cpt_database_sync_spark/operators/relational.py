@@ -1,0 +1,549 @@
+"""Relational closure — the analytics surface of the engine.
+
+The reference can only execute ``SELECT <all mapped columns> FROM <table>``
+(`sync/QueryBuilder.java:46-75`); everything here is the declared extension
+surface (SURVEY.md §2B). All operators are stock Catalyst constructs —
+hash/broadcast joins, partial+final hash aggregation, window exec, top-k via
+TakeOrderedAndProject — so predicate pushdown, column pruning, join
+reordering and AQE apply for free.
+
+Scale notes (100 TB):
+- Dimension sides of joins are explicitly ``broadcast()``-hinted when they
+  stay small at any SF (region/nation/buckets) — no shuffle of the fact.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; at scale the
+  right answer is bucketing both tables on the key at write time, which
+  these declarative plans pick up automatically.
+- Aggregations are expressed groupBy→agg, giving map-side partial
+  aggregation; no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.functions.numeric import (
+    davg,
+    dsum,
+    out_double,
+    sql_davg,
+    sql_dsum,
+)
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Core sync lineage (directly generalizing the reference's scan path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection scan with static column pruning.
+
+    Reference: `sync/QueryBuilder.java:46-75` builds ``SELECT c1..cn FROM t``
+    over exactly the mapped columns. Spark-first: ``.select`` prunes the
+    parquet ReadSchema to the 4 columns (verify via .explain ReadSchema).
+    """
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "filter_pushdown",
+    oracle=f"""
+    SELECT
+      {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))", 30, 8)} AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown — the operator the reference scaffolded but left
+    dead (`sync/QueryBuilder.java:68-73`: clauses hardcoded empty).
+
+    TPC-H Q6-flavored. All four predicates reach the parquet scan as
+    PushedFilters; only 4 columns are read.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        out_double(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * F.col("l_discount").cast("decimal(12,4)")
+            ),
+            6,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_total,
+      COUNT(CASE WHEN event_type <> 'error' THEN value END) AS n_nonnull,
+      CAST(SUM(CAST(COALESCE(CASE WHEN event_type <> 'error' THEN value END, 0.0) AS DECIMAL(14,6))) AS DOUBLE) AS sum_coalesced,
+      CAST(SUM(CASE WHEN (CASE WHEN event_type <> 'error' THEN value END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null propagation through projection/filter/aggregation.
+
+    Reference handles nulls via a `wasNull` probe per getter
+    (`sync/JdbcRecordCursor.java:171-181`) and `setObject(i, null)` on write
+    (`sync/JdbcPageSink.java:116-119`). Spark: nullable StructFields +
+    null-aware expressions. The fixtures contain no natural nulls, so we
+    inject them deterministically (value of 'error' events → NULL).
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(v).alias("n_nonnull"),
+        F.sum(F.coalesce(v, F.lit(0.0)).cast("decimal(14,6)"))
+        .cast("double")
+        .alias("sum_coalesced"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle=f"""
+    SELECT
+      c.c_mktsegment,
+      o.o_orderpriority,
+      COUNT(*) AS n_items,
+      {sql_dsum("CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))", 30, 8)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way inner equi-join (TPC-H Q3-flavored) + grouped aggregation.
+
+    customer is broadcast (dimension-sized at any SF relative to lineitem);
+    orders ⋈ lineitem is a shuffle hash/sort-merge join on the key —
+    bucket-able at scale. AQE picks the physical join at runtime.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        1 - F.col("l_discount").cast("decimal(12,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            out_double(F.sum(revenue), 6).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      COUNT(o.o_orderkey) AS n_orders,
+      CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having a big order. No payload
+    columns from the right side cross the join — semi joins never duplicate
+    left rows regardless of match multiplicity."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no recent order."""
+    c = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    return c.join(recent, c.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    SELECT
+      b.bucket,
+      COUNT(*) AS n_parts,
+      {sql_davg("p.p_retailprice", 12, 2)} AS avg_price
+    FROM part p
+    JOIN (VALUES (1, 10, 'small'), (10, 25, 'medium'), (25, 51, 'large'))
+         AS b(lo, hi, bucket)
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+    GROUP BY b.bucket
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: parts binned into size buckets.
+
+    The bucket dim is tiny and the predicate non-equi, so the correct
+    physical plan is BroadcastNestedLoopJoin — broadcast() makes it explicit.
+    At 100 TB the fact side streams; no shuffle occurs.
+    """
+    p = load(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [(1, 10, "small"), (10, 25, "medium"), (25, 51, "large")],
+        ["lo", "hi", "bucket"],
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_size >= buckets.lo) & (p.p_size < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg(F.col("p_retailprice"), 12, 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hash",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum("l_quantity")} AS sum_qty,
+      {sql_dsum("l_extendedprice")} AS sum_base_price,
+      {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))", 30, 8)} AS sum_disc_price,
+      {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))", 38, 12)} AS sum_charge,
+      {sql_davg("l_quantity")} AS avg_qty,
+      {sql_davg("l_extendedprice")} AS avg_price,
+      {sql_davg("l_discount", 12, 6)} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregation — TPC-H Q1, the flagship query.
+
+    Map-side partial aggregation + final hash agg over 6 groups; the scan
+    reads only the 7 needed columns. This is the reference's entire fetch
+    loop (`sync/FetchRunner.java:33-45`) upgraded from "copy rows" to
+    "answer a query".
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    # Tight precisions keep the triple product at DECIMAL(28,12) — exact,
+    # no precision-38 overflow (which would trigger lossy scale reduction).
+    ep = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    # decimal(1,0) literal: a bare int literal would promote to decimal(10,0)
+    # and push the triple product past precision 38 (lossy scale reduction).
+    one = F.lit(1).cast("decimal(1,0)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            out_double(F.sum(ep * (one - disc)), 6).alias("sum_disc_price"),
+            out_double(F.sum(ep * (one - disc) * (one + tax)), 6).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount"), 12, 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_suppkey) AS n_supp,
+      COUNT(DISTINCT l_partkey) AS n_part,
+      COUNT(DISTINCT l_orderkey) AS n_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation (expand + two-phase agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_orderkey").alias("n_order"),
+    )
+
+
+@register("agg_approx_distinct")  # no SQL oracle: HLL++ sketch is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct-cardinality where exact distinct would shuffle every key.
+    rsd=0.01 keeps the sketch ~constant-size per group. Rows-only check:
+    sketch estimates are engine-specific by design."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_order"),
+    )
+
+
+@register(
+    "rollup_cube",
+    oracle=f"""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      COUNT(*) AS n_rows,
+      {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grouping sets): per-(flag,status), per-flag, and
+    grand totals in one pass (Expand operator, single shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal, rn
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 customers by balance per nation.
+
+    c_custkey in the ORDER BY makes row_number deterministic under balance
+    ties. One shuffle on the partition key; rank filter applied post-window
+    (Spark pushes a WindowGroupLimit at the physical level).
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "rn")
+    )
+
+
+@register(
+    "window_frame",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_spend,
+      LAG(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ) AS prev_price
+    FROM orders
+    """,
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: per-customer running total + lag.
+
+    Decimal inside the frame keeps the running sum exact (order-insensitive
+    w.r.t. engine internals); o_orderkey tie-breaks equal order dates.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    + driver merge of k rows, never a full global sort. o_orderkey
+    tie-breaks equal prices for determinism."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations with DISTINCT semantics: INTERSECT / EXCEPT / UNION
+    over customer vs supplier nation keys, tagged and unioned into one
+    result."""
+    cn = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sn = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tagged = [
+        cn.intersect(sn).select(F.lit("intersect").alias("op"), "nationkey"),
+        cn.subtract(sn).select(F.lit("except").alias("op"), "nationkey"),
+        cn.union(sn).distinct().select(F.lit("union").alias("op"), "nationkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out

@@ -1,0 +1,126 @@
+"""Differential-compare machinery mirroring the driver's correctness gate:
+row-count + column names + order-insensitive value comparison with columns
+sorted by name. Used by test_parity.py and runnable standalone:
+
+    python tests/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+
+def canon_value(v):
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact: engines must agree bit-for-bit
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
+    return v
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def compare(spark_cols, spark_rows, ora_cols, ora_rows) -> list[str]:
+    """Return a list of mismatch descriptions (empty = parity)."""
+    problems = []
+    if sorted(spark_cols) != sorted(ora_cols):
+        problems.append(f"columns differ: spark={sorted(spark_cols)} oracle={sorted(ora_cols)}")
+        return problems
+    if len(spark_rows) != len(ora_rows):
+        problems.append(f"row count differs: spark={len(spark_rows)} oracle={len(ora_rows)}")
+    a = canon_rows(list(spark_cols), spark_rows)
+    b = canon_rows(list(ora_cols), ora_rows)
+    if a != b:
+        # find first differing row for diagnostics
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x != y:
+                problems.append(f"first value mismatch at sorted-row {i}:\n  spark={x}\n  oracle={y}")
+                break
+        else:
+            problems.append(f"row multiset differs in tail (lengths {len(a)} vs {len(b)})")
+    return problems
+
+
+def run_query_pair(spark, con, fn, oracle_sql: str, sf_dir: str):
+    sdf = fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(oracle_sql)
+    ora_cols = [d[0] for d in res.description]
+    ora_rows = res.fetchall()
+    return compare(spark_cols, spark_rows, ora_cols, ora_rows), len(spark_rows)
+
+
+def main():
+    import sys
+
+    import duckdb
+
+    from cpt_database_sync_spark.plans.registry import all_specs
+    from cpt_database_sync_spark.session import get_spark
+    from cpt_database_sync_spark.sources.tables import ALL_TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    specs = all_specs()
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        try:
+            if spec.oracle is None:
+                n = fn_rows = len(spec.fn(spark, sf_dir).collect())
+                print(f"  ROWS-ONLY {name}: {n} rows")
+                n_rows_only += 1
+                continue
+            problems, nrows = run_query_pair(spark, con, spec.fn, spec.oracle, sf_dir)
+            if problems:
+                n_fail += 1
+                print(f"✗ {name} ({nrows} rows)")
+                for p in problems:
+                    print(f"    {p}")
+            else:
+                n_pass += 1
+                print(f"✓ {name} ({nrows} rows)")
+        except Exception as e:
+            n_fail += 1
+            print(f"✗ {name} EXCEPTION: {type(e).__name__}: {e}")
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_rows_only}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
