@@ -1,1 +1,99 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function library + semi-structured (JSON) access.
+
+The reference has no scalar functions at all — its expression surface is
+the identity copy of column values (`sync/JdbcRecordCursor.java:126-163`).
+This module is the declared extension (SURVEY.md §2B `scalar_funcs`,
+`semi_structured`): string/date/math/conditional built-ins, all JVM-side
+and whole-stage-codegen'd — never Python UDFs for these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+
+@register(
+    "scalar_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      lower(o_orderpriority)                       AS lp,
+      upper(o_orderstatus)                         AS us,
+      substr(o_orderpriority, 1, 3)                AS pfx,
+      concat(o_orderstatus, '-', o_orderpriority)  AS tag,
+      CAST(length(o_orderpriority) AS INT)         AS plen,
+      CAST(year(o_orderdate) AS INT)               AS yr,
+      CAST(month(o_orderdate) AS INT)              AS mo,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_ts,
+      CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_left,
+      abs(o_totalprice - 250000.0)                 AS dist_mid,
+      CASE WHEN o_totalprice > 250000.0 THEN 'big' ELSE 'small' END AS size_class,
+      CASE WHEN o_orderstatus = 'F' THEN 'done'
+           WHEN o_orderstatus = 'O' THEN 'open'
+           ELSE 'partial' END                      AS status_word
+    FROM orders
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/conditional scalar pack over orders.
+
+    Every expression is a Catalyst built-in (whole-stage codegen); per-row
+    double math (abs/sub) is IEEE-exact so it needs no decimal lane.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("lp"),
+        F.upper("o_orderstatus").alias("us"),
+        F.substring("o_orderpriority", 1, 3).alias("pfx"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("plen"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("mon_ts"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_left"
+        ),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_mid"),
+        F.when(F.col("o_totalprice") > 250000.0, "big")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", "done")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word"),
+    )
+
+
+@register(
+    "semi_structured",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k')                    AS k_str,
+      CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+    FROM events
+    """,
+)
+def semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access over ``events.props``.
+
+    ``get_json_object`` evaluates JVM-side with a shared parse per row;
+    for fixed schemas ``from_json`` (used in the streaming module) is the
+    vectorizable path. The reference's model is flat relational — JSON is
+    a [TARGET] extension (SURVEY.md §1.2: getObject unsupported,
+    `sync/JdbcRecordCursor.java:165-168`).
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).alias("k_mod"),
+    )

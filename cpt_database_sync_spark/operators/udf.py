@@ -1,1 +1,134 @@
-"""Placeholder — populated in a later milestone."""
+"""User-defined function surface: scalar UDF, vectorized pandas UDF,
+grouped-map applyInPandas.
+
+The reference's only extension point is the per-type ``ReadFunction``
+lambda (`sync/ReadMapping.java:24-38`, method refs like ``ResultSet::getLong``
+at `sync/StandardReadMappings.java:67-69`) — engine-internal, not
+user-facing. [TARGET] exposes the standard PySpark trio.
+
+Scale notes: pandas UDFs move data JVM↔Python in Arrow batches (~10-100×
+faster than row-at-a-time Python UDFs); the row UDF below exists to cover
+the API surface and is deliberately kept off large inputs. The semantics of
+each UDF are chosen order-insensitive (per-row math, group min/max/count)
+so results are deterministic and SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+
+@F.pandas_udf(DoubleType())
+def _discounted_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # per-row IEEE ops — identical to the SQL expression on both engines
+    return price * (1.0 - discount)
+
+
+@F.udf(StringType())
+def _flag_word(flag: str) -> str:
+    return {"R": "returned", "A": "acknowledged", "N": "none"}.get(flag, "unknown")
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1.0 - l_discount) AS discounted,
+      CASE l_returnflag
+        WHEN 'R' THEN 'returned'
+        WHEN 'A' THEN 'acknowledged'
+        WHEN 'N' THEN 'none'
+        ELSE 'unknown' END AS flag_word
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow path) + row-at-a-time Python UDF.
+
+    Both compute SQL-expressible per-row functions so the oracle can verify
+    the Python round-trip bit-for-bit.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _discounted_price("l_extendedprice", "l_discount").alias("discounted"),
+        _flag_word("l_returnflag").alias("flag_word"),
+    )
+
+
+@register(
+    "udf_grouped",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_rows,
+      min(l_quantity) AS min_qty,
+      max(l_quantity) AS max_qty,
+      min(l_extendedprice) AS min_price,
+      max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF (applyInPandas): per-group pandas computation.
+
+    The group lands in one pandas DataFrame (the group must fit in executor
+    memory — at 100 TB salt wide groups or pre-aggregate). min/max/count
+    are order-insensitive, so the result is deterministic and
+    oracle-checkable.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "min_qty": [pdf["l_quantity"].min()],
+                "max_qty": [pdf["l_quantity"].max()],
+                "min_price": [pdf["l_extendedprice"].min()],
+                "max_price": [pdf["l_extendedprice"].max()],
+            }
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        summarize,
+        schema=(
+            "l_returnflag string, l_linestatus string, n_rows bigint, "
+            "min_qty double, max_qty double, min_price double, max_price double"
+        ),
+    )
+
+
+@register("udf_map_partitions")  # rows-only: demonstrates mapInPandas plumbing
+def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: streaming per-partition transform in Arrow batches —
+    the UDTF-ish shape (N rows in, M rows out). Emits one summary row per
+    Arrow batch; batch boundaries are engine-internal, hence rows-only."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def batch_stats(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "batch_rows": [len(pdf)],
+                    "batch_qty": [float(pdf["l_quantity"].sum())],
+                }
+            )
+
+    return li.mapInPandas(batch_stats, schema="batch_rows bigint, batch_qty double")

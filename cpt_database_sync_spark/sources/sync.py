@@ -1,1 +1,113 @@
-"""Placeholder — populated in a later milestone."""
+"""Table sync — the reference's reason to exist, Spark-natively.
+
+Reference pipeline per table (`handler/Handler.java:42-55`): introspect →
+DROP TABLE → CREATE TABLE → single-threaded fetch thread + single insert
+thread joined by a bounded queue (`sync/M2H2DataMigrator.java:22-36`), with
+two latent races (consumer exits on momentarily-empty queue
+`sync/H2Runner.java:33`; error flag never set `utils/Utils.java:33`).
+
+Spark replaces all of it with a synchronous, partition-parallel job:
+``read → write.mode("overwrite")``. Failures propagate; there is no racy
+hand-rolled pipeline to get wrong. Every reference tuning constant maps to
+an option (fetchsize/batchsize/numPartitions — see ``jdbc_reader`` /
+``jdbc_writer``), except parallelism, which goes from 1 thread to
+#partitions × #executors.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+# The reference's constants (BASELINE.md) as defaults; at scale, raise
+# numPartitions to #cores and pick a numeric/temporal partitionColumn.
+DEFAULT_FETCH_SIZE = 1000
+DEFAULT_BATCH_SIZE = 1000
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    props: dict | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+):
+    """Parallel JDBC scan. The reference scans one table on one connection
+    (`sync/M2H2DataMigrator.java:24-28`); partitionColumn/numPartitions
+    turns that into N concurrent range scans with no code change."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", DEFAULT_FETCH_SIZE)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+            .option("numPartitions", num_partitions or 8)
+        )
+    if props:
+        reader = reader.options(**props)
+    return reader.load()
+
+
+def jdbc_writer(df: DataFrame, url: str, table: str, props: dict | None = None,
+                mode: str = "overwrite"):
+    """Batched JDBC load: the reference's 1000-row addBatch/executeBatch
+    loop (`sync/JdbcPageSink.java:97-104`) is Spark's `batchsize` option;
+    `overwrite` reproduces drop→create→insert
+    (`sync/M2H2SchemaConverter.java:48-118`)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", DEFAULT_BATCH_SIZE)
+        .mode(mode)
+    )
+    if props:
+        writer = writer.options(**props)
+    return writer.save()
+
+
+def upsert_statement(table: str, columns: list[str], quote: str = "`") -> str:
+    """MySQL-flavor idempotent upsert — the INSERT shape of
+    `sync/JdbcPageSink.java:81-88` extended with ON DUPLICATE KEY UPDATE
+    (stock df.write.jdbc cannot upsert; used by foreachBatch writers)."""
+    cols = ", ".join(f"{quote}{c}{quote}" for c in columns)
+    binds = ", ".join("?" for _ in columns)
+    updates = ", ".join(f"{quote}{c}{quote} = VALUES({quote}{c}{quote})" for c in columns)
+    return (
+        f"INSERT INTO {quote}{table}{quote} ({cols}) VALUES ({binds}) "
+        f"ON DUPLICATE KEY UPDATE {updates}"
+    )
+
+
+def full_copy_parquet(spark: SparkSession, src_df: DataFrame, target_dir: str) -> DataFrame:
+    """Snapshot copy: drop-create-load semantics on a parquet target.
+    mode("overwrite") is atomic-per-job (write to _temporary, commit on
+    success) — strictly stronger than the reference's non-transactional
+    drop → create → insert window."""
+    src_df.write.mode("overwrite").parquet(target_dir)
+    return spark.read.parquet(target_dir)
+
+
+@register(
+    "full_copy",
+    oracle="SELECT * FROM lineitem",
+)
+def full_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end table copy, verified by identity: copy lineitem to a
+    fresh target and read it back; the result must equal the source exactly
+    (the reference's fetch-count==pull-count check made exact,
+    `sync/FetchRunner.java:38` / `sync/H2Runner.java:38`)."""
+    target = tempfile.mkdtemp(prefix="full_copy_") + "/lineitem"
+    return full_copy_parquet(spark, load(spark, sf_dir, "lineitem"), target)
