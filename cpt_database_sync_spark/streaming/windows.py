@@ -1,1 +1,228 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming: windowed aggregation, session windows, streaming
+dedup — the reference's pipelined transfer loop recast declaratively.
+
+Reference: producer/consumer threads over a bounded BlockingQueue
+(`sync/M2H2DataMigrator.java:22-36`, `sync/FetchRunner.java:29-55`,
+`sync/H2Runner.java:28-50`) with two latent races. Spark's micro-batch
+engine replaces the queue (backpressure, exactly-once state), watermarks
+replace the hand-rolled "queue momentarily empty" termination guess.
+
+Correctness strategy (SURVEY.md §5.2#4): every streaming query here is
+batch-equivalent — run with availableNow over the events fixture, compare
+against the batch SQL oracle. Each fixture table is one parquet file, so
+availableNow is a single micro-batch and watermark eviction cannot drop
+fixture rows; on a real unbounded source the same code handles late data
+by the declared watermark bound.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cpt_database_sync_spark.functions.numeric import sql_dsum
+from cpt_database_sync_spark.plans.registry import register
+
+# Physical schema of events.parquet with nanos read as raw int64
+# (see sources/tables.py — Spark rejects TIMESTAMP(NANOS) natively).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source: readStream over the fixture dir.
+    On a real deployment this is the same code over a Kafka/file-drop
+    source; only the format/options line changes."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory: stream the fixture dir, filtered
+    # to the events file (a real deployment points at a landing directory)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming query to completion on the available data
+    (Trigger.AvailableNow) into an in-memory sink; return the result."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT
+      CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+      CAST(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      {sql_dsum("value", 14, 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event-time column with a
+    watermark bounding state. Batch-equivalent to time_bucket GROUP BY."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,6)")).alias("sum_value_dec"),
+        )
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    SELECT
+      CAST(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
+      COUNT(*) AS n_events,
+      {sql_dsum("value", 14, 6)} AS sum_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 15 min slide): each event lands in
+    exactly duration/slide = 4 windows. The oracle mirrors that expansion
+    explicitly (time_bucket shifted by k slides)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,6)")).alias("sum_value_dec"),
+        )
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "n_events",
+        F.col("sum_value_dec").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+      COUNT(*) AS n_events,
+      {sql_dsum("value", 14, 6)} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per-user sessions closed after a 30-minute gap.
+
+    Spark merges events whose gap is < 30 min; window end = last event +
+    gap (exclusive). The oracle reproduces this with gaps-and-islands SQL.
+    Sub-microsecond caveat: DuckDB compares nanosecond timestamps while
+    Spark sees micros; a gap within 1 µs of exactly 30:00 could split
+    differently — astronomically unlikely with this data and irrelevant to
+    real semantics.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,6)")).alias("sum_value_dec"),
+        )
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        F.col("sum_value_dec").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_watermark",
+    oracle="""
+    SELECT DISTINCT
+      user_id,
+      event_type,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under a watermark: first occurrence per
+    (user, event_type, day). Selecting only the key columns makes the
+    streamed output equal batch DISTINCT — deterministic and
+    oracle-checkable. dropDuplicates state is bounded by the watermark on
+    a real unbounded source."""
+    ev = events_stream(spark, sf_dir)
+    keys = (
+        ev.withWatermark("ts", "10 minutes")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("ts"),
+        )
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    return run_to_table(keys, "append")
