@@ -1,1 +1,223 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embedding vectors.
+
+- ``sim_topk``        — brute-force cosine top-k (the exact baseline);
+                        query set broadcast against the full corpus, dot
+                        products as JVM higher-order functions, per-query
+                        top-k via window rank.
+- ``sim_ann_lsh``     — sign-random-projection LSH buckets: search only
+                        the query's bucket (the 100 TB path; recall
+                        measured against brute force in tests).
+- ``dedup_embedding`` — embedding near-dup candidate pairs within a
+                        coarse partition (label), cosine ≥ τ.
+
+Embeddings are array<float>; all math is done in double (cast once) with
+sequential index-order folds so Spark and DuckDB produce identical sums.
+The similarity values are emitted rounded to 9 decimals: ranking uses the
+raw doubles, display rounding only absorbs engine-internal summation
+differences in DuckDB's list_inner_product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+TOPK = 5
+N_QUERIES = 20
+# Multi-table sign-LSH: L tables × k hyperplanes. With weakly-clustered
+# data (fixture top-1 cosine ≈ 0.45 → per-plane agreement ≈ 0.65), one
+# k-bit table has recall ≈ 0.65^k; the union over L tables lifts it to
+# 1-(1-0.65^k)^L ≈ 0.80 for (k=4, L=8) while scoring only L/2^k ≈ 1/2 of
+# the corpus per query — the gap widens fast as clusters tighten (real
+# embedding corpora sit at cos ≥ 0.9 where recall ≈ 1 at far lower cost).
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 4
+LSH_SEED = 7
+DEDUP_COS_THRESHOLD = 0.4
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (index order — reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_SQL_DOT = (
+    "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    d = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "sim_topk",
+    oracle=f"""
+    SELECT q_id, n_id, rn, round(cos, 9) AS sim
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_sql_cosine("q.embedding", "c.embedding")} AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine("q.embedding", "c.embedding")} DESC, c.vec_id
+             ) AS rn
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rn <= {TOPK}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact ANN baseline.
+
+    The query set (vec_id < N) is broadcast; the corpus streams through a
+    BroadcastNestedLoopJoin — no shuffle of the big side. Per-query top-k
+    is a window rank over q_id. At 100 TB swap the final rank for a
+    per-partition top-k + merge (or use sim_ann_lsh).
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "n_id", "rn", F.round("cos", 9).alias("sim"))
+    )
+
+
+def _plane_weights(n_planes: int, dim: int, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (seeded stdlib PRNG - stable
+    across runs/machines, shipped to executors as literal arrays)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_buckets(vec: Column, dim: int = 64) -> Column:
+    """array<struct<table_id,bucket>> - one sign-bit bucket per LSH table.
+
+    Each table's bucket is k sign bits of Gaussian projections; a vector
+    lands in L buckets total. Candidates = pairs sharing any (table,
+    bucket) - the standard multi-table recall/probe trade.
+    """
+    planes = _plane_weights(LSH_TABLES * LSH_PLANES_PER_TABLE, dim)
+    tables = []
+    for t in range(LSH_TABLES):
+        bucket = F.lit(0)
+        for r in range(LSH_PLANES_PER_TABLE):
+            w = F.array(*[F.lit(x) for x in planes[t * LSH_PLANES_PER_TABLE + r]])
+            bucket = bucket + F.when(dot(vec, w) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return F.array(*tables)
+
+
+def lsh_bucket(vec: Column, dim: int = 64) -> Column:
+    """Single coarse bucket id (table 0) - the IVF-style partition key a
+    write-time bucketed layout would use."""
+    planes = _plane_weights(LSH_PLANES_PER_TABLE, dim)
+    bucket = F.lit(0)
+    for r, plane in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, w) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+    return bucket
+
+
+@register("sim_ann_lsh")  # rows-only: bucket-local search is approximate
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table sign-LSH: score only candidates sharing a
+    (table, bucket) with the query in any of the L tables, then rank.
+
+    Recall vs sim_topk is measured in tests/test_llm_ops.py. At 100 TB:
+    bucket assignment is map-only; materialize the exploded (table,
+    bucket) index bucketed-by-key at write time and the candidate join
+    becomes co-located with no shuffle of the corpus."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    idx = emb.select(
+        "vec_id", "e", F.explode(lsh_buckets(F.col("e"))).alias("tb")
+    ).select("vec_id", "e", "tb.table_id", "tb.bucket")
+    q = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        "table_id",
+        "bucket",
+    )
+    c = idx.select(
+        F.col("vec_id").alias("n_id"), F.col("e").alias("ce"), "table_id", "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, ["table_id", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qe", "n_id", "ce")
+        .distinct()  # a pair may collide in several tables - score once
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "n_id", "rn", F.round("cos", 9).alias("sim"))
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DEDUP_COS_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates: cosine ≥ τ within a coarse partition
+    (label = the IVF-style inverted-list key). The label equi-join keeps
+    the pair space per-partition quadratic instead of corpus-quadratic —
+    the same shape an IVF index gives at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "label"
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("ae"), F.col("be")))
+        .filter(F.col("cos") >= DEDUP_COS_THRESHOLD)
+        .select("a_id", "b_id", F.round("cos", 9).alias("sim"))
+    )

@@ -1,1 +1,216 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis for LLM-data pipelines: stats, language ID, quality
+scoring, token counting, fingerprinting.
+
+All five operators are pure JVM-side expressions (regexp / higher-order
+functions) — no Python in the hot path, fully whole-stage-codegen'd, and
+embarrassingly partition-parallel at 100 TB (no shuffle except the final
+small aggregations). Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+# Language marker patterns — same regex dialect subset works in Java
+# (Spark) and RE2 (DuckDB): alternation, \b, case handled via lower().
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|a)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|la|los|que|es|y)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+}
+CJK_PATTERN = r"[\x{4E00}-\x{9FFF}]"
+# deterministic tie-break priority (first wins on equal scores)
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+TOKEN_PATTERN = r"\S+"
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT
+      lang,
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+      CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_consistent
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc counts, char/token totals,
+    and a consistency check of the stored n_chars column."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.regexp_count("text", F.lit(TOKEN_PATTERN)))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_consistent"),
+    )
+
+
+def _lang_scores_spark(text_col):
+    lowered = F.lower(text_col)
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.regexp_count(text_col, F.lit(CJK_PATTERN))
+    return scores
+
+
+def _lang_id_sql_case() -> str:
+    """CASE chain: zh if any CJK, else argmax of marker counts with
+    LANG_PRIORITY tie-break — mirrored exactly by the Spark when-chain."""
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in LANG_MARKERS.items()
+    }
+    zh = f"len(regexp_extract_all(text, '{CJK_PATTERN}'))"
+    branches = [f"WHEN {zh} > 0 THEN 'zh'"]
+    for i, lang in enumerate(LANG_PRIORITY):
+        later = LANG_PRIORITY[i + 1 :]
+        conds = [f"{counts[lang]} >= {counts[o]}" for o in later]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label, {_lang_id_sql_case()} AS lang_pred
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK-character presence → zh, else argmax of
+    per-language stopword-marker counts (deterministic priority
+    tie-break). A real pipeline would swap in a fastText-style model via
+    pandas_udf; the Spark plumbing (scan → scalar expr → select) is
+    identical."""
+    d = load(spark, sf_dir, "documents")
+    s = _lang_scores_spark(F.col("text"))
+    pred = F.when(s["zh"] > 0, "zh")
+    for i, lang in enumerate(LANG_PRIORITY):
+        later = LANG_PRIORITY[i + 1 :]
+        cond = F.lit(True)
+        for o in later:
+            cond = cond & (s[lang] >= s[o])
+        pred = pred.when(cond, lang)
+    return d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(length(text) AS INT) AS n_chars_obs,
+      CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS INT) AS n_punct,
+      CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS INT) AS n_stop,
+      0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+        + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
+                                  / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0)))
+        + 0.3 * least(1.0, 5.0 * CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS DOUBLE)
+                                 / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0))
+        AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation + low
+    punctuation density + stopword density. Per-row IEEE double math —
+    bit-identical across engines given identical operand order."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_PATTERN))
+    n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN))
+    n_stop = F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
+    tokens_d = F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_chars.cast("double") / F.lit(500.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(F.lit(1.0), n_punct.cast("double") / tokens_d))
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(5.0) * n_stop.cast("double") / tokens_d)
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars_obs"),
+        n_tokens.cast("int").alias("n_tokens"),
+        n_punct.cast("int").alias("n_punct"),
+        n_stop.cast("int").alias("n_stop"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
+      CAST(ceil(length(text) / 4.0) AS INT) AS char_est_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, a BPE-ish regex
+    segmentation (letters / digits / single punctuation), and the chars/4
+    rule of thumb."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).cast("int").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("int").alias("char_est_tokens"),
+    )
+
+
+@register(
+    "fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1),
+                         i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 1000000007
+      ) AS fp
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (base-31 over unicode codepoints, mod 1e9+7)
+    as a compact content fingerprint — the order-sensitive cousin of
+    dedup_exact's sha2, computable incrementally at ingest. Pure
+    higher-order-function expression; no UDF."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate("
+        "  transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint)),"
+        "  cast(0 as bigint),"
+        "  (acc, c) -> (acc * 31 + c) % 1000000007"
+        ")"
+    )
+    return d.select("doc_id", fp.alias("fp"))

@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's closest concept is VARBINARY→Slice (`sync/
+StandardReadMappings.java:107-109`, DDL `mediumblob` at
+`sync/M2H2SchemaConverter.java:190`): bytes in, bytes out, no
+interpretation. This module keeps that contract at the storage layer
+(BinaryType column + metadata struct) and adds the processing plumbing a
+training-data pipeline needs: decode / feature-extract / frame-sample as
+Arrow-batched ``mapInPandas`` stages.
+
+The actual codecs (PIL/ffmpeg/librosa) are not in this container, so
+``decode_image`` raises NotImplementedError and the pipeline runs a
+clearly-marked deterministic fake decoder instead. Everything around the
+stub — schema, binary handling, batch iteration, partition parallelism —
+is real and oracle-tested.
+
+Scale notes: binary payloads ride the columnar format untouched (parquet
+keeps them page-compressed); metadata extraction is map-only (no shuffle);
+decode parallelism = #partitions. For 100 TB of media, set
+``spark.sql.files.maxPartitionBytes`` so a partition's decoded batch fits
+executor memory, and select the binary column last (column pruning keeps
+metadata-only queries from reading the blobs at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decoder hook — requires an image codec (PIL / libjpeg).
+
+    Not available in this environment; deliberately unimplemented rather
+    than silently fake at the API layer.
+    """
+    raise NotImplementedError(
+        "image codecs are not installed; use fake_decode_meta for plumbing tests"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for decode: metadata derived purely from the
+    byte content (stable across engines and runs)."""
+    n = len(payload)
+    width = 64 + (n % 640)
+    height = 64 + ((n * 7) % 480)
+    channels = 1 + (n % 3)
+    fmt = ("png", "jpeg", "webp")[n % 3]
+    return n, width * height * channels, width, fmt
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize the opaque media column: utf-8 bytes of the text stand in
+    for an encoded image; schema is exactly what a real media table has."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT
+      doc_id,
+      octet_length(encode(text))                              AS n_bytes,
+      CAST(64 + octet_length(encode(text)) % 640 AS INT)      AS width,
+      CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+      CAST(1 + octet_length(encode(text)) % 3 AS INT)         AS channels,
+      CASE octet_length(encode(text)) % 3
+        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END  AS fmt
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: synthesize payloads, run the
+    (stubbed) decoder via mapInPandas over Arrow batches, emit typed
+    metadata. The oracle recomputes the deterministic fake-decode in SQL —
+    verifying the binary round-trip byte counts and the UDF plumbing."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [m[0] for m in metas],
+                    "width": [64 + (m[0] % 640) for m in metas],
+                    "height": [64 + ((m[0] * 7) % 480) for m in metas],
+                    "channels": [1 + (m[0] % 3) for m in metas],
+                    "fmt": [("png", "jpeg", "webp")[m[0] % 3] for m in metas],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id bigint, n_bytes int, width int, height int, "
+            "channels int, fmt string"
+        ),
+    )
+
+
+@register("multimodal_frame_sample")  # rows-only: sampling grid is impl-defined
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video analogue): each payload expands to
+    ~1 row per 100 bytes — the N-in/M-out mapInPandas shape a video
+    frame-sampler has. Frame 'content' is a deterministic slice of the
+    payload; a real pipeline would decode and resize here."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // 100)
+                for i in range(n_frames):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_frames.append(bytes(payload[i * 100 : i * 100 + 16]))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample_frames, schema="doc_id bigint, frame_idx int, frame binary"
+    )

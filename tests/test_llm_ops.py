@@ -1,0 +1,79 @@
+"""Quality checks for the non-SQL-expressible LLM ops: the oracle can't
+verify them (engine-specific hashes), so verify their *semantics* —
+LSH candidate generation must recover the exact-method ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from cpt_database_sync_spark.operators.llm_dedup import (
+    JACCARD_THRESHOLD,
+    dedup_minhash,
+    dedup_ngram,
+    dedup_simhash,
+)
+from cpt_database_sync_spark.operators.llm_similarity import sim_ann_lsh, sim_topk
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.collect()}
+
+
+class TestMinhash:
+    def test_high_similarity_recall_is_total(self, spark, sf_dir):
+        """Every exact-Jaccard pair ≥ 0.9 must be found by MinHash-LSH
+        (P(miss) ≈ (1-0.9^4)^4 < 0.03 per pair; the fixture's planted
+        dups sit at ~0.97 where P(miss) < 1e-5)."""
+        exact = {
+            (r.a_id, r.b_id)
+            for r in dedup_ngram(spark, sf_dir).collect()
+            if r.jaccard >= 0.9
+        }
+        found = _pairs(dedup_minhash(spark, sf_dir))
+        assert exact, "fixture should contain planted near-duplicates"
+        missed = exact - found
+        assert not missed, f"minhash missed high-similarity pairs: {missed}"
+
+    def test_no_unverified_pairs(self, spark, sf_dir):
+        """Everything emitted passed exact-Jaccard verification."""
+        for r in dedup_minhash(spark, sf_dir).collect():
+            assert r.jaccard >= JACCARD_THRESHOLD
+
+
+class TestSimhash:
+    def test_runs_and_is_symmetric_free(self, spark, sf_dir):
+        rows = dedup_simhash(spark, sf_dir).collect()
+        seen = set()
+        for r in rows:
+            assert r.a_id < r.b_id  # canonical orientation, no dup pairs
+            assert (r.a_id, r.b_id) not in seen
+            seen.add((r.a_id, r.b_id))
+            assert 0 <= r.hamming <= 3
+
+
+class TestAnnLsh:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        """Bucketed ANN must recover a reasonable fraction of the true
+        top-k neighbors (8 hyperplanes on weakly-clustered data — recall
+        won't be perfect; it must beat random by a wide margin)."""
+        brute = {(r.q_id, r.n_id) for r in sim_topk(spark, sf_dir).collect()}
+        ann = {(r.q_id, r.n_id) for r in sim_ann_lsh(spark, sf_dir).collect()}
+        assert brute
+        recall = len(brute & ann) / len(brute)
+        # random 5-of-500 bucket assignment would give recall ≈ 1/256
+        assert recall >= 0.2, f"ANN recall too low: {recall:.3f}"
+
+    def test_ann_is_cheaper(self, spark, sf_dir):
+        """The bucket join must score far fewer pairs than brute force —
+        sanity-check the pruning actually prunes (bucket sizes ≪ corpus)."""
+        from cpt_database_sync_spark.operators.llm_similarity import lsh_bucket
+        from cpt_database_sync_spark.sources.tables import load
+        from pyspark.sql import functions as F
+
+        emb = load(spark, sf_dir, "embeddings").withColumn(
+            "bucket", lsh_bucket(F.col("embedding").cast("array<double>"))
+        )
+        sizes = emb.groupBy("bucket").count().collect()
+        total = sum(r["count"] for r in sizes)
+        biggest = max(r["count"] for r in sizes)
+        assert biggest < total * 0.5, "LSH buckets degenerate (one bucket holds most vectors)"
