@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every engine subsystem: scan/filter/agg (the
+reference's lineage), joins/windows/top-k (relational closure), streaming
+windows, and the LLM-data ops. Each query is fully materialized via a
+count() action (no driver-side row transfer inflating the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cpt_database_sync_spark.plans.registry import all_queries  # noqa: E402
+from cpt_database_sync_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "scan_project",
+    "filter_pushdown",
+    "agg_hash",
+    "agg_distinct",
+    "join_inner",
+    "join_left",
+    "window_rank",
+    "window_frame",
+    "sort_limit",
+    "rollup_cube",
+    "scalar_funcs",
+    "semi_structured",
+    "stream_tumbling",
+    "stream_session",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "token_count",
+    "fingerprint",
+    "sim_topk",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # Warmup on the smallest fixture: JVM/codegen JIT + the Python worker
+    # pool (mapInPandas spawns per-core workers on first use) — so the
+    # per-query numbers measure the plan, not process startup.
+    queries["agg_hash"](spark, "/root/testdata/sf0.001").count()
+    queries["multimodal_meta"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,33 +65,69 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(text_col: Column, k: int = SHINGLE_K) -> Column:
     """Distinct word k-shingles of a text column (empty if < k words)."""
     words = F.split(F.trim(text_col), r"\s+")
-    return F.when(
-        F.size(words) >= k,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(0, size(split(trim(text), '\\\\s+')) - {k}), "
-                f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {k})))"
+
+    def mk(w: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
             )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        )
+
+    # single evaluation of split() via a lambda-bound variable
+    return F.when(F.size(words) >= k, mk(words)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — one row per doc, parallelized.
+
+    The fixtures are single parquet files (1 input partition); the
+    repartition spreads the shingle/hash work across cores — at real
+    scale the source is already many splits and this is a no-op knob.
+    """
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
 
 
 def shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded pairs + per-doc shingle counts."""
-    return docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("g")
+    """(doc_id, shingle) exploded pairs."""
+    return shingle_sets(docs).select("doc_id", F.explode("sh").alias("g"))
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for given candidate pairs via array_intersect on the
+    per-doc shingle sets — linear in |pairs|, no shingle self-join."""
+    sets = shingle_sets(docs)
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
     )
 
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over all pairs sharing ≥1 shingle.
+    """Exact Jaccard over all pairs sharing >=1 shingle.
 
-    The shingle self-join is quadratic in per-shingle frequency — fine as
-    a verifier / small-corpus path; MinHash-LSH bounds the candidate set
-    at scale.
+    The shingle self-join is quadratic in per-shingle frequency — the
+    exact verifier / small-corpus path; MinHash-LSH bounds the candidate
+    set at scale. Intersections come from one aggregate over the join
+    (count per pair) — no per-pair array materialization.
     """
-    e = shingle_table(docs)
-    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sets = shingle_sets(docs)
+    e = sets.select("doc_id", F.explode("sh").alias("g"))
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
     a, b = e.alias("a"), e.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -139,22 +175,34 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """,
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-shingle Jaccard ≥ 0.5."""
+    """Near-dup pairs by exact word-3-shingle Jaccard ≥ 0.5.
+
+    Scale boundary (measured): this corpus shares one small vocabulary, so
+    "pairs sharing ≥1 shingle" approaches all-pairs — exact all-pairs
+    Jaccard is quadratic by nature. It is the ground-truth verifier at
+    validation scale (sf ≤ 0.01); production dedup at 100 TB is
+    ``dedup_minhash``, whose banding bounds the candidate set.
+    """
     return exact_jaccard_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature via seeded xxhash64.
 
-    One explode + one groupBy: the signature aggregation is a map-side
-    combinable min() per hash — linear in total shingle count.
+    Map-only: each signature lane is an array_min over the per-doc shingle
+    set (no explode, no shuffle — the whole signature step is one
+    projection, linear in total shingle count and embarrassingly parallel
+    at 100 TB). Docs with < k words have empty shingle sets → null lanes;
+    they cannot be near-dups under shingle Jaccard and are dropped.
     """
-    e = shingle_table(docs)
+    sets = shingle_sets(docs).filter(F.size("sh") > 0)
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("g")))).alias(f"h{i}")
+        F.expr(f"array_min(transform(sh, g -> xxhash64(concat('mh{i}|', g))))").alias(
+            f"h{i}"
+        )
         for i in range(MINHASH_HASHES)
     ]
-    return e.groupBy("doc_id").agg(*mins)
+    return sets.select("doc_id", *mins)
 
 
 def minhash_candidates(sig: DataFrame) -> DataFrame:
@@ -191,45 +239,49 @@ def minhash_candidates(sig: DataFrame) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
-    16 hashes / 4 bands of 4: P(candidate) = 1-(1-j^4)^4 — ≈1.0 at the
-    planted-duplicate similarity (~0.97), steep dropoff below ~0.7. The
-    exact-Jaccard verification of candidates removes band-collision false
-    positives, so emitted pairs are true near-dups (tested against
-    dedup_ngram's exact pair set in tests/test_llm_ops.py).
+    16 hashes / 4 bands of 4: P(candidate) = 1-(1-j^4)^4 — ~1.0 at the
+    planted-duplicate similarity (~0.97), steep dropoff below ~0.7.
+    Verification touches ONLY the LSH candidates (array_intersect per
+    pair), so total cost is #docs × #bands for banding plus O(|candidates|)
+    — near-linear at 100 TB, unlike the exact shingle self-join
+    (tested against dedup_ngram's exact pair set in tests/test_llm_ops.py).
     """
     docs = load(spark, sf_dir, "documents")
     cand = minhash_candidates(minhash_signatures(docs))
-    verified = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    return cand.join(verified, ["a_id", "b_id"]).select(
+    return jaccard_verify(docs, cand, JACCARD_THRESHOLD).select(
         "a_id", "b_id", "jaccard"
     )
+
+
+_SIMHASH_EXPR = r"""
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(trim(text), '\\s+'), w -> xxhash64(w)),
+      array_repeat(0, 64),
+      (acc, h) -> zip_with(acc, sequence(0, 63),
+                           (a, j) -> a + CASE WHEN (shiftright(h, j) & 1) = 1
+                                          THEN 1 ELSE -1 END)
+    ),
+    sequence(0, 63),
+    (v, j) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
+                   ELSE CAST(0 AS BIGINT) END
+  ),
+  CAST(0 AS BIGINT),
+  (acc, b) -> acc | b
+)
+"""
 
 
 def simhash_column(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over word tokens.
 
-    Explode words → per-word xxhash64 → per-bit ±1 vote sums → sign bits
-    reassembled into a BIGINT. Entirely aggregation-shaped (combinable)."""
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    )
-    h = F.xxhash64("w")
-    votes = [
-        F.sum(
-            F.when(
-                h.bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), j)) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    per_doc = words.groupBy("doc_id").agg(*votes)
-    sim = None
-    for j in range(64):
-        bit = F.when(
-            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
-        ).otherwise(F.lit(0).cast("bigint"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return per_doc.select("doc_id", sim.alias("simhash"))
+    One per-row higher-order fold: word hashes → per-bit ±1 vote vector →
+    sign bits packed into a BIGINT. Zero shuffles (the earlier
+    explode+groupBy formulation shuffled every word of the corpus; this
+    is map-only and 100 TB embarrassingly parallel)."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return docs.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
 @register("dedup_simhash")  # rows-only: xxhash64-based

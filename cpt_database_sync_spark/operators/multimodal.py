@@ -58,7 +58,13 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Synthesize the opaque media column: utf-8 bytes of the text stand in
-    for an encoded image; schema is exactly what a real media table has."""
+    for an encoded image; schema is exactly what a real media table has.
+
+    The repartition matters: the fixture is one parquet file (one input
+    split), which would serialize every downstream Python decode worker;
+    real media tables arrive in many splits and decode fans out naturally.
+    """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),

@@ -58,7 +58,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming query to completion on the available data
-    (Trigger.AvailableNow) into an in-memory sink; return the result."""
+    (Trigger.AvailableNow) into an in-memory sink; return the result.
+
+    The sink table and query are torn down before returning (the result —
+    a windowed aggregate — is small by construction): leaked memory sinks
+    and state-store providers from completed queries measurably degrade
+    subsequent streaming runs in the same session.
+    """
+    spark = stream_df.sparkSession
+    # one-shot availableNow: the trailing no-data batch would only re-emit
+    # all complete-mode state into the sink a second time — skip it.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -68,7 +78,12 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    result = spark.table(name)
+    rows = result.collect()
+    schema = result.schema
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
