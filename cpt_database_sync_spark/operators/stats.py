@@ -1,0 +1,192 @@
+"""Statistical aggregates — numerically reproducible by construction.
+
+Naive stddev/variance/corr over doubles is accumulation-order-dependent
+(different partial-agg orders → different low bits per engine/run). Here
+every moment (Σx, Σx², Σxy) is an exact decimal sum; the closed-form
+combination happens once, driver-side of the aggregation, in double — the
+same operands on every engine, hence bit-identical results. This is the
+same decimal-lane discipline the reference applies to DECIMAL transport
+(`sync/StandardReadMappings.java:79-96`), applied to second moments.
+
+Percentiles are exact order statistics with linear interpolation — both
+engines sort the same doubles, so results agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+
+def _moment_sums(x_expr: str, y_expr: str):
+    """Spark columns for n, Σx, Σy, Σx², Σy², Σxy — all exact decimals
+    emitted as doubles (inputs are 2-dp money values: squares terminate at
+    scale 4/8, sums stay under the 2^53 unscaled bound at bench SFs)."""
+    x = F.col(x_expr).cast("decimal(12,4)")
+    y = F.col(y_expr).cast("decimal(12,4)")
+    # Spark's decimal→double (BigDecimal.doubleValue) is correctly rounded
+    # at any magnitude, so no rescale is needed on this side.
+    out = lambda c: c.cast("double")  # noqa: E731
+    return {
+        "n": F.count(F.lit(1)),
+        "sx": out(F.sum(x)),
+        "sy": out(F.sum(y)),
+        "sxx": out(F.sum(x * x)),
+        "syy": out(F.sum(y * y)),
+        "sxy": out(F.sum(x * y)),
+    }
+
+
+# DuckDB's direct decimal→double double-rounds once the unscaled value
+# exceeds 2^53 (int128 → double → /10^s); the VARCHAR bridge goes through
+# strtod, which is correctly rounded — matching Java exactly.
+_SQL_MOMENTS = """
+      COUNT(*) AS n,
+      CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+      CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+      CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+      CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+      CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+"""
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag, {_SQL_MOMENTS}
+      FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(19,4)) AS x,
+               CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag, n,
+      sx / n AS mean_qty,
+      (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+      (sxy - sx * sy / n)
+        / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev / Pearson correlation per group,
+    reproducibly: exact decimal moments combined in closed form."""
+    li = load(spark, sf_dir, "lineitem")
+    m = _moment_sums("l_quantity", "l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        m["n"].alias("n"),
+        m["sx"].alias("sx"),
+        m["sy"].alias("sy"),
+        m["sxx"].alias("sxx"),
+        m["syy"].alias("syy"),
+        m["sxy"].alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return g.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_extendedprice, 0.5)  AS median_price,
+      quantile_cont(l_extendedprice, 0.9)  AS p90_price,
+      quantile_cont(l_extendedprice, 0.99) AS p99_price,
+      min(l_extendedprice) AS min_price,
+      max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (order statistics + linear interpolation) per
+    group. At 100 TB switch to approx_percentile (t-digest sketch) — kept
+    exact here because the oracle must agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "pivot_table",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DECIMAL(18,4)) AS DOUBLE) AS F,
+      CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DECIMAL(18,4)) AS DOUBLE) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): status values become columns. Passing the
+    pivot values explicitly avoids the extra distinct-values job Spark
+    otherwise runs before planning."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+        )
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             / COUNT(*)
+      FROM orders
+    )
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL API: orders above 1.5× the global
+    average price. The subquery's average uses the exact decimal lane so
+    the threshold is the identical double on both engines. Catalyst plans
+    the subquery once and broadcasts the scalar."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+                 / COUNT(*)
+          FROM orders
+        )
+        """
+    )

@@ -36,6 +36,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # readability of listings.
 _QUERY_MODULES = [
     "cpt_database_sync_spark.operators.relational",
+    "cpt_database_sync_spark.operators.stats",
     "cpt_database_sync_spark.functions.scalar",
     "cpt_database_sync_spark.functions.typelattice",
     "cpt_database_sync_spark.sources.catalog",
