@@ -1,0 +1,74 @@
+"""Plan-quality gates: the physical plans the 100 TB story depends on.
+
+A query that returns right answers through a bad plan (full-column scan,
+un-broadcast dim join, global sort for a top-k) passes the oracle but
+fails here.
+"""
+
+from __future__ import annotations
+
+from cpt_database_sync_spark.operators.relational import (
+    agg_hash,
+    filter_pushdown,
+    join_inner,
+    join_range,
+    scan_project,
+    sort_limit,
+)
+from cpt_database_sync_spark.plans.inspect import (
+    has_operator,
+    plan_string,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    cols = read_schema_columns(scan_project(spark, sf_dir))
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    }, f"scan should read exactly 4 columns, got {cols}"
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    df = filter_pushdown(spark, sf_dir)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} predicate not pushed to scan:\n{pf}"
+    # the aggregation should read only the columns it needs
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q1_is_partial_plus_final_hash_agg(spark, sf_dir):
+    df = agg_hash(spark, sf_dir)
+    plan = plan_string(df)
+    assert plan.count("HashAggregate") >= 2, "expected partial+final hash agg"
+    assert "partial_sum" in plan, "map-side combine missing"
+    # AQE's pre-execution plan hides codegen stars; codegen mode lists the
+    # compiled subtrees explicitly.
+    assert "WholeStageCodegen" in plan_string(df, "codegen"), (
+        "aggregation should run inside whole-stage codegen"
+    )
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_string(join_inner(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "customer dim should broadcast"
+
+
+def test_range_join_broadcasts_tiny_dim(spark, sf_dir):
+    plan = plan_string(join_range(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "non-equi join against 3-row dim should be broadcast nested loop"
+    )
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = sort_limit(spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject"), (
+        "ORDER BY + LIMIT should plan TakeOrderedAndProject, not a full sort"
+    )

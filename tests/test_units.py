@@ -1,0 +1,107 @@
+"""Pure-function unit tests: the type lattice (the reference's semantic
+core), the JDBC upsert statement builder, and catalog helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cpt_database_sync_spark.functions.typelattice import (
+    _JDBC,
+    ddl_for,
+    jdbc_read_type,
+)
+from cpt_database_sync_spark.sources.catalog import list_tables, table_schema
+from cpt_database_sync_spark.sources.sync import upsert_statement
+
+
+class TestTypeLattice:
+    """Mirrors sync/StandardReadMappings.java:154-222 semantically."""
+
+    @pytest.mark.parametrize(
+        "jdbc_name,expected",
+        [
+            ("BIT", T.BooleanType()),
+            ("BOOLEAN", T.BooleanType()),
+            ("TINYINT", T.ByteType()),
+            ("SMALLINT", T.ShortType()),
+            ("INTEGER", T.IntegerType()),
+            ("BIGINT", T.LongType()),
+            ("REAL", T.FloatType()),
+            ("FLOAT", T.DoubleType()),
+            ("DOUBLE", T.DoubleType()),
+            ("CHAR", T.StringType()),
+            ("NCHAR", T.StringType()),
+            ("VARCHAR", T.StringType()),
+            ("NVARCHAR", T.StringType()),
+            ("LONGVARCHAR", T.StringType()),
+            ("BINARY", T.BinaryType()),
+            ("VARBINARY", T.BinaryType()),
+            ("LONGVARBINARY", T.BinaryType()),
+            ("DATE", T.DateType()),
+            ("TIMESTAMP", T.TimestampType()),
+        ],
+    )
+    def test_simple_families(self, jdbc_name, expected):
+        assert jdbc_read_type(_JDBC[jdbc_name]).spark_type == expected
+
+    def test_decimal_plain(self):
+        m = jdbc_read_type(_JDBC["DECIMAL"], column_size=10, decimal_digits=2)
+        assert m.spark_type == T.DecimalType(10, 2)
+
+    def test_decimal_negative_scale_folds(self):
+        # reference: DECIMAL(p, -s) → DECIMAL(p+s, 0)
+        m = jdbc_read_type(_JDBC["DECIMAL"], column_size=10, decimal_digits=-3)
+        assert m.spark_type == T.DecimalType(7, 0)
+
+    def test_decimal_overwide_coerces(self):
+        # reference: precision > 38 → DECIMAL(38, 12)
+        m = jdbc_read_type(_JDBC["NUMERIC"], column_size=65, decimal_digits=30)
+        assert m.spark_type == T.DecimalType(38, 12)
+
+    def test_time_has_no_spark_type(self):
+        # reference carries TIME as millis-of-day; we use a long lane
+        m = jdbc_read_type(_JDBC["TIME"])
+        assert m.spark_type == T.LongType()
+        assert "millis" in m.read_note
+
+    def test_char_rtrims(self):
+        assert "rtrim" in jdbc_read_type(_JDBC["CHAR"], 10).read_note
+
+    def test_unmapped_drop_vs_fail(self):
+        # java.sql.Types.ARRAY = 2003: unmapped in the reference
+        assert jdbc_read_type(2003) is None  # silent drop (reference behavior)
+        with pytest.raises(ValueError):
+            jdbc_read_type(2003, on_unmapped="fail")
+
+    def test_ddl_round_trip_mysql_flavor(self):
+        # reference: TIMESTAMP→datetime, VARBINARY→mediumblob
+        assert ddl_for(T.TimestampType()) == "datetime"
+        assert ddl_for(T.BinaryType()) == "mediumblob"
+        assert ddl_for(T.DecimalType(10, 2)) == "decimal(10, 2)"
+        assert ddl_for(T.LongType()) == "bigint"
+
+
+class TestUpsertBuilder:
+    """Insert shape of sync/JdbcPageSink.java:81-88 + upsert extension."""
+
+    def test_shape(self):
+        sql = upsert_statement("t", ["id", "name"])
+        assert sql == (
+            "INSERT INTO `t` (`id`, `name`) VALUES (?, ?) "
+            "ON DUPLICATE KEY UPDATE `id` = VALUES(`id`), `name` = VALUES(`name`)"
+        )
+
+    def test_quote_char(self):
+        sql = upsert_statement("t", ["a"], quote='"')
+        assert '"t"' in sql and '"a"' in sql
+
+
+class TestCatalog:
+    def test_list_tables(self, spark, sf_dir):
+        tables = list_tables(spark, sf_dir)
+        assert "lineitem" in tables and "embeddings" in tables
+
+    def test_table_schema_is_metadata_only(self, spark, sf_dir):
+        schema = table_schema(spark, sf_dir, "lineitem")
+        assert [f.name for f in schema.fields][:2] == ["l_orderkey", "l_partkey"]
