@@ -35,9 +35,7 @@ def _flag_word(flag: str) -> str:
     return {"R": "returned", "A": "acknowledged", "N": "none"}.get(flag, "unknown")
 
 
-@register(
-    "udf_scalar",
-    oracle="""
+_UDF_SCALAR_ORACLE = """
     SELECT
       l_orderkey,
       l_linenumber,
@@ -49,8 +47,10 @@ def _flag_word(flag: str) -> str:
         ELSE 'unknown' END AS flag_word
     FROM lineitem
     WHERE l_orderkey <= 500
-    """,
-)
+    """
+
+
+@register("udf_scalar", oracle=_UDF_SCALAR_ORACLE)
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas UDF (Arrow path) + row-at-a-time Python UDF.
 
@@ -132,3 +132,11 @@ def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return li.mapInPandas(batch_stats, schema="batch_rows bigint, batch_qty double")
+
+
+@register("udf_surface", oracle=_UDF_SCALAR_ORACLE)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2B checklist key for the UDF trio; returns the
+    pandas-UDF + Python-UDF projection (see also udf_grouped /
+    udf_map_partitions for applyInPandas and mapInPandas)."""
+    return udf_scalar(spark, sf_dir)

@@ -16,12 +16,20 @@ an option (fetchsize/batchsize/numPartitions — see ``jdbc_reader`` /
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
+
+def scratch_dir() -> str:
+    """Engine scratch space, kept inside the repo tree (gitignored)."""
+    d = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    os.makedirs(d, exist_ok=True)
+    return d
+
 
 # The reference's constants (BASELINE.md) as defaults; at scale, raise
 # numPartitions to #cores and pick a numeric/temporal partitionColumn.
@@ -109,5 +117,5 @@ def full_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh target and read it back; the result must equal the source exactly
     (the reference's fetch-count==pull-count check made exact,
     `sync/FetchRunner.java:38` / `sync/H2Runner.java:38`)."""
-    target = tempfile.mkdtemp(prefix="full_copy_") + "/lineitem"
+    target = tempfile.mkdtemp(prefix="full_copy_", dir=scratch_dir()) + "/lineitem"
     return full_copy_parquet(spark, load(spark, sf_dir, "lineitem"), target)

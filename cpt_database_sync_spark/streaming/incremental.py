@@ -84,7 +84,9 @@ def incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back equals the full source — the reference's count-match check
     (`sync/FetchRunner.java:38`) strengthened to full-value equality.
     """
-    workdir = tempfile.mkdtemp(prefix="incr_sync_")
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    workdir = tempfile.mkdtemp(prefix="incr_sync_", dir=scratch_dir())
     target = f"{workdir}/events_target"
     wm_file = f"{workdir}/watermark.json"
     ev = load(spark, sf_dir, "events")
