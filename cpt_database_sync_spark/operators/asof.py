@@ -1,0 +1,173 @@
+"""As-of join — the classic time-series operator Spark lacks natively.
+
+Semantics: for each left row, the single right row with the same key and
+the greatest right.ts ≤ left.ts (attribution, trades↔quotes, sensor
+alignment). Implemented as a composition of built-in operators — union +
+ignore-nulls window carry-forward — which costs exactly ONE shuffle on the
+key (the same lower bound a native as-of join has). No Python in the path.
+
+The demonstration query attributes each 'purchase' event to the user's
+most recent 'view' event; the DuckDB oracle uses its native ASOF JOIN, so
+the composition is verified against a first-class implementation.
+
+Scale notes: one hash shuffle + one sort per side — identical shape to a
+window query. Skewed keys (one user with millions of events) are the same
+skew problem windows have; AQE skew handling or key-salting with
+range-limited as-of both apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of join: attach to each left row the latest right row with
+    right_ts <= left_ts for the same key (null payload when none exists).
+
+    Union the two sides with a tag ordering right rows *before* left rows
+    at equal timestamps (so ts-equality matches, mirroring `<=`), then
+    carry the right payload forward per key with last(ignorenulls) and
+    keep only left rows.
+    """
+    lcols = [c for c in left.columns if c != key]
+    tagged_left = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in lcols if c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+    )
+    tagged_right = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != left_ts],
+        *[F.col(c) for c in right_payload],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: list[Column] = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload
+    ]
+    return (
+        unioned.select(
+            key,
+            F.col("_ts").alias(left_ts),
+            "_tag",
+            *[c for c in lcols if c != left_ts],
+            *carried,
+        )
+        .filter(F.col("_tag") == 1)
+        .drop("_tag")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT
+      p.user_id,
+      p.ts AS purchase_ts,
+      p.event_id AS purchase_id,
+      v.event_id AS view_id,
+      v.ts AS view_ts
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the user's most
+    recent prior (or simultaneous) view. Oracle: DuckDB's native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts_src"),
+        F.col("event_id").alias("view_id"),
+    )
+    # carry both the view's id and its timestamp as payload
+    views = views.select(
+        "user_id",
+        F.col("view_ts_src").alias("ts"),
+        "view_id",
+        F.col("view_ts_src").alias("view_ts"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["view_id", "view_ts"],
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_id",
+        "view_id",
+        "view_ts",
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT
+      CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 100 END AS hot_key,
+      COUNT(*) AS n_rows,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key (80% of
+    rows land on key 0).
+
+    Phase 1 aggregates on (key, salt) — the hot key splits across
+    SALT_BUCKETS reducers; phase 2 merges the partials per key. Decimal
+    partials re-aggregate exactly, so the result equals the unsalted GROUP
+    BY (the oracle). For skewed *joins* the same salt column pairs with an
+    exploded small side; for plain aggregation Spark's map-side combine
+    often suffices — salting is the explicit fallback when one reducer key
+    still dominates.
+    """
+    SALT_BUCKETS = 16
+    li = load(spark, sf_dir, "lineitem")
+    hot_key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0).cast("bigint")).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    salted = li.select(
+        hot_key.alias("hot_key"),
+        (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))).alias(
+            "salt"
+        ),
+        F.col("l_quantity").cast("decimal(12,4)").alias("qty"),
+    )
+    partial = salted.groupBy("hot_key", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("qty").alias("pq")
+    )
+    return partial.groupBy("hot_key").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+    )

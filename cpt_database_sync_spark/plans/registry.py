@@ -37,6 +37,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = [
     "cpt_database_sync_spark.operators.relational",
     "cpt_database_sync_spark.operators.stats",
+    "cpt_database_sync_spark.operators.asof",
     "cpt_database_sync_spark.functions.scalar",
     "cpt_database_sync_spark.functions.typelattice",
     "cpt_database_sync_spark.sources.catalog",
