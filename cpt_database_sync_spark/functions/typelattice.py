@@ -84,6 +84,11 @@ def jdbc_read_type(
         precision, scale = column_size, decimal_digits
         if scale < 0:  # negative scale folded to (p+s, 0)
             precision, scale = precision + scale, 0
+        precision = max(precision, 1)
+        if scale > precision:
+            # JDBC permits scale > precision (e.g. DECIMAL(1,2) ≈ 0.0d);
+            # widen the precision so the Spark type stays legal.
+            precision = scale
         if precision > 38:  # over-wide coerced, excess scale rounds HALF_UP
             precision, scale = 38, 12
         return TypeMapping(
