@@ -53,11 +53,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
-    # Warmup on the smallest fixture: JVM/codegen JIT + the Python worker
-    # pool (mapInPandas spawns per-core workers on first use) — so the
-    # per-query numbers measure the plan, not process startup.
-    queries["agg_hash"](spark, "/root/testdata/sf0.001").count()
-    queries["multimodal_meta"](spark, "/root/testdata/sf0.001").count()
+    # Warmup on the smallest fixture: JVM/codegen JIT, the higher-order-
+    # function interpreter paths, and the Python worker pool — so per-query
+    # numbers measure the plan, not first-run JIT/process startup.
+    for warm_q in ("agg_hash", "multimodal_meta", "sim_topk", "dedup_minhash"):
+        queries[warm_q](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

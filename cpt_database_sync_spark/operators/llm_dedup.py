@@ -196,13 +196,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     they cannot be near-dups under shingle Jaccard and are dropped.
     """
     sets = shingle_sets(docs).filter(F.size("sh") > 0)
+    # Hash every shingle string ONCE, then derive the k-member family by
+    # re-hashing the resulting int64 with the lane index — int64 hashing
+    # is ~16x cheaper than re-hashing strings per lane, and avoids
+    # overflow-wrapping arithmetic (ANSI mode would reject it).
+    hashed = sets.select(
+        "doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hs")
+    )
     mins = [
-        F.expr(f"array_min(transform(sh, g -> xxhash64(concat('mh{i}|', g))))").alias(
-            f"h{i}"
-        )
+        F.expr(f"array_min(transform(hs, h -> xxhash64(h, {i})))").alias(f"h{i}")
         for i in range(MINHASH_HASHES)
     ]
-    return sets.select("doc_id", *mins)
+    return hashed.select("doc_id", *mins)
 
 
 def minhash_candidates(sig: DataFrame) -> DataFrame:

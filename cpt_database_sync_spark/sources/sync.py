@@ -108,6 +108,31 @@ def full_copy_parquet(spark: SparkSession, src_df: DataFrame, target_dir: str) -
     return spark.read.parquet(target_dir)
 
 
+def sync_database(
+    spark: SparkSession, sf_dir: str, target_root: str, max_workers: int = 4
+) -> dict[str, int]:
+    """Whole-database sync — the reference's boot behavior
+    (`handler/Handler.java:27-33`: enumerate every table, force-copy each).
+
+    Tables are independent jobs, so they run on a small driver-side thread
+    pool (Spark schedules the concurrent jobs fairly across executors);
+    the reference copies strictly sequentially on one connection. Returns
+    per-table row counts (its "fetch count" log, `sync/FetchRunner.java:38`).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cpt_database_sync_spark.sources.catalog import list_tables
+
+    def copy_one(table: str) -> tuple[str, int]:
+        df = load(spark, sf_dir, table)
+        target = f"{target_root}/{table}"
+        df.write.mode("overwrite").parquet(target)
+        return table, spark.read.parquet(target).count()
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(copy_one, list_tables(spark, sf_dir)))
+
+
 @register(
     "full_copy",
     oracle="SELECT * FROM lineitem",
