@@ -95,14 +95,23 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "e", F.col("embedding").cast("array<double>")
     )
+    # Norms are per-vector, not per-pair: compute each side's norm once
+    # before the pair join (1 dot per pair instead of 3 — the pair space
+    # is |Q|x|corpus|, the norm space only |corpus|).
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+        .withColumn("cos", dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -163,25 +172,35 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", F.col("embedding").cast("array<double>")
     )
     idx = emb.select(
-        "vec_id", "e", F.explode(lsh_buckets(F.col("e"))).alias("tb")
-    ).select("vec_id", "e", "tb.table_id", "tb.bucket")
+        "vec_id",
+        "e",
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+        F.explode(lsh_buckets(F.col("e"))).alias("tb"),
+    ).select("vec_id", "e", "nrm", "tb.table_id", "tb.bucket")
     q = idx.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
         "table_id",
         "bucket",
     )
     c = idx.select(
-        F.col("vec_id").alias("n_id"), F.col("e").alias("ce"), "table_id", "bucket"
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "table_id",
+        "bucket",
     )
     cand = (
         F.broadcast(q)
         .join(c, ["table_id", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "qe", "n_id", "ce")
+        .select("q_id", "qe", "qn", "n_id", "ce", "cn")
         .distinct()  # a pair may collide in several tables - score once
     )
-    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    scored = cand.withColumn(
+        "cos", dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -209,15 +228,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", F.col("embedding").cast("array<double>")
     )
     a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "label"
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ae"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("an"),
+        "label",
     )
     b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "label"
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("be"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("bn"),
+        "label",
     )
     return (
         a.join(b, ["label"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine(F.col("ae"), F.col("be")))
+        .withColumn("cos", dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")))
         .filter(F.col("cos") >= DEDUP_COS_THRESHOLD)
         .select("a_id", "b_id", F.round("cos", 9).alias("sim"))
     )

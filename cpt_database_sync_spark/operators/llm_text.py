@@ -206,9 +206,13 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact's sha2, computable incrementally at ingest. Pure
     higher-order-function expression; no UDF."""
     d = load(spark, sf_dir, "documents")
+    # split('') walks the string once (substring(text, i, 1) per position
+    # would rescan from the start each time — quadratic per doc); the
+    # filter drops the trailing '' that Java's limit=-1 split emits.
     fp = F.expr(
         "aggregate("
-        "  transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint)),"
+        "  transform(filter(split(text, ''), c -> c <> ''),"
+        "            c -> cast(ascii(c) as bigint)),"
         "  cast(0 as bigint),"
         "  (acc, c) -> (acc * 31 + c) % 1000000007"
         ")"

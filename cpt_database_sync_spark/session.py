@@ -19,6 +19,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_scratch() -> str:
+    """RAM-backed scratch for shuffle/spill when available (local mode);
+    honors SPARK_LOCAL_DIRS-style override via SPARK_GRAFT_LOCAL_DIR."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-graft-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "cpt-database-sync-spark",
     master: str | None = None,
@@ -49,6 +62,22 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Codegen-heavy plans (64-lane minhash, higher-order functions)
+        # overflow HotSpot's default 240 MB code cache; once full the JIT
+        # silently stops compiling and every later task runs interpreted
+        # (measured 7x on the minhash signature scan). On a cluster this
+        # goes in spark.executor.extraJavaOptions instead.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        # Shuffle/spill scratch on tmpfs: local[?] puts executor local dirs
+        # on /tmp (spinning/virtio disk here); under write pressure the
+        # page-cache flush stalls unrelated fsyncs (streaming state-store
+        # commits) for tens of seconds. RAM-backed local dirs isolate the
+        # control plane from data-plane flush storms. On a cluster this is
+        # the NVMe-backed spark.local.dir per node.
+        .config("spark.local.dir", _local_scratch())
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -133,6 +133,32 @@ def sync_database(
         return dict(pool.map(copy_one, list_tables(spark, sf_dir)))
 
 
+_ALL_FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+_SYNC_DB_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+    for t in _ALL_FIXTURE_TABLES
+)
+
+
+@register("sync_database", oracle=_SYNC_DB_ORACLE)
+def sync_database_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's boot loop as a query: force-copy every table of the
+    'database' to a fresh target, then report per-table row counts read
+    back FROM THE TARGET — the copy is what's being verified, exactly the
+    reference's fetch-count==pull-count completion check
+    (`sync/FetchRunner.java:38` / `sync/H2Runner.java:48`)."""
+    target = tempfile.mkdtemp(prefix="sync_db_", dir=scratch_dir())
+    counts = sync_database(spark, sf_dir, target)
+    return spark.createDataFrame(
+        [(t, n) for t, n in counts.items()],
+        "table_name string, n_rows bigint",
+    )
+
+
 @register(
     "full_copy",
     oracle="SELECT * FROM lineitem",

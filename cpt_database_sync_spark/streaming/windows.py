@@ -17,6 +17,8 @@ by the declared watermark bound.
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,19 +72,32 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     # all complete-mode state into the sink a second time — skip it.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
+    # Ephemeral checkpoint on tmpfs: state-store commits fsync every
+    # delta file; on the default /tmp (virtio disk) those fsyncs stall
+    # behind unrelated page-cache flushes from earlier data-plane writes
+    # (measured 10x batch-duration swings). These one-shot queries need
+    # no durability; a real incremental pipeline points this at durable
+    # shared storage instead.
+    ckpt_root = "/dev/shm/spark-graft-ckpt" if os.path.isdir("/dev/shm") else None
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    ckpt_dir = None
+    if ckpt_root is not None:
+        ckpt_dir = f"{ckpt_root}/{name}"
+        writer = writer.option("checkpointLocation", ckpt_dir)
+    q = writer.start()
     q.awaitTermination()
     result = spark.table(name)
     rows = result.collect()
     schema = result.schema
     q.stop()
     spark.catalog.dropTempView(name)
+    if ckpt_dir is not None:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
 
