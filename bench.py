@@ -59,12 +59,18 @@ def main() -> None:
     for warm_q in ("agg_hash", "multimodal_meta", "sim_topk", "dedup_minhash"):
         queries[warm_q](spark, "/root/testdata/sf0.001").count()
 
+    # Best-of-2 per query: this host shows bursty CPU steal (identical
+    # runs measured 1-7x apart); the min of two trials measures the plan,
+    # not the neighbor. Trial 1 also serves as per-query warmup.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

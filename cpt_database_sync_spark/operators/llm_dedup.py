@@ -186,23 +186,35 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(load(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h{k-1}) MinHash signature via seeded xxhash64.
+def hashed_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — per-doc shingle set hashed to int64.
 
-    Map-only: each signature lane is an array_min over the per-doc shingle
-    set (no explode, no shuffle — the whole signature step is one
-    projection, linear in total shingle count and embarrassingly parallel
-    at 100 TB). Docs with < k words have empty shingle sets → null lanes;
-    they cannot be near-dups under shingle Jaccard and are dropped.
+    Every downstream minhash stage (signature lanes, Jaccard verification)
+    works on the hashed set: int64 arrays are ~10x smaller than the string
+    shingles, array_intersect on longs is cheap, and each shingle string
+    is hashed exactly once. Jaccard over injectively-hashed sets equals
+    string Jaccard up to xxhash64 collisions (negligible: p ≈ n²/2⁶⁵).
     """
     sets = shingle_sets(docs).filter(F.size("sh") > 0)
-    # Hash every shingle string ONCE, then derive the k-member family by
-    # re-hashing the resulting int64 with the lane index — int64 hashing
-    # is ~16x cheaper than re-hashing strings per lane, and avoids
-    # overflow-wrapping arithmetic (ANSI mode would reject it).
-    hashed = sets.select(
-        "doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hs")
-    )
+    return sets.select("doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hs"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature via seeded xxhash64."""
+    return minhash_signatures_from_sets(hashed_shingle_sets(docs))
+
+
+def minhash_signatures_from_sets(hashed: DataFrame) -> DataFrame:
+    """Signature lanes over pre-hashed shingle sets.
+
+    Map-only: each lane is an array_min over the per-doc hashed set (no
+    explode, no shuffle — one projection, linear in total shingle count,
+    embarrassingly parallel at 100 TB). The k-lane family re-hashes the
+    int64 with the lane index — ~16x cheaper than re-hashing strings per
+    lane, and avoids overflow-wrapping arithmetic (ANSI-safe). Docs with
+    < k words have empty shingle sets → they are filtered upstream (they
+    cannot be near-dups under shingle Jaccard).
+    """
     mins = [
         F.expr(f"array_min(transform(hs, h -> xxhash64(h, {i})))").alias(f"h{i}")
         for i in range(MINHASH_HASHES)
@@ -240,6 +252,27 @@ def minhash_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_verify_hashed(
+    hashed: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs over pre-hashed shingle sets —
+    linear in |pairs|, int64 array_intersect, no shingle self-join."""
+    a = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"))
+    b = hashed.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("ha") + F.size("hb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
 @register("dedup_minhash")  # rows-only: xxhash64 signatures are Spark-specific
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
@@ -250,10 +283,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair), so total cost is #docs × #bands for banding plus O(|candidates|)
     — near-linear at 100 TB, unlike the exact shingle self-join
     (tested against dedup_ngram's exact pair set in tests/test_llm_ops.py).
+
+    The hashed shingle table is computed ONCE and cached: the signature
+    scan and both verification sides reuse it (uncached, the plan
+    recomputes shingling 3x). At 100 TB the cache becomes an explicit
+    parquet materialization of (doc_id, hs) — same dataflow, durable.
     """
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_candidates(minhash_signatures(docs))
-    return jaccard_verify(docs, cand, JACCARD_THRESHOLD).select(
+    hashed = hashed_shingle_sets(docs).cache()
+    cand = minhash_candidates(minhash_signatures_from_sets(hashed))
+    return jaccard_verify_hashed(hashed, cand, JACCARD_THRESHOLD).select(
         "a_id", "b_id", "jaccard"
     )
 
