@@ -187,6 +187,67 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize",
+    oracle=r"""
+    SELECT
+      doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+      length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup before dedup/tokenization: lowercase,
+    collapse whitespace runs to single spaces, trim. Map-only scalar
+    expression — the first stage of any training-data pipeline, and the
+    reason exact dedup catches case/whitespace variants when run on
+    norm_text instead of text."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_chars")
+    )
+
+
+@register(
+    "corpus_filter",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_kept,
+      CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT)
+        AS kept_tokens
+    FROM documents
+    WHERE lang IN ('en', 'de', 'es', 'fr')
+      AND length(text) >= 200
+      AND len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+          <= len(regexp_extract_all(text, '{TOKEN_PATTERN}')) / 2
+    GROUP BY lang
+    """,
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus gating: language whitelist + minimum length +
+    punctuation-density ceiling, reported as kept-docs/kept-tokens per
+    language. One scan, fully pushed-down predicates, map-side partial
+    aggregation — the shape of a 100 TB corpus-selection job."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_PATTERN))
+    n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN))
+    return (
+        d.filter(
+            F.col("lang").isin("en", "de", "es", "fr")
+            & (F.length("text") >= 200)
+            & (n_punct <= n_tokens / 2)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(n_tokens).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+@register(
     "fingerprint",
     oracle="""
     SELECT

@@ -203,6 +203,46 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full",
+    oracle="""
+    SELECT
+      COALESCE(ns.n_nationkey, c.c_nationkey) AS nationkey,
+      ns.n_suppliers,
+      COUNT(c.c_custkey) AS n_customers
+    FROM (
+      SELECT n.n_nationkey, COUNT(s.s_suppkey) AS n_suppliers
+      FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey
+    ) ns
+    FULL OUTER JOIN customer c ON c.c_nationkey = ns.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations' supplier counts against customers,
+    preserving nations with suppliers but no customers AND customers in
+    nations with no suppliers. Full-outer cannot broadcast either side
+    (both must be preserved) — it shuffles both on the key; at 100 TB
+    pre-bucket both sides on nationkey to make it co-located."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    ns = (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+    return (
+        ns.join(c, c.c_nationkey == ns.n_nationkey, "full_outer")
+        .groupBy(
+            F.coalesce(ns.n_nationkey, c.c_nationkey).alias("nationkey"),
+            "n_suppliers",
+        )
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name
