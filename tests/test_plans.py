@@ -72,3 +72,51 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert has_operator(df, "TakeOrderedAndProject"), (
         "ORDER BY + LIMIT should plan TakeOrderedAndProject, not a full sort"
     )
+
+
+def test_sim_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    from cpt_database_sync_spark.operators.llm_similarity import sim_topk
+
+    plan = plan_string(sim_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "query set must broadcast; the corpus side must stream un-shuffled"
+    )
+    # Spark 3.5+ pushes the rn<=k filter into per-partition top-k BEFORE
+    # the shuffle: candidates crossing the exchange are O(k·partitions),
+    # not O(|corpus|·|queries|). Losing this at 100 TB means shuffling
+    # every scored pair.
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown missing"
+
+
+def test_dedup_minhash_reuses_cached_shingles(spark, sf_dir):
+    from cpt_database_sync_spark.operators.llm_dedup import dedup_minhash
+
+    plan = plan_string(dedup_minhash(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "signature and verify stages must share the cached shingle table, "
+        "not recompute shingling per consumer"
+    )
+
+
+def test_corpus_filter_pushes_lang_predicate(spark, sf_dir):
+    from cpt_database_sync_spark.operators.llm_text import corpus_filter
+
+    df = corpus_filter(spark, sf_dir)
+    assert "lang" in pushed_filters(df), "lang IN (...) should reach the scan"
+    assert set(read_schema_columns(df)) <= {"lang", "text"}, (
+        "corpus gating should read only the gating columns"
+    )
+
+
+def test_multimodal_runs_arrow_batched_python(spark, sf_dir):
+    from cpt_database_sync_spark.operators.multimodal import multimodal_meta
+
+    plan = plan_string(multimodal_meta(spark, sf_dir))
+    assert "MapInPandas" in plan, "decode stage must be Arrow-batched mapInPandas"
+
+
+def test_join_full_preserves_both_sides(spark, sf_dir):
+    from cpt_database_sync_spark.operators.relational import join_full
+
+    plan = plan_string(join_full(spark, sf_dir))
+    assert "FullOuter" in plan, "full-outer join must not degrade to inner"
