@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "cpt_database_sync_spark.operators.udf",
     "cpt_database_sync_spark.streaming.windows",
     "cpt_database_sync_spark.streaming.incremental",
+    "cpt_database_sync_spark.streaming.stateful",
     "cpt_database_sync_spark.operators.llm_dedup",
     "cpt_database_sync_spark.operators.llm_similarity",
     "cpt_database_sync_spark.operators.llm_text",

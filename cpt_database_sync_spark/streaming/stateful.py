@@ -1,0 +1,109 @@
+"""Custom stateful streaming: per-key state machines the built-in window
+aggregations can't express, via ``applyInPandasWithState``.
+
+This is the extension hook the reference's hand-rolled pipeline could never
+have (its only state was a row counter, `sync/FetchRunner.java:38`): an
+arbitrary per-key accumulator carried across micro-batches by Spark's
+state store, with watermark/timeout-driven eviction on unbounded sources.
+
+``stream_stateful`` keeps a per-user running rollup (event count, exact
+decimal value sum, first/last event time). On the fixture it runs as one
+availableNow batch and its final state is deterministic — giving it an
+exact SQL oracle, unlike most custom stateful ops. On an unbounded source
+the same function works with a ProcessingTime/EventTime timeout emitting
+per-user summaries on session expiry.
+
+Scale: state is shuffled by key (spark.sql.shuffle.partitions state
+stores); per-key memory is O(1) — 100 TB of events with 100 M users is
+100 M small state rows spread over the cluster, the exact shape
+Structured Streaming's state store is built for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cpt_database_sync_spark.functions.numeric import sql_dsum
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.streaming.windows import events_stream, run_to_table
+
+_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, "
+    "first_ts timestamp, last_ts timestamp"
+)
+# state: (n, decimal-sum-as-string, first_micros, last_micros) — strings
+# for the sum because the state store has no decimal lane and doubles
+# would reintroduce order-dependent rounding.
+_STATE_SCHEMA = "n bigint, s string, f bigint, l bigint"
+
+
+def _user_rollup(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, s, first_us, last_us = state.get
+        total = Decimal(s)
+    else:
+        n, total, first_us, last_us = 0, Decimal(0), None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        for v in pdf["value_dec"]:
+            total += Decimal(v)
+        ts_min = int(pdf["ts"].min().value // 1000)  # ns → µs, exact
+        ts_max = int(pdf["ts"].max().value // 1000)
+        first_us = ts_min if first_us is None or ts_min < first_us else first_us
+        last_us = ts_max if last_us is None or ts_max > last_us else last_us
+    state.update((n, str(total), first_us, last_us))
+    # one-shot availableNow: emit the rollup now; an unbounded deployment
+    # would instead emit on state.hasTimedOut and set a timeout here.
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [float(total)],
+            "first_ts": [pd.to_datetime(first_us, unit="us")],
+            "last_ts": [pd.to_datetime(last_us, unit="us")],
+        }
+    )
+
+
+@register(
+    "stream_stateful",
+    oracle=f"""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      {sql_dsum("value", 14, 6)} AS sum_value,
+      CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+      CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stateful rollup via applyInPandasWithState.
+
+    The decimal cast happens Spark-side (same value→DECIMAL(14,6) edge the
+    other streaming aggregates use) so the Python accumulator sums exact
+    decimal strings — order-independent and bit-equal to the SQL oracle.
+    """
+    ev = events_stream(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(14,6)").cast("string")
+    )
+    rolled = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_rollup,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(rolled, "append")

@@ -105,3 +105,48 @@ class TestCatalog:
     def test_table_schema_is_metadata_only(self, spark, sf_dir):
         schema = table_schema(spark, sf_dir, "lineitem")
         assert [f.name for f in schema.fields][:2] == ["l_orderkey", "l_partkey"]
+
+
+class TestStatefulRollup:
+    """_user_rollup must carry exact state across micro-batches — the part
+    a single availableNow batch on the one-file fixture never exercises."""
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def test_state_carries_across_batches(self):
+        import pandas as pd
+
+        from cpt_database_sync_spark.streaming.stateful import _user_rollup
+
+        state = self._StubState()
+        b1 = pd.DataFrame(
+            {
+                "value_dec": ["1.500000", "2.250000"],
+                "ts": pd.to_datetime([1_000_000, 2_000_000], unit="us"),
+            }
+        )
+        b2 = pd.DataFrame(
+            {
+                "value_dec": ["0.250000"],
+                "ts": pd.to_datetime([500_000], unit="us"),
+            }
+        )
+        out1 = next(_user_rollup((7,), iter([b1]), state))
+        assert out1["n_events"][0] == 2 and out1["sum_value"][0] == 3.75
+        out2 = next(_user_rollup((7,), iter([b2]), state))
+        assert out2["n_events"][0] == 3
+        assert out2["sum_value"][0] == 4.0
+        # first_ts must move backwards when an earlier event arrives late
+        assert out2["first_ts"][0] == pd.Timestamp("1970-01-01 00:00:00.500000")
+        assert out2["last_ts"][0] == pd.Timestamp("1970-01-01 00:00:02")
