@@ -203,6 +203,50 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via write-time bucketing — the 100 TB fact-to-fact
+    join strategy. Both sides are written bucketed+sorted by the join key;
+    the sort-merge join then reads bucket-aligned files with NO exchange
+    and NO sort on either side (asserted in tests/test_plans.py). At scale
+    this is the difference between re-shuffling 100 TB per join and
+    reading pre-partitioned data; the one-time bucketed write amortizes
+    across every downstream join on the key.
+    """
+    import shutil
+
+    n_buckets = 8
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for name, table in (("orders", "b_orders"), ("lineitem", "b_lineitem")):
+        # a previous session's managed-table directory survives the
+        # in-memory catalog; drop both the entry and the location
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(warehouse.removeprefix("file:") + f"/{table}", ignore_errors=True)
+        (
+            load(spark, sf_dir, name)
+            .write.bucketBy(n_buckets, f"{name[0]}_orderkey")
+            .sortBy(f"{name[0]}_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    o = spark.table("b_orders")
+    li = spark.table("b_lineitem")
+    return (
+        o.hint("merge")  # force SMJ so the no-exchange property is load-bearing
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
     "join_full",
     oracle="""
     SELECT

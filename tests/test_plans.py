@@ -115,6 +115,20 @@ def test_multimodal_runs_arrow_batched_python(spark, sf_dir):
     assert "MapInPandas" in plan, "decode stage must be Arrow-batched mapInPandas"
 
 
+def test_bucketed_join_has_no_exchange_or_sort(spark, sf_dir):
+    from cpt_database_sync_spark.operators.relational import join_bucketed
+
+    plan = plan_string(join_bucketed(spark, sf_dir))
+    join_subtree = plan.split("SortMergeJoin", 1)
+    assert len(join_subtree) == 2, "bucketed join should plan SortMergeJoin"
+    # Everything between the join and the final aggregation's exchange must
+    # be exchange-free: bucketed+sorted layout feeds the SMJ directly.
+    before_agg = plan.split("HashAggregate")[0]
+    assert "Exchange" not in before_agg, (
+        f"bucketed join must not re-shuffle its inputs:\n{before_agg}"
+    )
+
+
 def test_join_full_preserves_both_sides(spark, sf_dir):
     from cpt_database_sync_spark.operators.relational import join_full
 
