@@ -89,7 +89,18 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     if ckpt_root is not None:
         ckpt_dir = f"{ckpt_root}/{name}"
         writer = writer.option("checkpointLocation", ckpt_dir)
-    q = writer.start()
+    # Stateful queries create one state store per shuffle partition, each
+    # with per-batch snapshot+commit overhead. The streaming result sets
+    # here are tiny; 8 stores lose no parallelism that matters and more
+    # than halve commit cost. (A 100 TB deployment sizes this to cores —
+    # it is pinned at the query's FIRST start by the checkpoint, so pick
+    # it deliberately there.)
+    prev_parts = stream_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    stream_df.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = writer.start()
+    finally:
+        stream_df.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
     q.awaitTermination()
     result = spark.table(name)
     rows = result.collect()
