@@ -24,7 +24,7 @@ from cpt_database_sync_spark.sources.tables import load
       lower(o_orderpriority)                       AS lp,
       upper(o_orderstatus)                         AS us,
       substr(o_orderpriority, 1, 3)                AS pfx,
-      concat(o_orderstatus, '-', o_orderpriority)  AS tag,
+      o_orderstatus || '-' || o_orderpriority      AS tag,
       CAST(length(o_orderpriority) AS INT)         AS plen,
       CAST(year(o_orderdate) AS INT)               AS yr,
       CAST(month(o_orderdate) AS INT)              AS mo,
@@ -50,7 +50,9 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("o_orderpriority").alias("lp"),
         F.upper("o_orderstatus").alias("us"),
         F.substring("o_orderpriority", 1, 3).alias("pfx"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        # F.concat (not concat_ws): NULL if any input is NULL, matching the
+        # oracle's concat(a,'-',b) semantics.
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("tag"),
         F.length("o_orderpriority").alias("plen"),
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),

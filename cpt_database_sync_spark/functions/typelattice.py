@@ -8,7 +8,7 @@ source/sink embodies the same lattice; what we keep from the reference is
 the *semantic contract* per family, encoded declaratively below and
 exercised by the `type_lattice` query:
 
-- DECIMAL(p,s): negative scale folded to (p+s, 0); precision > 38 coerced
+- DECIMAL(p,s): negative scale widened to (p+|s|, 0); precision > 38 coerced
   to DECIMAL(38,12); excess scale rounded HALF_UP
   (`sync/StandardReadMappings.java:79-96,180-190`).
 - CHAR(n): trailing spaces trimmed on read (`:98-101`).
@@ -82,8 +82,10 @@ def jdbc_read_type(
         return TypeMapping(T.DoubleType())
     if t in (j["NUMERIC"], j["DECIMAL"]):
         precision, scale = column_size, decimal_digits
-        if scale < 0:  # negative scale folded to (p+s, 0)
-            precision, scale = precision + scale, 0
+        if scale < 0:
+            # negative scale widens: DECIMAL(p,-s) → DECIMAL(p+|s|, 0)
+            # (`sync/StandardReadMappings.java:183`: columnSize + max(-decimalDigits, 0))
+            precision, scale = precision - scale, 0
         precision = max(precision, 1)
         if scale > precision:
             # JDBC permits scale > precision (e.g. DECIMAL(1,2) ≈ 0.0d);
@@ -159,7 +161,7 @@ def ddl_for(dt: T.DataType) -> str:
       round(CAST(l_extendedprice AS DECIMAL(18,4)), 1)       AS dec_round,
       rtrim(concat(l_returnflag, '  '))                      AS ch_rtrim,
       concat(l_returnflag, l_linestatus)                     AS vc,
-      encode(l_returnflag)                                   AS vb,
+      hex(encode(l_returnflag))                              AS vb_hex,
       CAST(l_shipdate AS DATE)                               AS d_date,
       CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT) AS d_epoch_days,
       epoch_ms(l_shipdate)                                   AS ts_epoch_ms
@@ -189,7 +191,10 @@ def type_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 1).alias("dec_round"),
         F.rtrim(F.concat(F.col("l_returnflag"), F.lit("  "))).alias("ch_rtrim"),
         F.concat("l_returnflag", "l_linestatus").alias("vc"),
-        F.encode("l_returnflag", "utf-8").alias("vb"),
+        # VARBINARY lane exercised via encode(); surfaced as hex text because
+        # raw binary breaks the driver's pandas sort-based canonicalization
+        # (bytearray is unhashable in a pandas lexsort).
+        F.hex(F.encode("l_returnflag", "utf-8")).alias("vb_hex"),
         F.col("l_shipdate").cast("date").alias("d_date"),
         F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .alias("d_epoch_days"),

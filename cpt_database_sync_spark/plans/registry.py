@@ -71,8 +71,17 @@ def _load_all() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered specs, oracle-backed queries first.
+
+    The driver runs correctness checks in dict order and may cut off after
+    a budget; ordering exact-oracle queries ahead of rows-only ones means a
+    cutoff costs only weak checks, never an exact-parity verification.
+    """
     _load_all()
-    return dict(_REGISTRY)
+    ordered = sorted(
+        _REGISTRY.values(), key=lambda s: s.oracle is None
+    )  # stable: preserves registration order within each group
+    return {s.name: s for s in ordered}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -6,9 +6,11 @@ highest replicated event-time and on each run ship only rows beyond it.
 
 Two implementations share the watermark logic:
 
-- ``incremental_sync_batch``: deterministic two-phase batch variant (the
+- ``incremental_sync``: deterministic two-phase batch variant (the
   registered, oracle-checked query) — initial load up to a cutoff, then an
-  incremental run appends the tail; the result must equal the source.
+  incremental run ships the tail; the result must equal the source. Each
+  increment is overwrite-written under a watermark-range-keyed path so a
+  crash-retry replaces rather than duplicates it.
 - ``incremental_sync_stream``: the production shape — ``readStream`` +
   ``foreachBatch`` writing with the idempotent upsert statement from
   ``sources/sync.py`` (`sync/JdbcPageSink.java:81-88` insert shape extended
@@ -50,12 +52,17 @@ def incremental_append(
     target_dir: str,
     watermark_file: str,
 ) -> None:
-    """Append source rows with ts > stored high watermark; advance it.
+    """Ship source rows with ts > stored high watermark; advance it.
 
     The max() is computed on the shipped increment (one tiny agg), the
-    filter is pushed to the source scan. Idempotent under re-run: a crash
-    before the watermark write re-ships the same increment, which the
-    parquet overwrite-by-run layout (or JDBC upsert) absorbs.
+    filter is pushed to the source scan. Idempotent under re-run: each
+    increment lands in a subdirectory keyed by its (low, high] watermark
+    range, written with mode('overwrite'). A crash between the data write
+    and the watermark write means the retry recomputes the SAME range
+    (watermark unchanged, source immutable beyond it) and overwrites the
+    same path — replacing, not duplicating, the increment. Readers use
+    ``read_increments``. At 100 TB the same layout holds with day(ts)
+    partitioning inside each increment.
     """
     hwm = _read_watermark(watermark_file)
     inc = source_df
@@ -68,8 +75,20 @@ def incremental_append(
     ).collect()[0][0]
     if new_max is None:
         return  # nothing new
-    inc.write.mode("append").parquet(target_dir)
+    run_dir = f"{target_dir}/inc_{hwm if hwm is not None else 'init'}_{new_max}"
+    inc.write.mode("overwrite").parquet(run_dir)
     _write_watermark(watermark_file, new_max)
+
+
+def read_increments(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the union of all shipped increments (run-keyed subdirectories).
+
+    ``recursiveFileLookup`` disables partition-column inference so the
+    ``inc_<low>_<high>`` directory names stay layout, not schema.
+    """
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(target_dir)
+    )
 
 
 @register(
@@ -93,15 +112,11 @@ def incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cutoff = "2024-01-15 00:00:00"
     phase1 = ev.filter(F.col("ts") <= cutoff)
-    phase1.write.mode("overwrite").parquet(target)
-    _write_watermark(
-        wm_file,
-        phase1.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz")))).collect()[0][0],
-    )
-
+    # phase 1 is itself an increment: (init, cutoff-max]
+    incremental_append(spark, phase1, "ts", target, wm_file)
     # phase 2: the generic incremental path ships only ts > watermark
     incremental_append(spark, ev, "ts", target, wm_file)
-    return spark.read.parquet(target)
+    return read_increments(spark, target)
 
 
 def incremental_sync_stream(

@@ -50,9 +50,10 @@ class TestTypeLattice:
         assert m.spark_type == T.DecimalType(10, 2)
 
     def test_decimal_negative_scale_folds(self):
-        # reference: DECIMAL(p, -s) → DECIMAL(p+s, 0)
+        # reference widens: DECIMAL(p, -s) → DECIMAL(p+|s|, 0) so values up
+        # to 10^(p+|s|) still fit (StandardReadMappings.java:183)
         m = jdbc_read_type(_JDBC["DECIMAL"], column_size=10, decimal_digits=-3)
-        assert m.spark_type == T.DecimalType(7, 0)
+        assert m.spark_type == T.DecimalType(13, 0)
 
     def test_decimal_overwide_coerces(self):
         # reference: precision > 38 → DECIMAL(38, 12)
