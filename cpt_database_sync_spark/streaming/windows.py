@@ -60,56 +60,61 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming query to completion on the available data
-    (Trigger.AvailableNow) into an in-memory sink; return the result.
+    (Trigger.AvailableNow); return the result as a batch DataFrame.
 
-    The sink table and query are torn down before returning (the result —
-    a windowed aggregate — is small by construction): leaked memory sinks
-    and state-store providers from completed queries measurably degrade
-    subsequent streaming runs in the same session.
+    The sink is ``foreachBatch`` → parquet scratch: the streamed result is
+    written by the executors (one distributed write, complete-mode batches
+    overwrite) and read back as a plain scan. No memory sink, so nothing is
+    collected to the driver and no leaked sink tables/state-store providers
+    degrade later streaming runs in the same session. The same sink shape
+    is the 100 TB path — swap the scratch dir for a partitioned table.
     """
     spark = stream_df.sparkSession
     # one-shot availableNow: the trailing no-data batch would only re-emit
     # all complete-mode state into the sink a second time — skip it.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    # Ephemeral checkpoint on tmpfs: state-store commits fsync every
-    # delta file; on the default /tmp (virtio disk) those fsyncs stall
-    # behind unrelated page-cache flushes from earlier data-plane writes
-    # (measured 10x batch-duration swings). These one-shot queries need
-    # no durability; a real incremental pipeline points this at durable
-    # shared storage instead.
-    ckpt_root = "/dev/shm/spark-graft-ckpt" if os.path.isdir("/dev/shm") else None
+    # Ephemeral checkpoint + result scratch on tmpfs: state-store commits
+    # fsync every delta file; on the default /tmp (virtio disk) those
+    # fsyncs stall behind unrelated page-cache flushes from earlier
+    # data-plane writes (measured 10x batch-duration swings). These
+    # one-shot queries need no durability; a real incremental pipeline
+    # points both at durable shared storage instead.
+    scratch_root = (
+        "/dev/shm/spark-graft-ckpt" if os.path.isdir("/dev/shm") else "/tmp/spark-graft-ckpt"
+    )
+    ckpt_dir = f"{scratch_root}/{name}/ckpt"
+    out_dir = f"{scratch_root}/{name}/out"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # complete mode re-emits full state per batch → overwrite keeps the
+        # last; append mode emits disjoint increments → append accumulates.
+        mode = "overwrite" if output_mode == "complete" else "append"
+        batch_df.write.mode(mode).parquet(out_dir)
+
     writer = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
+        stream_df.writeStream.foreachBatch(_sink)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
     )
-    ckpt_dir = None
-    if ckpt_root is not None:
-        ckpt_dir = f"{ckpt_root}/{name}"
-        writer = writer.option("checkpointLocation", ckpt_dir)
     # Stateful queries create one state store per shuffle partition, each
     # with per-batch snapshot+commit overhead. The streaming result sets
     # here are tiny; 8 stores lose no parallelism that matters and more
     # than halve commit cost. (A 100 TB deployment sizes this to cores —
     # it is pinned at the query's FIRST start by the checkpoint, so pick
     # it deliberately there.)
-    prev_parts = stream_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    stream_df.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = writer.start()
     finally:
-        stream_df.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     q.awaitTermination()
-    result = spark.table(name)
-    rows = result.collect()
-    schema = result.schema
     q.stop()
-    spark.catalog.dropTempView(name)
-    if ckpt_dir is not None:
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    result = spark.read.parquet(out_dir)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
 
 
 @register(
