@@ -209,6 +209,110 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF: coarse quantization over NLIST deterministic centroids (the corpus
+# vectors with vec_id < NLIST — a fixed seed set, so both engines agree);
+# each query probes its NPROBE nearest cells.
+IVF_NLIST = 8
+IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+assign AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
+           ) AS crn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS qe, c_id FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
+           ) AS crn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE crn <= {IVF_NPROBE}
+)
+SELECT q_id, n_id, rn, round(cos, 9) AS sim FROM (
+  SELECT p.q_id, a.vec_id AS n_id,
+         {_sql_cosine("p.qe", "a.embedding")} AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.q_id
+           ORDER BY {_sql_cosine("p.qe", "a.embedding")} DESC, a.vec_id
+         ) AS rn
+  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+) WHERE rn <= {TOPK}
+"""
+
+
+@register("sim_ann_ivf", oracle=_IVF_ORACLE)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization — the scale path
+    next to sim_ann_lsh.
+
+    Every vector is assigned to its nearest of NLIST centroids (cells are
+    disjoint, so a candidate pair joins at most once); a query scores only
+    the vectors in its NPROBE nearest cells. Centroids here are a fixed
+    seed set (vec_id < NLIST) so assignment is deterministic and the whole
+    index is exactly SQL-expressible — production would k-means them, same
+    dataflow. At 100 TB: assignment is a map-only broadcast pass; persist
+    the corpus partitioned by cell_id and each probe reads only its
+    cells' files (partition pruning), no corpus shuffle ever.
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    cent = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    # rank centroids per vector: broadcast NLIST rows against the corpus
+    ranked = (
+        emb.select("vec_id", "e")
+        .join(F.broadcast(cent))
+        .withColumn("ccos", cosine(F.col("e"), F.col("ce")))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "c_id")
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce_vec"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+        "c_id",
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crn") <= IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
+            "c_id",
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", dot(F.col("qe"), F.col("ce_vec")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "n_id", "rn", F.round("cos", 9).alias("sim"))
+    )
+
+
 @register(
     "dedup_embedding",
     oracle=f"""

@@ -447,16 +447,49 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no SQL oracle: HLL++ sketch is engine-specific
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_suppkey)  AS exact_supp,
+      COUNT(DISTINCT l_orderkey) AS exact_order,
+      TRUE AS approx_supp_ok,
+      TRUE AS approx_order_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     distinct-cardinality where exact distinct would shuffle every key.
-    rsd=0.01 keeps the sketch ~constant-size per group. Rows-only check:
-    sketch estimates are engine-specific by design."""
+    rsd=0.01 keeps the sketch ~constant-size per group.
+
+    Sketch estimates are engine-specific by design, so the raw estimate
+    can't hash-match an oracle; instead the query emits the exact counts
+    (checkable) plus a per-group flag that the HLL estimate landed within
+    5×rsd of exact — the oracle asserts the flag, turning the sketch's
+    accuracy contract into an exact-checkable result."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supp"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_order"),
+    tol = 5 * 0.01
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_supp"),
+        F.countDistinct("l_orderkey").alias("exact_order"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("a_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_supp",
+        "exact_order",
+        (
+            F.abs(F.col("a_supp") - F.col("exact_supp"))
+            <= F.col("exact_supp") * tol
+        ).alias("approx_supp_ok"),
+        (
+            F.abs(F.col("a_order") - F.col("exact_order"))
+            <= F.col("exact_order") * tol
+        ).alias("approx_order_ok"),
     )
 
 

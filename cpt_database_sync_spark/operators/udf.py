@@ -115,23 +115,54 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udf_map_partitions")  # rows-only: demonstrates mapInPandas plumbing
+@register(
+    "udf_map_partitions",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_quantity / 50.0 AS DOUBLE) AS qty_norm
+    FROM lineitem
+    WHERE l_quantity > 25
+    """,
+)
 def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas: streaming per-partition transform in Arrow batches —
-    the UDTF-ish shape (N rows in, M rows out). Emits one summary row per
-    Arrow batch; batch boundaries are engine-internal, hence rows-only."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    the UDTF-ish shape (N rows in, M rows out: here a vectorized
+    filter+project emitting fewer rows than it reads). The transform is
+    row-wise, so the result is invariant to Arrow batch boundaries and
+    exact-oracle-checkable; batch_summaries below keeps the
+    batch-granularity demo."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
 
-    def batch_stats(batches):
+    def heavy_lines(batches):
         for pdf in batches:
+            keep = pdf[pdf["l_quantity"] > 25]
             yield pd.DataFrame(
                 {
-                    "batch_rows": [len(pdf)],
-                    "batch_qty": [float(pdf["l_quantity"].sum())],
+                    "l_orderkey": keep["l_orderkey"],
+                    "l_linenumber": keep["l_linenumber"],
+                    "qty_norm": keep["l_quantity"].astype("float64") / 50.0,
                 }
             )
 
-    return li.mapInPandas(batch_stats, schema="batch_rows bigint, batch_qty double")
+    return li.mapInPandas(
+        heavy_lines, schema="l_orderkey bigint, l_linenumber int, qty_norm double"
+    )
+
+
+def batch_summaries(df: DataFrame) -> DataFrame:
+    """One summary row per Arrow batch (batch boundaries are
+    engine-internal — inherently non-deterministic output, kept as the
+    per-batch mapInPandas demo, not a registered query)."""
+
+    def batch_stats(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"batch_rows": [len(pdf)]})
+
+    return df.mapInPandas(batch_stats, schema="batch_rows bigint")
 
 
 @register("udf_surface", oracle=_UDF_SCALAR_ORACLE)

@@ -244,6 +244,64 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join",
+    oracle="""
+    SELECT
+      c.user_id,
+      CAST(c.ts AS TIMESTAMP) AS click_ts,
+      CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >  CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within the following 2 hours.
+
+    Both sides are unbounded streams with watermarks; the event-time range
+    condition lets Spark bound join state (a click's state is droppable
+    once the purchase-side watermark passes click_ts + 2h + delay). The
+    oracle is the batch interval join — casts pin both engines to
+    microsecond timestamps. At 100 TB this is the canonical
+    clickstream-attribution shape: state is per-key and time-bounded, so
+    it scales with the watermark horizon, not history.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
+    return run_to_table(joined, "append")
+
+
+@register(
     "stream_watermark",
     oracle="""
     SELECT DISTINCT
