@@ -1,0 +1,184 @@
+"""Source/sink format coverage: CSV, JSON, ORC, partitioned parquet.
+
+The reference's only transport is JDBC row-copy (`sync/JdbcRecordCursor.java`,
+`sync/JdbcPageSink.java`); an analytics engine additionally needs the file
+formats a lake lands data in. Each query here round-trips a fixture table
+through one format — write to scratch, read back with an explicit schema —
+and is oracle-checked against the original parquet, so what's verified is
+the format codec's TYPE FIDELITY (timestamps, doubles, quoted strings,
+nulls), the exact surface where text formats silently corrupt data.
+
+Scale notes: every writer/reader here is the distributed task-per-partition
+path (no driver materialization); `sink_partitioned` additionally shows the
+write-side layout that makes 100 TB reads cheap — dynamic partition
+overwrite + partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.sync import scratch_dir
+from cpt_database_sync_spark.sources.tables import load
+
+
+def _fmt_dir(name: str) -> str:
+    return os.path.join(scratch_dir(), "formats", name)
+
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+_ORDERS_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+"""
+
+
+@register("source_csv", oracle=_ORDERS_ORACLE)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip of orders: header + quoted strings + ISO timestamps.
+
+    Read back with an EXPLICIT schema (schema inference on CSV is both a
+    correctness and a perf trap at scale — it scans the data twice and
+    guesses types per-file). Doubles survive because Spark writes
+    shortest-roundtrip decimal text; the oracle equality proves it.
+    """
+    out = _fmt_dir("orders_csv")
+    src = load(spark, sf_dir, "orders").select(*_ORDERS_COLS)
+    # one microsecond-precision pattern pinned for BOTH timestamp kinds:
+    # the fixture column is TIMESTAMP_NTZ, which the writer formats with
+    # timestampNTZFormat (timestampFormat alone is silently ignored for it)
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        src.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
+        .csv(out)
+    )
+    return (
+        spark.read.schema(_ORDERS_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
+        .csv(out)
+    )
+
+
+@register(
+    "source_json",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip of events (sans ts — covered by streaming).
+
+    ``props`` is a JSON document carried as a string column: the writer
+    escapes it as a JSON string value and the reader (explicit schema, so
+    no inference pass) returns it byte-identical — the engine does not
+    reinterpret nested payloads unless asked to (`from_json` is the opt-in,
+    see semi_structured). Doubles round-trip via shortest-representation.
+    """
+    out = _fmt_dir("events_json")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    src.write.mode("overwrite").json(out)
+    return spark.read.schema(schema).json(out)
+
+
+@register(
+    "source_orc",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other columnar lake format Spark ships a
+    vectorized reader for). Binary columnar → trivially exact; included so
+    the format matrix {parquet, orc, csv, json, jdbc} is complete."""
+    out = _fmt_dir("lineitem_orc")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    )
+    src.filter(F.col("l_orderkey") <= 1000).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned sink + partition-pruned read-back.
+
+    Writes lineitem partitioned by l_returnflag (3 partitions here; day(ts)
+    at the 100 TB target), then reads ONE partition back. The filter is
+    satisfied by directory pruning — zero data files of the other
+    partitions are opened (PartitionFilters in the scan node, gated in
+    tests/test_plans.py). Dynamic partition overwrite makes re-runs replace
+    only the partitions they touch — the idempotent bulk-sink pattern
+    incremental_append uses at row granularity.
+    """
+    out = _fmt_dir("lineitem_by_flag")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        src = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )

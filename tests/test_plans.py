@@ -134,3 +134,14 @@ def test_join_full_preserves_both_sides(spark, sf_dir):
 
     plan = plan_string(join_full(spark, sf_dir))
     assert "FullOuter" in plan, "full-outer join must not degrade to inner"
+
+
+def test_sink_partitioned_prunes_partitions(spark, sf_dir):
+    from cpt_database_sync_spark.sources.formats import sink_partitioned
+
+    plan = plan_string(sink_partitioned(spark, sf_dir))
+    # the returnflag filter must be satisfied by directory pruning, not by
+    # a row-level filter over all partitions' files
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], f"partition filter missing from scan:\n{plan}"
