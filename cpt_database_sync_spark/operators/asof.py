@@ -171,3 +171,71 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("pq").cast("decimal(18,4)").cast("double").alias("sum_qty"),
     )
+
+
+_SKEW_JOIN_ORACLE = """
+    WITH dim AS (
+      SELECT o_orderkey % 100 AS hot_key,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1
+    ),
+    fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 100 END AS hot_key,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT f.hot_key,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           max(d.sum_price) AS dim_price
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY f.hot_key
+"""
+
+
+@register("join_skew_salted", oracle=_SKEW_JOIN_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: 80% of fact rows share one key.
+
+    The standard salt/replicate decomposition: the fact side gets a
+    deterministic salt in [0, SALT_BUCKETS); the dim side is exploded once
+    per salt value, so the join key becomes (key, salt) and the hot key's
+    rows spread over SALT_BUCKETS reducers instead of one straggler. The
+    result is identical to the unsalted join (the oracle). At 100 TB this
+    is the manual fallback when AQE's skew-join split (which handles most
+    cases automatically) can't help — e.g. a shuffle-hash join whose build
+    side AQE won't split, or pre-AQE engines. Dim replication is cheap:
+    |dim| × SALT_BUCKETS rows, still broadcastable here.
+    """
+    SALT_BUCKETS = 16
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        o.groupBy((F.col("o_orderkey") % 100).alias("hot_key"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_price")
+        )
+        # replicate each dim row once per salt bucket
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)]))
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    hot_key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0).cast("bigint")).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    fact = li.select(
+        hot_key.alias("hot_key"),
+        (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)))
+        .cast("int")
+        .alias("salt"),
+        F.col("l_quantity").cast("decimal(12,4)").alias("qty"),
+    )
+    joined = fact.join(F.broadcast(dim), ["hot_key", "salt"])
+    return joined.groupBy("hot_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+        F.max("sum_price").alias("dim_price"),
+    )

@@ -279,3 +279,29 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ")"
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "explode_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+    """,
+)
+def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral expansion (explode/unnest) + aggregation: the canonical
+    N-in/M-out relational op the reference's flat row-copy model cannot
+    express. Generator runs inside whole-stage codegen; the groupBy is a
+    partial+final hash agg, so the shuffle carries one row per distinct
+    word per task, not per occurrence."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -20,6 +20,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
@@ -170,3 +171,54 @@ def full_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sync/FetchRunner.java:38` / `sync/H2Runner.java:38`)."""
     target = tempfile.mkdtemp(prefix="full_copy_", dir=scratch_dir()) + "/lineitem"
     return full_copy_parquet(spark, load(spark, sf_dir, "lineitem"), target)
+
+
+_MERGE_ORACLE = """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NULL
+"""
+
+
+def merge_into(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics on immutable storage: source rows win on key match
+    (UPDATE), unmatched source rows are inserted, unmatched target rows
+    survive. One left-anti shuffle on the key + a union — the same plan a
+    Delta/Iceberg MERGE compiles to before file-level pruning. At 100 TB,
+    partition the target by a stable key range so the anti join and the
+    rewrite touch only affected partitions."""
+    return source.unionByName(target.join(source, key, "left_anti"))
+
+
+@register("merge_upsert", oracle=_MERGE_ORACLE)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: a changed-rows batch upserted into a stale replica.
+
+    The reference's only answer to changed data is a full re-copy
+    (drop → create → bulk insert, `handler/Handler.java:42-55`); this is
+    the incremental alternative its JdbcPageSink insert shape hints at
+    (`sync/JdbcPageSink.java:81-88` + ON DUPLICATE KEY UPDATE, see
+    upsert_statement). Target = a 2/3 subset replica; source = an update
+    batch touching every even key (updates + inserts both exercised).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return merge_into(target, source, "o_orderkey")
