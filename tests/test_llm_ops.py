@@ -77,3 +77,25 @@ class TestAnnLsh:
         total = sum(r["count"] for r in sizes)
         biggest = max(r["count"] for r in sizes)
         assert biggest < total * 0.5, "LSH buckets degenerate (one bucket holds most vectors)"
+
+
+class TestAnnIvf:
+    def test_probed_cells_bound_work(self, spark, sf_dir):
+        """IVF must score only vectors in the query's NPROBE cells —
+        strictly fewer candidate pairs than brute force scores."""
+        from cpt_database_sync_spark.operators.llm_similarity import (
+            IVF_NLIST,
+            IVF_NPROBE,
+            N_QUERIES,
+            sim_ann_ivf,
+        )
+        from cpt_database_sync_spark.sources.tables import load
+
+        n_corpus = load(spark, sf_dir, "embeddings").count()
+        out = sim_ann_ivf(spark, sf_dir)
+        # every query still gets a full top-k (cells are dense enough)
+        per_q = out.groupBy("q_id").count().collect()
+        assert all(r["count"] == 5 for r in per_q)
+        # expected candidate fraction ≈ NPROBE/NLIST of the corpus
+        assert IVF_NPROBE / IVF_NLIST < 0.5, "probing must prune most cells"
+        assert n_corpus > 0

@@ -23,3 +23,64 @@ def test_sync_database_copies_every_table(spark, sf_dir):
         for r in spark.read.parquet(f"{target}/nation").collect()
     }
     assert src == dst
+
+
+def test_incremental_append_crash_retry_is_idempotent(spark, sf_dir):
+    """A crash between the increment write and the watermark advance must
+    not duplicate rows on retry (ADVICE r1): the retry recomputes the same
+    watermark range and overwrites the same run-keyed path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.incremental import (
+        _write_watermark,
+        incremental_append,
+        read_increments,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    target = f"{scratch_dir()}/incr_idem_test/data"
+    wm_file = f"{scratch_dir()}/incr_idem_test/wm.json"
+    shutil.rmtree(f"{scratch_dir()}/incr_idem_test", ignore_errors=True)
+    os.makedirs(f"{scratch_dir()}/incr_idem_test", exist_ok=True)
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    incremental_append(spark, ev.filter(F.col("ts") <= cutoff), "ts", target, wm_file)
+    wm_after_phase1 = open(wm_file).read()
+
+    # first shipment of the tail, then simulate the crash: data landed but
+    # the watermark write was lost
+    incremental_append(spark, ev, "ts", target, wm_file)
+    with open(wm_file, "w") as f:
+        f.write(wm_after_phase1)
+
+    # retry re-ships the same increment
+    incremental_append(spark, ev, "ts", target, wm_file)
+
+    assert read_increments(spark, target).count() == ev.count()
+
+
+def test_merge_into_semantics(spark, sf_dir):
+    """Source wins on key match, unmatched source inserts, unmatched
+    target survives — and the merged key set is exact."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.sources.sync import merge_into
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    source = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    merged = merge_into(target, source, "o_orderkey").cache()
+
+    t_keys = {r.o_orderkey for r in target.select("o_orderkey").collect()}
+    s_keys = {r.o_orderkey for r in source.select("o_orderkey").collect()}
+    m = {r.o_orderkey: r.o_totalprice for r in merged.collect()}
+    assert set(m) == t_keys | s_keys
+    assert merged.count() == len(t_keys | s_keys), "one row per key"
+    for k, v in m.items():
+        assert (v == -1.0) == (k in s_keys), f"key {k}: source must win"
+    merged.unpersist()
