@@ -114,9 +114,34 @@ def jdbc_read_type(
 
 
 # Write-side DDL strings, MySQL flavor (`sync/M2H2SchemaConverter.java:169-225`,
-# `utils/Utils.java:38-52`): TIMESTAMP→datetime, VARBINARY→mediumblob,
-# length-tiered text types.
-def ddl_for(dt: T.DataType) -> str:
+# `utils/Utils.java:38-52`): REAL→float, TIMESTAMP→datetime,
+# VARBINARY→mediumblob, length-tiered text types.
+def varchar_ddl(length: int | None = None) -> str:
+    """MySQL text tier for a VARCHAR(length); None = unbounded.
+
+    Mirrors `sync/M2H2SchemaConverter.java:182-196`: ≤255 tinytext,
+    ≤65535 text, ≤16777215 mediumtext, else (or unbounded) longtext.
+    """
+    if length is None:
+        return "longtext"
+    if length <= 255:
+        return "tinytext"
+    if length <= 65535:
+        return "text"
+    if length <= 16777215:
+        return "mediumtext"
+    return "longtext"
+
+
+def ddl_for(dt: T.DataType, varchar_length: int | None = None) -> str:
+    """Spark type → MySQL-flavor DDL string.
+
+    ``varchar_length`` carries the original column size for StringType
+    (Spark strings are unbounded; the JDBC metadata length picks the
+    reference's text tier). TIME/TIMESTAMP WITH TIME ZONE equivalents
+    raise, as the reference rejects them
+    (`sync/M2H2SchemaConverter.java:173-175`).
+    """
     if isinstance(dt, T.BooleanType):
         return "boolean"
     if isinstance(dt, T.ByteType):
@@ -128,13 +153,14 @@ def ddl_for(dt: T.DataType) -> str:
     if isinstance(dt, T.LongType):
         return "bigint"
     if isinstance(dt, T.FloatType):
-        return "real"
+        # `sync/M2H2SchemaConverter.java:170-171`: REAL emits MySQL float
+        return "float"
     if isinstance(dt, T.DoubleType):
         return "double precision"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, T.StringType):
-        return "longtext"
+        return varchar_ddl(varchar_length)
     if isinstance(dt, T.BinaryType):
         return "mediumblob"
     if isinstance(dt, T.DateType):

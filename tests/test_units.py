@@ -76,11 +76,22 @@ class TestTypeLattice:
             jdbc_read_type(2003, on_unmapped="fail")
 
     def test_ddl_round_trip_mysql_flavor(self):
-        # reference: TIMESTAMP→datetime, VARBINARY→mediumblob
+        # reference: TIMESTAMP→datetime, VARBINARY→mediumblob, REAL→float
         assert ddl_for(T.TimestampType()) == "datetime"
         assert ddl_for(T.BinaryType()) == "mediumblob"
         assert ddl_for(T.DecimalType(10, 2)) == "decimal(10, 2)"
         assert ddl_for(T.LongType()) == "bigint"
+        assert ddl_for(T.FloatType()) == "float"
+
+    def test_ddl_varchar_text_tiers(self):
+        # reference M2H2SchemaConverter.java:182-196 length tiers
+        assert ddl_for(T.StringType()) == "longtext"  # unbounded
+        assert ddl_for(T.StringType(), 255) == "tinytext"
+        assert ddl_for(T.StringType(), 256) == "text"
+        assert ddl_for(T.StringType(), 65535) == "text"
+        assert ddl_for(T.StringType(), 65536) == "mediumtext"
+        assert ddl_for(T.StringType(), 16777215) == "mediumtext"
+        assert ddl_for(T.StringType(), 16777216) == "longtext"
 
 
 class TestUpsertBuilder:
