@@ -305,3 +305,41 @@ def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "corpus_sample",
+    oracle="""
+    SELECT
+      doc_id,
+      lang,
+      CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9' THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'valid'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    """,
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus splitting (train/valid/test).
+
+    Training pipelines need splits that are reproducible across runs,
+    engines, and data re-orderings — random sample() is none of those.
+    Bucketing on a cryptographic digest of the stable key gives a uniform,
+    engine-agnostic assignment (first hex nibble: 10/16 train, 3/16 valid,
+    3/16 test), is map-only at any scale, and lets any row's split be
+    recomputed from its key alone (no membership table to join). The
+    DuckDB oracle reproduces it exactly — the property random seeds can't
+    give across engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(nibble <= "9", "train")
+        .when(nibble <= "c", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
