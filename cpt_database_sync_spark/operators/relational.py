@@ -472,12 +472,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy contract into an exact-checkable result."""
     li = load(spark, sf_dir, "lineitem")
     tol = 5 * 0.01
-    agg = li.groupBy("l_returnflag").agg(
+    # Two separate aggregations joined on the (tiny) group keys: mixing
+    # COUNT(DISTINCT) with approx_count_distinct in ONE agg makes Catalyst
+    # push the HLL through the distinct-rewrite Expand — one rsd=0.01
+    # sketch per (flag, suppkey, orderkey) group, ~180k sketches (measured
+    # 6.5s at sf0.01 vs 0.4s split).
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("exact_supp"),
         F.countDistinct("l_orderkey").alias("exact_order"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("a_supp"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_order"),
     )
+    agg = exact.join(approx, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_supp",
