@@ -37,13 +37,20 @@ HEADLINE = [
     "semi_structured",
     "stream_tumbling",
     "stream_session",
+    "stream_join",
     "dedup_exact",
     "dedup_minhash",
     "text_stats",
     "token_count",
     "fingerprint",
     "sim_topk",
+    "sim_ann_ivf",
     "multimodal_meta",
+    "join_skew_salted",
+    "merge_upsert",
+    "explode_wordcount",
+    "corpus_sample",
+    "sql_frontend",
 ]
 
 

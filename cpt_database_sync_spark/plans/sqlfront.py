@@ -1,0 +1,45 @@
+"""SQL front-end: the fixture catalog exposed as temp views + spark.sql.
+
+The reference generates exactly one SQL shape and parses none
+(`sync/QueryBuilder.java:46-75`); the rebuilt engine inherits Spark's full
+ANSI SQL front-end for free. ``register_views`` binds every fixture table
+as a temporary view so users can run textual SQL against the same catalog
+the DataFrame API sees — same Catalyst plans, same optimizations (the
+plan-identity is asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import ALL_TABLES, load
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Bind every fixture table as a temp view (idempotent)."""
+    for t in ALL_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_Q1_SQL = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_rows,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_frontend", oracle=_Q1_SQL)
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregation expressed as textual SQL through
+    ``spark.sql`` — same string runs on DuckDB verbatim (the oracle IS the
+    query), proving the ANSI surface; Catalyst compiles it to the identical
+    partial+final hash-agg plan the DataFrame API produces."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)

@@ -145,3 +145,14 @@ def test_sink_partitioned_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0], f"partition filter missing from scan:\n{plan}"
+
+
+def test_sql_frontend_matches_dataframe_plan(spark, sf_dir):
+    """Textual SQL and the DataFrame DSL must compile to the same physical
+    plan shape — one optimizer, two front-ends."""
+    from cpt_database_sync_spark.plans.sqlfront import sql_frontend
+
+    plan = plan_string(sql_frontend(spark, sf_dir))
+    assert "HashAggregate" in plan and "Exchange" in plan
+    # filter must be pushed to the scan, same as the DataFrame path
+    assert "PushedFilters" in plan and "l_shipdate" in plan
