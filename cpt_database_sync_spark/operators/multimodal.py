@@ -119,12 +119,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: sampling grid is impl-defined
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(u.i AS INT) AS frame_idx,
+      substr(hex(b), CAST(u.i AS INT) * 200 + 1, 32) AS frame_hex
+    FROM (SELECT doc_id, encode(text) AS b FROM documents) t,
+         UNNEST(range(greatest(1, octet_length(t.b) // 100))) AS u(i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (video analogue): each payload expands to
     ~1 row per 100 bytes — the N-in/M-out mapInPandas shape a video
-    frame-sampler has. Frame 'content' is a deterministic slice of the
-    payload; a real pipeline would decode and resize here."""
+    frame-sampler has. Frame 'content' is a deterministic 16-byte slice
+    per 100-byte stride (surfaced as hex: raw binary breaks the driver's
+    pandas canonicalization), so the whole sampling grid is exactly
+    SQL-expressible; a real pipeline would decode and resize in its
+    place, same dataflow."""
     media = with_binary_payload(load(spark, sf_dir, "documents"))
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,11 +148,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(n_frames):
                     out_ids.append(doc_id)
                     out_idx.append(i)
-                    out_frames.append(bytes(payload[i * 100 : i * 100 + 16]))
+                    out_frames.append(
+                        bytes(payload[i * 100 : i * 100 + 16]).hex().upper()
+                    )
             yield pd.DataFrame(
-                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_hex": out_frames}
             )
 
     return media.select("doc_id", "payload").mapInPandas(
-        sample_frames, schema="doc_id bigint, frame_idx int, frame binary"
+        sample_frames, schema="doc_id bigint, frame_idx int, frame_hex string"
     )
