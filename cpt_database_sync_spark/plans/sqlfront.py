@@ -17,9 +17,18 @@ from cpt_database_sync_spark.sources.tables import ALL_TABLES, load
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Bind every fixture table as a temp view (idempotent)."""
+    """Bind every fixture table as a temp view (idempotent; re-binding is
+    skipped while the same sf_dir stays registered — each bind re-reads
+    parquet footers)."""
+    marker = "spark.cpt_database_sync.registered_sf_dir"
+    try:
+        if spark.conf.get(marker) == sf_dir:
+            return
+    except Exception:
+        pass
     for t in ALL_TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.conf.set(marker, sf_dir)
 
 
 _Q1_SQL = """

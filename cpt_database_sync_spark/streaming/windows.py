@@ -272,9 +272,11 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickstream-attribution shape: state is per-key and time-bounded, so
     it scales with the watermark horizon, not history.
     """
+    # both sides derive from ONE streaming source (a streaming self-join):
+    # the file source is scanned once per micro-batch, not once per side
+    ev = events_stream(spark, sf_dir)
     clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
@@ -282,8 +284,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "10 minutes")
     )
     purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("user_id"),
             F.col("ts").alias("purchase_ts"),
