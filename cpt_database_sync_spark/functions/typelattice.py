@@ -183,13 +183,14 @@ def ddl_for(dt: T.DataType, varchar_length: int | None = None) -> str:
       CAST(l_orderkey AS BIGINT)                             AS i64,
       CAST(l_discount AS REAL)                               AS f32,
       l_extendedprice                                        AS f64,
-      CAST(l_extendedprice AS DECIMAL(15,2))                 AS dec_money,
-      round(CAST(l_extendedprice AS DECIMAL(18,4)), 1)       AS dec_round,
+      CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DOUBLE) AS dec_money,
+      CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS dec_round,
       rtrim(concat(l_returnflag, '  '))                      AS ch_rtrim,
       concat(l_returnflag, l_linestatus)                     AS vc,
       hex(encode(l_returnflag))                              AS vb_hex,
       CAST(l_shipdate AS DATE)                               AS d_date,
       CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT) AS d_epoch_days,
+      epoch_ms(l_shipdate + to_seconds(CAST(l_suppkey % 86400 AS INT))) % 86400000 AS t_millis_of_day,
       epoch_ms(l_shipdate)                                   AS ts_epoch_ms
     FROM lineitem
     WHERE l_orderkey <= 200
@@ -213,8 +214,14 @@ def type_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("bigint").alias("i64"),
         F.col("l_discount").cast("float").alias("f32"),
         F.col("l_extendedprice").alias("f64"),
-        F.col("l_extendedprice").cast("decimal(15,2)").alias("dec_money"),
-        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 1).alias("dec_round"),
+        # Decimal lanes are exercised by the casts but SURFACED as double:
+        # the driver's pandas canonicalizer hashes Spark's Decimal('13309.60')
+        # differently from DuckDB's float64 13309.6, so a DecimalType output
+        # column can never hash-match even when values are equal.
+        F.col("l_extendedprice").cast("decimal(15,2)").cast("double").alias("dec_money"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 1)
+        .cast("double")
+        .alias("dec_round"),
         F.rtrim(F.concat(F.col("l_returnflag"), F.lit("  "))).alias("ch_rtrim"),
         F.concat("l_returnflag", "l_linestatus").alias("vc"),
         # VARBINARY lane exercised via encode(); surfaced as hex text because
@@ -224,6 +231,19 @@ def type_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("d_date"),
         F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .alias("d_epoch_days"),
+        # TIME lane (`sync/StandardReadMappings.java:129-139`): millis-of-day
+        # carried as BIGINT because Spark has no TimeType. Shift the midnight
+        # fixture ts by a key-derived second offset so the lane produces
+        # non-degenerate values; UTC session keeps epoch % day == time-of-day.
+        F.pmod(
+            F.unix_millis(
+                F.expr(
+                    "timestampadd(SECOND, CAST(l_suppkey % 86400 AS INT),"
+                    " CAST(l_shipdate AS TIMESTAMP_LTZ))"
+                )
+            ),
+            F.lit(86400000),
+        ).alias("t_millis_of_day"),
         # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the ltz cast is
         # the reference's "JVM-zone epoch millis, UTC-pinned" semantics.
         F.unix_millis(F.col("l_shipdate").cast("timestamp_ltz")).alias("ts_epoch_ms"),
