@@ -133,8 +133,16 @@ def varchar_ddl(length: int | None = None) -> str:
     return "longtext"
 
 
-def ddl_for(dt: T.DataType, varchar_length: int | None = None) -> str:
-    """Spark type → MySQL-flavor DDL string.
+def ddl_for(
+    dt: T.DataType, varchar_length: int | None = None, flavor: str = "mysql"
+) -> str:
+    """Spark type → target-database DDL string.
+
+    ``flavor='mysql'`` is the reference's matrix
+    (`sync/M2H2SchemaConverter.java:169-225`, `utils/Utils.java:38-52`);
+    ``flavor='ansi'`` is the standard-SQL equivalent accepted by
+    Derby/H2-class targets (used by the Derby integration tests — Derby has
+    no tinyint/tinytext/datetime, caps DECIMAL precision at 31).
 
     ``varchar_length`` carries the original column size for StringType
     (Spark strings are unbounded; the JDBC metadata length picks the
@@ -142,10 +150,11 @@ def ddl_for(dt: T.DataType, varchar_length: int | None = None) -> str:
     raise, as the reference rejects them
     (`sync/M2H2SchemaConverter.java:173-175`).
     """
+    mysql = flavor == "mysql"
     if isinstance(dt, T.BooleanType):
         return "boolean"
     if isinstance(dt, T.ByteType):
-        return "tinyint"
+        return "tinyint" if mysql else "smallint"
     if isinstance(dt, T.ShortType):
         return "smallint"
     if isinstance(dt, T.IntegerType):
@@ -154,20 +163,53 @@ def ddl_for(dt: T.DataType, varchar_length: int | None = None) -> str:
         return "bigint"
     if isinstance(dt, T.FloatType):
         # `sync/M2H2SchemaConverter.java:170-171`: REAL emits MySQL float
-        return "float"
+        return "float" if mysql else "real"
     if isinstance(dt, T.DoubleType):
         return "double precision"
     if isinstance(dt, T.DecimalType):
+        if not mysql and dt.precision > 31:
+            raise ValueError(f"ansi flavor caps DECIMAL precision at 31: {dt}")
         return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, T.StringType):
-        return varchar_ddl(varchar_length)
+        if mysql:
+            return varchar_ddl(varchar_length)
+        if varchar_length is not None and varchar_length <= 32672:
+            return f"varchar({varchar_length})"
+        return "clob"
     if isinstance(dt, T.BinaryType):
-        return "mediumblob"
+        return "mediumblob" if mysql else "blob"
     if isinstance(dt, T.DateType):
         return "date"
     if isinstance(dt, T.TimestampType):
-        return "datetime"
+        return "datetime" if mysql else "timestamp"
     raise ValueError(f"no DDL mapping for {dt}")
+
+
+def create_table_ddl(
+    table: str,
+    schema: T.StructType,
+    varchar_lengths: dict[str, int] | None = None,
+    flavor: str = "mysql",
+    quote: str = "`",
+) -> str:
+    """Full CREATE TABLE statement from a Spark schema — the reference's
+    schema conversion step (`sync/M2H2SchemaConverter.java:48-118`: build
+    column list from source metadata, emit CREATE).
+
+    Spark's own JDBC writer can override column types only via
+    ``createTableColumnTypes``, which is parsed as *Spark SQL* types —
+    MySQL tiers like tinytext/mediumblob/datetime don't parse there, so
+    faithful reference DDL must be issued as an explicit statement (see
+    ``sources.sync.jdbc_sync_table``). NOT NULL is emitted for
+    non-nullable fields (`sync/M2H2SchemaConverter.java:101-104`).
+    """
+    lengths = varchar_lengths or {}
+    cols = []
+    for f in schema.fields:
+        ddl = ddl_for(f.dataType, lengths.get(f.name), flavor=flavor)
+        null = "" if f.nullable else " NOT NULL"
+        cols.append(f"{quote}{f.name}{quote} {ddl}{null}")
+    return f"CREATE TABLE {quote}{table}{quote} ({', '.join(cols)})"
 
 
 @register(

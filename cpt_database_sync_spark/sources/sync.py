@@ -70,11 +70,17 @@ def jdbc_reader(
 
 
 def jdbc_writer(df: DataFrame, url: str, table: str, props: dict | None = None,
-                mode: str = "overwrite"):
+                mode: str = "overwrite", column_types: str | None = None):
     """Batched JDBC load: the reference's 1000-row addBatch/executeBatch
     loop (`sync/JdbcPageSink.java:97-104`) is Spark's `batchsize` option;
     `overwrite` reproduces drop→create→insert
-    (`sync/M2H2SchemaConverter.java:48-118`)."""
+    (`sync/M2H2SchemaConverter.java:48-118`).
+
+    ``column_types`` feeds ``createTableColumnTypes`` for per-column DDL
+    overrides in *Spark SQL* syntax (e.g. ``"name VARCHAR(40)"``) — only
+    Spark-parsable types are accepted there, so full reference-flavor DDL
+    (tinytext/mediumblob/datetime tiers) goes through ``jdbc_sync_table``
+    instead."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -82,9 +88,57 @@ def jdbc_writer(df: DataFrame, url: str, table: str, props: dict | None = None,
         .option("batchsize", DEFAULT_BATCH_SIZE)
         .mode(mode)
     )
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
     if props:
         writer = writer.options(**props)
     return writer.save()
+
+
+def _execute_jdbc(spark: SparkSession, url: str, statements: list[str]) -> None:
+    """Run DDL statements on the target over a driver-side JDBC connection
+    (py4j → java.sql.DriverManager; the driver class is auto-loaded from
+    Spark's classpath, as Spark's own JDBC source does)."""
+    conn = spark._sc._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_sync_table(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    props: dict | None = None,
+    varchar_lengths: dict[str, int] | None = None,
+    flavor: str = "mysql",
+    quote: str = '"',
+) -> None:
+    """The reference's full table sync with *its* DDL: DROP TABLE (ignore
+    absent) → CREATE TABLE from the reference type matrix → batched insert
+    (`handler/Handler.java:42-55` + `sync/M2H2SchemaConverter.java:48-118`).
+
+    Spark's ``mode("overwrite")`` would instead derive DDL from the JDBC
+    dialect's defaults, and ``createTableColumnTypes`` only accepts Spark-
+    parsable types (tinytext/mediumblob/datetime are rejected by the
+    parser) — so the MySQL-flavor tiers from ``ddl_for`` are issued as an
+    explicit CREATE, then the data lands via mode("append")."""
+    from cpt_database_sync_spark.functions.typelattice import create_table_ddl
+
+    try:
+        _execute_jdbc(spark, url, [f"DROP TABLE {quote}{table}{quote}"])
+    except Exception:
+        pass  # table did not exist — the reference ignores this too
+    ddl = create_table_ddl(
+        table, df.schema, varchar_lengths, flavor=flavor, quote=quote
+    )
+    _execute_jdbc(spark, url, [ddl])
+    jdbc_writer(df, url, f'{quote}{table}{quote}', props=props, mode="append")
 
 
 def upsert_statement(table: str, columns: list[str], quote: str = "`") -> str:

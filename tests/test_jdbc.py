@@ -14,6 +14,7 @@ import pytest
 
 from cpt_database_sync_spark.sources.sync import (
     jdbc_reader,
+    jdbc_sync_table,
     jdbc_writer,
     scratch_dir,
 )
@@ -44,6 +45,57 @@ def test_overwrite_is_idempotent(spark, sf_dir, derby_url):
     jdbc_writer(src, derby_url, "nation_copy", props=DERBY_PROPS)  # drop+recreate
     back = jdbc_reader(spark, derby_url, "nation_copy", props=DERBY_PROPS)
     assert back.count() == src.count()
+
+
+def test_sync_table_reference_ddl(spark, sf_dir, derby_url):
+    """drop→create→insert with DDL from the reference type matrix
+    (`sync/M2H2SchemaConverter.java:48-118,169-225`), ansi flavor since the
+    target is Derby. Asserts the *created column types* via JDBC metadata —
+    the part Spark's default overwrite DDL would get wrong."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, True, 2.5, "abc", "long text value", bytearray(b"\x01\x02"),
+             datetime.date(2024, 1, 2), datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        ],
+        "id bigint, flag boolean, x float, name string, body string, "
+        "payload binary, d date, ts timestamp",
+    )
+    jdbc_sync_table(
+        spark, df, derby_url, "typed_sync",
+        varchar_lengths={"name": 40},  # body has no length → clob tier
+        flavor="ansi",
+    )
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    try:
+        rs = conn.getMetaData().getColumns(None, None, "typed_sync", None)
+        types = {}
+        while rs.next():
+            types[rs.getString("COLUMN_NAME")] = (
+                rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE")
+            )
+    finally:
+        conn.close()
+    assert types["id"][0] == "BIGINT"
+    assert types["flag"][0] == "BOOLEAN"
+    assert types["x"][0] == "REAL"          # FloatType → real (not double)
+    assert types["name"] == ("VARCHAR", 40)  # metadata length drives the tier
+    assert types["body"][0] == "CLOB"        # unbounded tier
+    assert types["payload"][0] == "BLOB"
+    assert types["d"][0] == "DATE"
+    assert types["ts"][0] == "TIMESTAMP"
+    # and the data actually landed through the batched append
+    back = jdbc_reader(spark, derby_url, '"typed_sync"', props=DERBY_PROPS)
+    row = back.collect()[0]
+    assert row["id"] == 1 and row["name"] == "abc" and row["body"] == "long text value"
+    # idempotent: re-sync drops and recreates
+    jdbc_sync_table(
+        spark, df, derby_url, "typed_sync",
+        varchar_lengths={"name": 40}, flavor="ansi",
+    )
+    assert jdbc_reader(spark, derby_url, '"typed_sync"', props=DERBY_PROPS).count() == 1
 
 
 def test_partitioned_parallel_read(spark, sf_dir, derby_url):

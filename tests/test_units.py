@@ -8,6 +8,7 @@ from pyspark.sql import types as T
 
 from cpt_database_sync_spark.functions.typelattice import (
     _JDBC,
+    create_table_ddl,
     ddl_for,
     jdbc_read_type,
 )
@@ -92,6 +93,33 @@ class TestTypeLattice:
         assert ddl_for(T.StringType(), 65536) == "mediumtext"
         assert ddl_for(T.StringType(), 16777215) == "mediumtext"
         assert ddl_for(T.StringType(), 16777216) == "longtext"
+
+    def test_ddl_ansi_flavor(self):
+        # Derby/H2-class targets: no tinyint/tinytext/datetime/mediumblob
+        assert ddl_for(T.ByteType(), flavor="ansi") == "smallint"
+        assert ddl_for(T.FloatType(), flavor="ansi") == "real"
+        assert ddl_for(T.TimestampType(), flavor="ansi") == "timestamp"
+        assert ddl_for(T.BinaryType(), flavor="ansi") == "blob"
+        assert ddl_for(T.StringType(), 40, flavor="ansi") == "varchar(40)"
+        assert ddl_for(T.StringType(), flavor="ansi") == "clob"
+        with pytest.raises(ValueError):
+            ddl_for(T.DecimalType(38, 12), flavor="ansi")  # Derby caps at 31
+
+    def test_create_table_ddl_mysql(self):
+        # the reference's CREATE emission (M2H2SchemaConverter.java:48-118)
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType(), nullable=False),
+                T.StructField("name", T.StringType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        ddl = create_table_ddl("t", schema, varchar_lengths={"name": 100})
+        assert ddl == (
+            "CREATE TABLE `t` (`id` bigint NOT NULL, `name` tinytext, "
+            "`payload` mediumblob, `ts` datetime)"
+        )
 
 
 class TestUpsertBuilder:
