@@ -204,8 +204,13 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is identical to the unsalted join (the oracle). At 100 TB this
     is the manual fallback when AQE's skew-join split (which handles most
     cases automatically) can't help — e.g. a shuffle-hash join whose build
-    side AQE won't split, or pre-AQE engines. Dim replication is cheap:
-    |dim| × SALT_BUCKETS rows, still broadcastable here.
+    side AQE won't split, or pre-AQE engines.
+
+    The dim side carries a MERGE hint: salting only matters on the
+    *shuffled* path (a broadcast join has no reducer for the salt to
+    split), so the plan is pinned to the sort-merge join the technique
+    exists for — the fact shuffle hashes on (hot_key, salt), spreading the
+    hot key across reducers. tests/test_plans.py gates this shape.
     """
     SALT_BUCKETS = 16
     o = load(spark, sf_dir, "orders")
@@ -233,7 +238,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("salt"),
         F.col("l_quantity").cast("decimal(12,4)").alias("qty"),
     )
-    joined = fact.join(F.broadcast(dim), ["hot_key", "salt"])
+    joined = fact.join(dim.hint("merge"), ["hot_key", "salt"])
     return joined.groupBy("hot_key").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("qty").cast("decimal(18,4)").cast("double").alias("sum_qty"),

@@ -67,6 +67,25 @@ def test_range_join_broadcasts_tiny_dim(spark, sf_dir):
     )
 
 
+def test_skew_join_shuffles_on_salted_key(spark, sf_dir):
+    """join_skew_salted must exercise the shuffled path it exists for: a
+    broadcast join has no reducer for the salt to split, so the plan is
+    pinned to SortMergeJoin with the salt in the partitioning key."""
+    from cpt_database_sync_spark.operators.asof import join_skew_salted
+
+    plan = plan_string(join_skew_salted(spark, sf_dir))
+    assert "SortMergeJoin" in plan, "salted join must take the shuffle path"
+    assert "BroadcastHashJoin" not in plan
+    # the exchange feeding the join hashes on (hot_key, salt): the salt
+    # column is what spreads the hot key across reducers
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("salt" in p and "hot_key" in p for p in parts), (
+        f"expected a shuffle keyed by (hot_key, salt); got {parts}"
+    )
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     df = sort_limit(spark, sf_dir)
     assert has_operator(df, "TakeOrderedAndProject"), (
