@@ -9,7 +9,7 @@ Two implementations share the watermark logic:
 - ``incremental_sync``: deterministic two-phase batch variant (the
   registered, oracle-checked query) — initial load up to a cutoff, then an
   incremental run ships the tail; the result must equal the source. Each
-  increment is overwrite-written under a watermark-range-keyed path so a
+  increment is overwrite-written under a low-watermark-keyed path so a
   crash-retry replaces rather than duplicates it.
 - ``incremental_sync_stream``: the production shape — ``readStream`` +
   ``foreachBatch`` writing with the idempotent upsert statement from
@@ -56,11 +56,12 @@ def incremental_append(
 
     The max() is computed on the shipped increment (one tiny agg), the
     filter is pushed to the source scan. Idempotent under re-run: each
-    increment lands in a subdirectory keyed by its (low, high] watermark
-    range, written with mode('overwrite'). A crash between the data write
-    and the watermark write means the retry recomputes the SAME range
-    (watermark unchanged, source immutable beyond it) and overwrites the
-    same path — replacing, not duplicating, the increment. Readers use
+    increment lands in a subdirectory keyed by its LOW watermark only,
+    written with mode('overwrite'). A crash between the data write and
+    the watermark write means the retry starts from the same low
+    watermark and overwrites the same path — even if new source rows
+    arrived in between (a high-keyed path would leave the orphaned
+    narrower increment behind and double-count the overlap). Readers use
     ``read_increments``. At 100 TB the same layout holds with day(ts)
     partitioning inside each increment.
     """
@@ -75,7 +76,7 @@ def incremental_append(
     ).collect()[0][0]
     if new_max is None:
         return  # nothing new
-    run_dir = f"{target_dir}/inc_{hwm if hwm is not None else 'init'}_{new_max}"
+    run_dir = f"{target_dir}/inc_{hwm if hwm is not None else 'init'}"
     inc.write.mode("overwrite").parquet(run_dir)
     _write_watermark(watermark_file, new_max)
 
@@ -84,7 +85,7 @@ def read_increments(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read the union of all shipped increments (run-keyed subdirectories).
 
     ``recursiveFileLookup`` disables partition-column inference so the
-    ``inc_<low>_<high>`` directory names stay layout, not schema.
+    ``inc_<low>`` directory names stay layout, not schema.
     """
     return (
         spark.read.option("recursiveFileLookup", "true").parquet(target_dir)

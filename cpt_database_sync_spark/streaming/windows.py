@@ -112,8 +112,18 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     q.awaitTermination()
     q.stop()
-    result = spark.read.parquet(out_dir)
-    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    if not os.path.isdir(out_dir):
+        # the source produced zero micro-batches: no sink write ever ran.
+        # An empty frame with the stream's result schema is the right
+        # answer, not an AnalysisException on a missing path.
+        result = spark.createDataFrame([], stream_df.schema)
+        shutil.rmtree(f"{scratch_root}/{name}", ignore_errors=True)
+        return result
+    # localCheckpoint materializes the result into executor block storage
+    # so the tmpfs scratch (ckpt + parquet) can be deleted immediately —
+    # otherwise every run leaks one result set into /dev/shm (RAM).
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(f"{scratch_root}/{name}", ignore_errors=True)
     return result
 
 

@@ -62,6 +62,81 @@ def test_incremental_append_crash_retry_is_idempotent(spark, sf_dir):
     assert read_increments(spark, target).count() == ev.count()
 
 
+def test_incremental_retry_with_new_rows_does_not_double_count(spark, sf_dir):
+    """Harder crash case (ADVICE r2): new source rows arrive BETWEEN the
+    orphaned increment write and the retry. A high-keyed run dir would
+    leave inc_<hwm>_<max1> beside inc_<hwm>_<max2> and double-count the
+    overlap; low-keyed dirs make the retry overwrite the orphan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.incremental import (
+        incremental_append,
+        read_increments,
+    )
+
+    target = f"{scratch_dir()}/incr_retry_test/data"
+    wm_file = f"{scratch_dir()}/incr_retry_test/wm.json"
+    shutil.rmtree(f"{scratch_dir()}/incr_retry_test", ignore_errors=True)
+    os.makedirs(f"{scratch_dir()}/incr_retry_test", exist_ok=True)
+
+    ev = load(spark, sf_dir, "events")
+    c1, c2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    incremental_append(spark, ev.filter(F.col("ts") <= c1), "ts", target, wm_file)
+    wm_after_phase1 = open(wm_file).read()
+
+    # increment up to c2 lands, then crash: watermark write lost
+    incremental_append(spark, ev.filter(F.col("ts") <= c2), "ts", target, wm_file)
+    with open(wm_file, "w") as f:
+        f.write(wm_after_phase1)
+
+    # retry sees MORE source data (full table now) — wider range, same low
+    incremental_append(spark, ev, "ts", target, wm_file)
+
+    assert read_increments(spark, target).count() == ev.count()
+
+
+def test_run_to_table_empty_source_and_scratch_cleanup(spark, sf_dir):
+    """Zero-micro-batch streams return an empty frame (not an
+    AnalysisException on the never-created sink dir), and the per-run
+    tmpfs scratch is fully deleted after materialization (ADVICE r2)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.windows import (
+        events_stream,
+        run_to_table,
+    )
+
+    empty_dir = f"{scratch_dir()}/empty_stream_src"
+    shutil.rmtree(empty_dir, ignore_errors=True)
+    os.makedirs(empty_dir, exist_ok=True)
+    st = (
+        spark.readStream.schema("k bigint, v double")
+        .parquet(empty_dir)
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"))
+    )
+    out = run_to_table(st, "complete")
+    assert out.count() == 0
+    assert out.columns == ["k", "sv"]
+
+    # a normal run must leave nothing behind in the scratch root
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = run_to_table(agg, "complete")
+    assert res.count() > 0
+    for root in ("/dev/shm/spark-graft-ckpt", "/tmp/spark-graft-ckpt"):
+        if os.path.isdir(root):
+            assert os.listdir(root) == [], f"leaked scratch in {root}"
+
+
 def test_merge_into_semantics(spark, sf_dir):
     """Source wins on key match, unmatched source inserts, unmatched
     target survives — and the merged key set is exact."""
