@@ -203,13 +203,15 @@ def create_table_ddl(
     ``sources.sync.jdbc_sync_table``). NOT NULL is emitted for
     non-nullable fields (`sync/M2H2SchemaConverter.java:101-104`).
     """
+    from cpt_database_sync_spark.sources.identifiers import quote_identifier
+
     lengths = varchar_lengths or {}
     cols = []
     for f in schema.fields:
         ddl = ddl_for(f.dataType, lengths.get(f.name), flavor=flavor)
         null = "" if f.nullable else " NOT NULL"
-        cols.append(f"{quote}{f.name}{quote} {ddl}{null}")
-    return f"CREATE TABLE {quote}{table}{quote} ({', '.join(cols)})"
+        cols.append(f"{quote_identifier(f.name, quote)} {ddl}{null}")
+    return f"CREATE TABLE {quote_identifier(table, quote)} ({', '.join(cols)})"
 
 
 @register(

@@ -118,6 +118,7 @@ def jdbc_sync_table(
     varchar_lengths: dict[str, int] | None = None,
     flavor: str = "mysql",
     quote: str = '"',
+    fold: bool | None = None,
 ) -> None:
     """The reference's full table sync with *its* DDL: DROP TABLE (ignore
     absent) → CREATE TABLE from the reference type matrix → batched insert
@@ -127,29 +128,54 @@ def jdbc_sync_table(
     dialect's defaults, and ``createTableColumnTypes`` only accepts Spark-
     parsable types (tinytext/mediumblob/datetime are rejected by the
     parser) — so the MySQL-flavor tiers from ``ddl_for`` are issued as an
-    explicit CREATE, then the data lands via mode("append")."""
-    from cpt_database_sync_spark.functions.typelattice import create_table_ddl
+    explicit CREATE, then the data lands via mode("append").
 
+    ``fold=None`` probes the target: when it stores upper-case identifiers
+    (H2/Derby-class), table and column names are upper-folded before
+    quoting (`sync/M2H2SchemaConverter.java:56-60,83-87`) so the created
+    objects stay reachable to ordinary unquoted SQL on that target."""
+    from cpt_database_sync_spark.functions.typelattice import create_table_ddl
+    from cpt_database_sync_spark.sources.identifiers import (
+        fold_case,
+        quote_identifier,
+        stores_upper_case,
+    )
+
+    if fold is None:
+        fold = stores_upper_case(spark, url)
+    table = fold_case(table, fold)
+    out = df
+    if fold:
+        out = df.toDF(*[fold_case(c, fold) for c in df.columns])
+        varchar_lengths = {
+            fold_case(k, fold): v for k, v in (varchar_lengths or {}).items()
+        }
+    qtable = quote_identifier(table, quote)
     try:
-        _execute_jdbc(spark, url, [f"DROP TABLE {quote}{table}{quote}"])
+        _execute_jdbc(spark, url, [f"DROP TABLE {qtable}"])
     except Exception:
         pass  # table did not exist — the reference ignores this too
     ddl = create_table_ddl(
-        table, df.schema, varchar_lengths, flavor=flavor, quote=quote
+        table, out.schema, varchar_lengths, flavor=flavor, quote=quote
     )
     _execute_jdbc(spark, url, [ddl])
-    jdbc_writer(df, url, f'{quote}{table}{quote}', props=props, mode="append")
+    jdbc_writer(out, url, qtable, props=props, mode="append")
 
 
 def upsert_statement(table: str, columns: list[str], quote: str = "`") -> str:
     """MySQL-flavor idempotent upsert — the INSERT shape of
     `sync/JdbcPageSink.java:81-88` extended with ON DUPLICATE KEY UPDATE
-    (stock df.write.jdbc cannot upsert; used by foreachBatch writers)."""
-    cols = ", ".join(f"{quote}{c}{quote}" for c in columns)
+    (stock df.write.jdbc cannot upsert; used by foreachBatch writers).
+    Identifiers are quoted with embedded-quote doubling
+    (`utils/Utils.java:103-106`)."""
+    from cpt_database_sync_spark.sources.identifiers import quote_identifier
+
+    q = [quote_identifier(c, quote) for c in columns]
+    cols = ", ".join(q)
     binds = ", ".join("?" for _ in columns)
-    updates = ", ".join(f"{quote}{c}{quote} = VALUES({quote}{c}{quote})" for c in columns)
+    updates = ", ".join(f"{c} = VALUES({c})" for c in q)
     return (
-        f"INSERT INTO {quote}{table}{quote} ({cols}) VALUES ({binds}) "
+        f"INSERT INTO {quote_identifier(table, quote)} ({cols}) VALUES ({binds}) "
         f"ON DUPLICATE KEY UPDATE {updates}"
     )
 

@@ -67,10 +67,13 @@ def test_sync_table_reference_ddl(spark, sf_dir, derby_url):
         varchar_lengths={"name": 40},  # body has no length → clob tier
         flavor="ansi",
     )
+    # Derby stores upper-case identifiers, so the auto-probed fold must
+    # have created TYPED_SYNC/ID/... (`sync/M2H2SchemaConverter.java:56-60`)
     jvm = spark._sc._jvm
     conn = jvm.java.sql.DriverManager.getConnection(derby_url)
     try:
-        rs = conn.getMetaData().getColumns(None, None, "typed_sync", None)
+        assert conn.getMetaData().storesUpperCaseIdentifiers()
+        rs = conn.getMetaData().getColumns(None, None, "TYPED_SYNC", None)
         types = {}
         while rs.next():
             types[rs.getString("COLUMN_NAME")] = (
@@ -78,24 +81,25 @@ def test_sync_table_reference_ddl(spark, sf_dir, derby_url):
             )
     finally:
         conn.close()
-    assert types["id"][0] == "BIGINT"
-    assert types["flag"][0] == "BOOLEAN"
-    assert types["x"][0] == "REAL"          # FloatType → real (not double)
-    assert types["name"] == ("VARCHAR", 40)  # metadata length drives the tier
-    assert types["body"][0] == "CLOB"        # unbounded tier
-    assert types["payload"][0] == "BLOB"
-    assert types["d"][0] == "DATE"
-    assert types["ts"][0] == "TIMESTAMP"
-    # and the data actually landed through the batched append
-    back = jdbc_reader(spark, derby_url, '"typed_sync"', props=DERBY_PROPS)
+    assert types["ID"][0] == "BIGINT"
+    assert types["FLAG"][0] == "BOOLEAN"
+    assert types["X"][0] == "REAL"          # FloatType → real (not double)
+    assert types["NAME"] == ("VARCHAR", 40)  # metadata length drives the tier
+    assert types["BODY"][0] == "CLOB"        # unbounded tier
+    assert types["PAYLOAD"][0] == "BLOB"
+    assert types["D"][0] == "DATE"
+    assert types["TS"][0] == "TIMESTAMP"
+    # the fold is the point: the table is reachable to ordinary UNQUOTED
+    # SQL on the target, and the data landed through the batched append
+    back = jdbc_reader(spark, derby_url, "typed_sync", props=DERBY_PROPS)
     row = back.collect()[0]
-    assert row["id"] == 1 and row["name"] == "abc" and row["body"] == "long text value"
+    assert row["ID"] == 1 and row["NAME"] == "abc" and row["BODY"] == "long text value"
     # idempotent: re-sync drops and recreates
     jdbc_sync_table(
         spark, df, derby_url, "typed_sync",
         varchar_lengths={"name": 40}, flavor="ansi",
     )
-    assert jdbc_reader(spark, derby_url, '"typed_sync"', props=DERBY_PROPS).count() == 1
+    assert jdbc_reader(spark, derby_url, "typed_sync", props=DERBY_PROPS).count() == 1
 
 
 def test_partitioned_parallel_read(spark, sf_dir, derby_url):

@@ -63,3 +63,74 @@ class TestUpsertProperties:
         assert sql.count("VALUES(") == len(cols)
         for c in cols:
             assert f"`{c}`" in sql
+
+
+class TestIdentifierProperties:
+    """Quoting/escaping round-trips (`utils/Utils.java:94-115`,
+    `sync/M2H2SchemaConverter.java:56-60`)."""
+
+    @given(name=st.text(min_size=1, max_size=30), quote=st.sampled_from(['"', "`"]))
+    @settings(max_examples=100)
+    def test_quote_round_trips(self, name, quote):
+        from cpt_database_sync_spark.sources.identifiers import quote_identifier
+
+        q = quote_identifier(name, quote)
+        assert q[0] == quote and q[-1] == quote
+        # unquote: strip wrapper, collapse doubled quote chars
+        assert q[1:-1].replace(quote + quote, quote) == name
+
+    @given(
+        parts=st.lists(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=50)
+    def test_qualified_name_shape(self, parts):
+        from cpt_database_sync_spark.sources.identifiers import qualified_name
+
+        out = qualified_name(*parts)
+        assert out == ".".join(f'"{p}"' for p in parts)
+        # empty parts are skipped, as in the reference's catalog/schema handling
+        assert qualified_name(None, *parts, quote="`") == ".".join(
+            f"`{p}`" for p in parts
+        )
+
+    @given(name=st.text(max_size=30))
+    @settings(max_examples=100)
+    def test_escape_name_pattern_is_literal(self, name):
+        """The escaped pattern must LIKE-match exactly the original name:
+        every _ and % is escaped, every escape char is doubled."""
+        from cpt_database_sync_spark.sources.identifiers import escape_name_pattern
+
+        esc = escape_name_pattern(name, "\\")
+        # decode the pattern back treating \ as the escape character
+        out, i = [], 0
+        while i < len(esc):
+            if esc[i] == "\\":
+                out.append(esc[i + 1])
+                i += 2
+            else:
+                assert esc[i] not in ("_", "%") or name.count(esc[i]) == 0
+                out.append(esc[i])
+                i += 1
+        assert "".join(out) == name
+
+    @given(name=st.text(max_size=30))
+    @settings(max_examples=100)
+    def test_fold_case_is_ascii_only(self, name):
+        from cpt_database_sync_spark.sources.identifiers import fold_case
+
+        assert fold_case(name, False) == name
+        folded = fold_case(name, True)
+        assert len(folded) == len(name)
+        for orig, f in zip(name, folded):
+            if "a" <= orig <= "z":
+                assert f == orig.upper()
+            else:
+                assert f == orig  # non-ASCII untouched (ENGLISH-locale fold)
