@@ -180,6 +180,80 @@ def upsert_statement(table: str, columns: list[str], quote: str = "`") -> str:
     )
 
 
+def merge_statement(
+    target: str,
+    source: str,
+    columns: list[str],
+    key_columns: list[str],
+    quote: str = '"',
+) -> str:
+    """ANSI MERGE from a staging table — the portable upsert for targets
+    without MySQL's ON DUPLICATE KEY UPDATE (Derby/H2/Oracle-class).
+
+    Derby rejects VALUES-derived MERGE sources ("must be a base table or
+    table function"), which forces the shape that is *right at scale
+    anyway*: land the batch in a staging table with the distributed JDBC
+    writer, then issue one set-based MERGE — the data path stays on
+    executors, the driver sends a single statement. Key columns are
+    excluded from the UPDATE SET list. Source rows must be unique per key
+    (ANSI MERGE raises on duplicate matches).
+    """
+    from cpt_database_sync_spark.sources.identifiers import quote_identifier
+
+    qt = quote_identifier(target, quote)
+    qs = quote_identifier(source, quote)
+    qcols = {c: quote_identifier(c, quote) for c in columns}
+    on = " AND ".join(f"T.{qcols[k]} = S.{qcols[k]}" for k in key_columns)
+    non_keys = [c for c in columns if c not in key_columns]
+    sets = ", ".join(f"{qcols[c]} = S.{qcols[c]}" for c in non_keys)
+    ins_cols = ", ".join(qcols[c] for c in columns)
+    ins_vals = ", ".join(f"S.{qcols[c]}" for c in columns)
+    return (
+        f"MERGE INTO {qt} AS T USING {qs} AS S ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def jdbc_upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    url: str,
+    table: str,
+    key_columns: list[str],
+    props: dict | None = None,
+    varchar_lengths: dict[str, int] | None = None,
+    flavor: str = "ansi",
+) -> None:
+    """Upsert one (micro-)batch into a JDBC target: distributed append
+    into a staging table, one set-based MERGE, drop staging.
+
+    This is the production shape of the reference's per-row
+    INSERT … ON DUPLICATE KEY UPDATE loop (`sync/JdbcPageSink.java:81-104`)
+    at cluster scale: executors write the staging rows in parallel
+    (batchsize-batched), and the target's engine applies the merge
+    set-wise instead of row-at-a-time through the driver.
+    """
+    from cpt_database_sync_spark.sources.identifiers import (
+        fold_case,
+        quote_identifier,
+        stores_upper_case,
+    )
+
+    fold = stores_upper_case(spark, url)
+    staging = f"{table}_stage"
+    jdbc_sync_table(
+        spark, batch_df, url, staging, props=props,
+        varchar_lengths=varchar_lengths, flavor=flavor, fold=fold,
+    )
+    cols = [fold_case(c, fold) for c in batch_df.columns]
+    keys = [fold_case(k, fold) for k in key_columns]
+    sql = merge_statement(fold_case(table, fold), fold_case(staging, fold), cols, keys)
+    _execute_jdbc(
+        spark, url, [sql, f"DROP TABLE {quote_identifier(fold_case(staging, fold))}"]
+    )
+
+
 def full_copy_parquet(spark: SparkSession, src_df: DataFrame, target_dir: str) -> DataFrame:
     """Snapshot copy: drop-create-load semantics on a parquet target.
     mode("overwrite") is atomic-per-job (write to _temporary, commit on

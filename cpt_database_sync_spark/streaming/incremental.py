@@ -129,10 +129,66 @@ def incremental_sync_stream(
     """Production shape: readStream → foreachBatch(write_batch). Spark's
     checkpoint replaces the JSON watermark file; write_batch receives
     (batch_df, batch_id) and should write idempotently (e.g. JDBC upsert
-    via sources.sync.upsert_statement, or overwrite-by-batch-id paths)."""
+    via sources.sync.jdbc_upsert_batch, or overwrite-by-batch-id paths)."""
     return (
         source_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+
+_EVENT_VARCHARS = {"event_type": 40, "props": 400}
+
+
+@register("stream_upsert", oracle="SELECT * FROM events")
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming upsert into a real JDBC target (embedded
+    Derby): the reference's CDC gap closed with its own insert shape made
+    set-based (`sync/JdbcPageSink.java:81-104` → stage + MERGE).
+
+    A replica is seeded with every event at-or-before a seed cutoff, but
+    rows past the stream checkpoint are CORRUPTED (value = -1). The stream
+    then ships everything past the checkpoint through
+    incremental_sync_stream → jdbc_upsert_batch: the overlap rows must be
+    UPDATEd back to truth and the tail INSERTed. The read-back equals the
+    full source table iff both merge arms worked — `SELECT * FROM events`
+    is the whole oracle.
+    """
+    from cpt_database_sync_spark.sources.sync import (
+        jdbc_reader,
+        jdbc_sync_table,
+        jdbc_upsert_batch,
+        scratch_dir,
+    )
+    from cpt_database_sync_spark.streaming.windows import events_stream
+
+    workdir = tempfile.mkdtemp(prefix="stream_upsert_", dir=scratch_dir())
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    checkpoint = "2024-01-10 00:00:00"
+    seed_cut = "2024-01-20 00:00:00"
+
+    ev = load(spark, sf_dir, "events")
+    seed = ev.filter(F.col("ts") <= seed_cut).withColumn(
+        "value",
+        F.when(F.col("ts") > checkpoint, F.lit(-1.0)).otherwise(F.col("value")),
+    )
+    jdbc_sync_table(
+        spark, seed, url, "events_replica",
+        varchar_lengths=_EVENT_VARCHARS, flavor="ansi",
+    )
+
+    tail = events_stream(spark, sf_dir).filter(F.col("ts") > checkpoint)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_upsert_batch(
+            spark, batch_df, url, "events_replica", ["event_id"],
+            varchar_lengths=_EVENT_VARCHARS,
+        )
+
+    q = incremental_sync_stream(spark, tail, write_batch, f"{workdir}/ckpt")
+    q.awaitTermination()
+
+    back = jdbc_reader(spark, url, "events_replica")
+    # Derby folded identifiers to upper case; restore the source names
+    return back.toDF(*[c.lower() for c in back.columns]).select(*ev.columns)
