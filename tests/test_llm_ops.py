@@ -99,3 +99,59 @@ class TestAnnIvf:
         # expected candidate fraction ≈ NPROBE/NLIST of the corpus
         assert IVF_NPROBE / IVF_NLIST < 0.5, "probing must prune most cells"
         assert n_corpus > 0
+
+
+class TestCorpusHygiene:
+    def test_contamination_excludes_benchmark_docs(self, spark, sf_dir):
+        """Only training docs may appear; every reported doc must truly
+        share a shingle with the benchmark slice."""
+        from cpt_database_sync_spark.operators.llm_quality import (
+            _BENCH_MOD,
+            contamination_check,
+        )
+
+        out = contamination_check(spark, sf_dir)
+        rows = out.collect()
+        assert rows, "fixture corpus shares vocabulary; overlap expected"
+        for r in rows:
+            assert r["doc_id"] % _BENCH_MOD != 0
+            assert r["n_overlap"] >= 1
+
+    def test_quality_repetition_invariants(self, spark, sf_dir):
+        from cpt_database_sync_spark.operators.llm_quality import quality_repetition
+
+        rows = quality_repetition(spark, sf_dir).collect()
+        for r in rows:
+            assert 1 <= r["n_distinct"] <= r["n_words"]
+            assert 0.0 < r["distinct_ratio"] <= 1.0
+            assert 0.0 < r["top_word_frac"] <= 1.0
+
+    def test_pii_scrub_redacts_all_kinds(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from cpt_database_sync_spark.operators.llm_quality import pii_scrub
+
+        out = pii_scrub(spark, sf_dir).cache()
+        # the augmented docs must carry placeholders, never raw PII
+        assert out.filter(F.col("scrubbed").contains("@")).count() == 0
+        assert out.filter(F.col("scrubbed").contains("555-")).count() == 0
+        assert out.filter(F.col("scrubbed").contains("10.1.2.3")).count() == 0
+        assert out.filter(F.col("scrubbed").contains("<EMAIL>")).count() > 0
+        assert out.filter(F.col("scrubbed").contains("<PHONE>")).count() > 0
+        assert out.filter(F.col("scrubbed").contains("<IP>")).count() > 0
+        # email+phone docs report 2 kinds, IP docs 1, the rest 0
+        kinds = {r["doc_id"] % 10: r["n_pii_kinds"] for r in out.collect()}
+        assert kinds[0] == 2 and kinds[5] == 1 and kinds[1] == 0
+        out.unpersist()
+
+    def test_vector_centroids_shape(self, spark, sf_dir):
+        from cpt_database_sync_spark.operators.llm_quality import vector_centroids
+        from cpt_database_sync_spark.sources.tables import load
+
+        e = load(spark, sf_dir, "embeddings")
+        dims = len(e.select("embedding").first()["embedding"])
+        labels = e.select("label").distinct().count()
+        out = vector_centroids(spark, sf_dir)
+        assert out.count() == dims * labels
+        r = out.first()
+        assert r["n_vecs"] >= 1 and abs(r["centroid"]) < 10

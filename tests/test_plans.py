@@ -67,6 +67,26 @@ def test_range_join_broadcasts_tiny_dim(spark, sf_dir):
     )
 
 
+def test_contamination_broadcasts_benchmark_vocab(spark, sf_dir):
+    """The benchmark shingle vocabulary must broadcast (it is the small
+    eval set); the corpus side must partial-aggregate before its only
+    exchange — the 100 TB shape is map-side semi-join + tiny shuffle."""
+    from cpt_database_sync_spark.operators.llm_quality import contamination_check
+
+    plan = plan_string(contamination_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_vector_centroids_combines_map_side(spark, sf_dir):
+    """posexplode fans out (vector × dim) rows; map-side combine must
+    collapse them to (label × dim) per partition before the exchange."""
+    from cpt_database_sync_spark.operators.llm_quality import vector_centroids
+
+    plan = plan_string(vector_centroids(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
 def test_skew_join_shuffles_on_salted_key(spark, sf_dir):
     """join_skew_salted must exercise the shuffled path it exists for: a
     broadcast join has no reducer for the salt to split, so the plan is
