@@ -147,10 +147,11 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram",
-    oracle=f"""
-    WITH s AS (
+# Shared oracle CTE chain: exact word-shingle Jaccard pairs ≥ threshold.
+# Used by dedup_ngram (which surfaces the pairs) and dedup_clusters (which
+# runs connected components over them).
+_NGRAM_PAIR_CTES = f"""
+    s AS (
       SELECT doc_id,
              CASE WHEN len(w) >= {SHINGLE_K}
                   THEN list_distinct(list_transform(range(1, len(w) - {SHINGLE_K - 2}),
@@ -164,14 +165,24 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
       FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id, n_common,
+             CAST(n_common AS DOUBLE) / CAST(la.n + lb.n - n_common AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes la ON la.doc_id = a_id
+      JOIN sizes lb ON lb.doc_id = b_id
+      WHERE CAST(n_common AS DOUBLE) / CAST(la.n + lb.n - n_common AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
     )
-    SELECT a_id, b_id, n_common,
-           CAST(n_common AS DOUBLE) / CAST(la.n + lb.n - n_common AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes la ON la.doc_id = a_id
-    JOIN sizes lb ON lb.doc_id = b_id
-    WHERE CAST(n_common AS DOUBLE) / CAST(la.n + lb.n - n_common AS DOUBLE)
-          >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram",
+    oracle=f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT a_id, b_id, n_common, jaccard FROM pairs
     """,
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,4 +395,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("a_id", "b_id", "hamming")
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (node, component) where component = min node id in the component.
+
+    Each iteration joins current labels across edges and keeps the
+    per-node min — converging in O(diameter) rounds (near-dup clusters
+    have tiny diameters; chains through transitive duplicates are short).
+    Lineage is cut per round with localCheckpoint so the plan doesn't grow
+    unboundedly. This is the canonical Spark shape for iterative graph
+    algorithms (label propagation / small-star); at 100 TB the same loop
+    runs with edges pre-partitioned by node and labels persisted per
+    round.
+    """
+    sym = edges.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    sym = sym.localCheckpoint(eager=True)  # compute edge set once
+    labels = (
+        sym.select("u").distinct().select(F.col("u").alias("node"))
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("ncomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id,
+           CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the exact near-dup
+    pair graph — the step that turns pairwise dedup output into "keep one
+    doc per cluster" (pairs alone double-drop when A~B and B~C).
+
+    Iterative DataFrame label propagation (see ``connected_components``);
+    the oracle is a DuckDB recursive CTE computing min-reachable-node. In
+    production the edge input is ``dedup_minhash``'s verified pairs; here
+    the exact shingle-Jaccard pairs keep the oracle deterministic.
+    """
+    pairs = exact_jaccard_pairs(
+        load(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

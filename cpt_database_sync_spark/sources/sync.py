@@ -327,6 +327,37 @@ def full_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_copy_parquet(spark, load(spark, sf_dir, "lineitem"), target)
 
 
+@register("jdbc_roundtrip", oracle="SELECT * FROM customer")
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JDBC sync loop against a real database (embedded Derby): the
+    reference's introspect → drop → create (reference DDL) → batched
+    insert → scan-back pipeline (`handler/Handler.java:42-55`), verified
+    by identity against the source table.
+
+    Exercises the whole lattice write path end-to-end: reference-flavor
+    DDL (ansi tier for Derby), identifier case-folding, batched append,
+    and the parallel partitioned read back.
+    """
+    workdir = tempfile.mkdtemp(prefix="jdbc_rt_", dir=scratch_dir())
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    src = load(spark, sf_dir, "customer")
+    jdbc_sync_table(
+        spark, src, url, "customer_rt",
+        varchar_lengths={
+            "c_name": 40, "c_address": 60, "c_phone": 20,
+            "c_mktsegment": 20, "c_comment": 200,
+        },
+        flavor="ansi",
+    )
+    hi = src.agg(F.max("c_custkey")).collect()[0][0]
+    back = jdbc_reader(
+        spark, url, "customer_rt",
+        partition_column="C_CUSTKEY", lower_bound=0,
+        upper_bound=int(hi) + 1, num_partitions=8,
+    )
+    return back.toDF(*[c.lower() for c in back.columns]).select(*src.columns)
+
+
 _MERGE_ORACLE = """
     WITH target AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

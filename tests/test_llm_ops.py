@@ -155,3 +155,46 @@ class TestCorpusHygiene:
         assert out.count() == dims * labels
         r = out.first()
         assert r["n_vecs"] >= 1 and abs(r["centroid"]) < 10
+
+
+class TestDedupClusters:
+    def test_components_are_transitive_closures(self, spark, sf_dir):
+        """Every edge's endpoints share a cluster id, and each cluster id
+        is the min doc_id of its member set (canonical representative)."""
+        from pyspark.sql import functions as F
+
+        from cpt_database_sync_spark.operators.llm_dedup import (
+            JACCARD_THRESHOLD,
+            dedup_clusters,
+            exact_jaccard_pairs,
+        )
+        from cpt_database_sync_spark.sources.tables import load
+
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(spark, sf_dir).collect()
+        }
+        pairs = exact_jaccard_pairs(
+            load(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+        ).collect()
+        assert pairs, "fixture plants near-dups"
+        for p in pairs:
+            assert labels[p["a_id"]] == labels[p["b_id"]], "edge split across clusters"
+        by_cluster = {}
+        for node, comp in labels.items():
+            by_cluster.setdefault(comp, []).append(node)
+        for comp, members in by_cluster.items():
+            assert comp == min(members), "cluster id must be the min member"
+
+    def test_chain_converges(self, spark):
+        """A path graph (worst-case diameter) must collapse to one
+        component labelled by its minimum node."""
+        from cpt_database_sync_spark.operators.llm_dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)] + [(100, 101)],
+            "a_id bigint, b_id bigint",
+        )
+        out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert all(out[i] == 0 for i in range(11))
+        assert out[100] == out[101] == 100
