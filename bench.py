@@ -55,6 +55,9 @@ HEADLINE = [
     "quality_repetition",
     "pii_scrub",
     "vector_centroids",
+    "sessionize",
+    "funnel",
+    "retention",
 ]
 
 

@@ -1,0 +1,186 @@
+"""Event-analytics operators: batch sessionization, funnel conversion,
+cohort retention — the classic clickstream suite over the events table.
+
+The reference moves event tables between databases but cannot analyze
+them (`handler/Handler.java:42-55` is its whole surface); these queries
+are the analytics the replicated data exists to serve, expressed as
+window/aggregate plans Catalyst fully optimizes. All timestamps are
+exact microseconds, so every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_num
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(sess_num AS BIGINT) AS sess_num,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_num
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when a user
+    is idle > {gap} minutes; sessions are numbered per user by a running
+    sum over the new-session flags.
+
+    One shuffle on user_id feeds both window passes (lag and running
+    sum share the partitioning); the session rollup re-aggregates on
+    (user_id, sess_num) — a subset-keyed agg over already-clustered data.
+    At 100 TB this is the standard pattern: partition by user, sort by
+    time within partition. The streaming equivalent is
+    ``stream_session`` (session_window); this is the batch/backfill path.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sessions = marked.select(
+        "user_id", "ts", F.sum("new_sess").over(wsum).alias("sess_num")
+    )
+    return sessions.groupBy("user_id", "sess_num").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at stage N only with a stage-N event strictly after their stage-N-1
+    entry time.
+
+    Each stage is a filtered aggregation joined to the previous stage's
+    per-user entry times — stage frontiers shrink monotonically, so every
+    join after the first is against an ever-smaller (usually
+    broadcastable) user set. All shuffles key on user_id and AQE picks
+    broadcast once a frontier fits under the threshold.
+    """
+    ev = load(spark, sf_dir, "events")
+    frontier = (
+        ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [(_FUNNEL_STAGES[0], frontier.count())]
+    for stage in _FUNNEL_STAGES[1:]:
+        frontier = (
+            ev.filter(F.col("event_type") == stage)
+            .join(frontier, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((stage, frontier.count()))
+    return spark.createDataFrame(counts, "stage string, n_users bigint")
+
+
+@register(
+    "retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT first.d0 AS cohort_day,
+           CAST(date_diff('day', first.d0, act.d) AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN first ON act.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each subsequent active day (the classic retention triangle).
+
+    Three aggregations all keyed by user_id — one shuffle partitioning
+    serves the cohort assignment, the activity dedup, and the join; the
+    final rollup is over (cohort_day, offset), a tiny result regardless
+    of corpus size.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

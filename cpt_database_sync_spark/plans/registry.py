@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "cpt_database_sync_spark.operators.relational",
     "cpt_database_sync_spark.operators.stats",
     "cpt_database_sync_spark.operators.asof",
+    "cpt_database_sync_spark.operators.analytics",
     "cpt_database_sync_spark.functions.scalar",
     "cpt_database_sync_spark.functions.typelattice",
     "cpt_database_sync_spark.sources.catalog",
