@@ -127,15 +127,24 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user entry times — stage frontiers shrink monotonically, so every
     join after the first is against an ever-smaller (usually
     broadcastable) user set. All shuffles key on user_id and AQE picks
-    broadcast once a frontier fits under the threshold.
+    broadcast once a frontier fits under the threshold. The three stage
+    counts are unioned into ONE lazy plan (a single job; Spark reuses the
+    shared frontier subtrees via exchange reuse), not driver-side counts.
     """
+    from functools import reduce
+
     ev = load(spark, sf_dir, "events")
     frontier = (
         ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
     )
-    counts = [(_FUNNEL_STAGES[0], frontier.count())]
+    stage_counts = [
+        frontier.agg(
+            F.lit(_FUNNEL_STAGES[0]).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
     for stage in _FUNNEL_STAGES[1:]:
         frontier = (
             ev.filter(F.col("event_type") == stage)
@@ -144,8 +153,12 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
         )
-        counts.append((stage, frontier.count()))
-    return spark.createDataFrame(counts, "stage string, n_users bigint")
+        stage_counts.append(
+            frontier.agg(
+                F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_users")
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), stage_counts)
 
 
 @register(
