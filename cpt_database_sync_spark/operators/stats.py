@@ -190,3 +190,34 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                      ORDER BY CAST(user_id AS VARCHAR)) AS user_list
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: the distinct users per event type,
+    surfaced as a canonical comma-joined string (collect_set →
+    sort_array → concat_ws).
+
+    collect_set is a partial-aggregating set union (map-side dedup before
+    the shuffle); the sort happens once per tiny result group. Collected
+    sets must fit a single row — at 100 TB this shape is for bounded
+    per-group cardinalities (here: users per event type); unbounded
+    groups belong in explode/agg form instead.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.col("user_id").cast("string")))
+        ).alias("user_list"),
+    )

@@ -327,6 +327,46 @@ def full_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_copy_parquet(spark, load(spark, sf_dir, "lineitem"), target)
 
 
+@register(
+    "cdc_compact",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: keep only the latest row per key (last-writer-
+    wins), the read-side collapse of an append-only change stream — what a
+    consumer of ``incremental_append``'s increments runs to get current
+    state.
+
+    row_number over (key, ts DESC) then rn=1: one shuffle on the key;
+    Spark's WindowGroupLimit pushes the rank-1 filter into the window
+    operator so each partition keeps a single row per key instead of
+    ranking everything. Tie-broken by event_id for determinism. At 100 TB
+    the same plan runs per key-range partition; with a sorted layout it
+    degenerates to a streaming first-row-per-group scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register("jdbc_roundtrip", oracle="SELECT * FROM customer")
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full JDBC sync loop against a real database (embedded Derby): the

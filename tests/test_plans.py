@@ -67,6 +67,17 @@ def test_range_join_broadcasts_tiny_dim(spark, sf_dir):
     )
 
 
+def test_cdc_compact_limits_before_shuffle(spark, sf_dir):
+    """Latest-per-key must run WindowGroupLimit partial+final: each map
+    partition keeps one row per key before the exchange, so the shuffle
+    carries ~#keys rows, not the full change log."""
+    from cpt_database_sync_spark.sources.sync import cdc_compact
+
+    plan = plan_string(cdc_compact(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
 def test_contamination_broadcasts_benchmark_vocab(spark, sf_dir):
     """The benchmark shingle vocabulary must broadcast (it is the small
     eval set); the corpus side must partial-aggregate before its only
