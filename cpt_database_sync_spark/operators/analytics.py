@@ -197,3 +197,50 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,6)) AS DOUBLE) AS rolling_1h_value,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_1h_events
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal RANGE frame: per-user rolling 1-hour sum/count at every
+    event — the value-based frame (all rows within an interval of the
+    current row's time) that ``window_frame``'s ROWS frames cannot
+    express.
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    runs over epoch-seconds with a 3600-second window — semantically the
+    INTERVAL frame of the SQL oracle. Same single user_id shuffle as any
+    window; the frame is evaluated with a sliding aggregate over the
+    sorted run, linear per partition. The sum uses the exact decimal
+    lane (functions/numeric.py) so doubles match bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(14,6)"))
+        .over(w)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )

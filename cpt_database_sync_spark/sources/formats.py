@@ -182,3 +182,48 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
+
+
+@register(
+    "schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           'v1' AS batch
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'v2' AS batch
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across sync batches: a v2 producer adds a column and
+    the combined read must surface v1 rows with NULLs — the evolution
+    case the reference cannot represent (its converter emits one fixed
+    CREATE per sync, `sync/M2H2SchemaConverter.java:48-118`).
+
+    Two parquet batches with different schemas land in one dataset;
+    ``mergeSchema`` unions the footers at planning time (schema work is
+    metadata-only — no data rewrite, unlike the reference's drop+recreate,
+    which would lose the old rows entirely). At 100 TB this is the
+    standard additive-column path: old files are never touched, the scan
+    fills missing columns with NULL.
+    """
+    import shutil
+
+    target = _fmt_dir("evolution")
+    shutil.rmtree(target, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("v1").alias("batch")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        F.lit("v2").alias("batch"),
+    )
+    v1.write.mode("append").parquet(target)
+    v2.write.mode("append").parquet(target)
+    merged = spark.read.option("mergeSchema", "true").parquet(target)
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "batch"
+    )

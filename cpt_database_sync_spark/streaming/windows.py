@@ -58,6 +58,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State-store instances scale with shuffle partitions; see the comment at
+# the conf-set site in run_to_table. Module-level so tests can sweep it.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming query to completion on the available data
     (Trigger.AvailableNow); return the result as a batch DataFrame.
@@ -105,7 +110,7 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     # it is pinned at the query's FIRST start by the checkpoint, so pick
     # it deliberately there.)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         q = writer.start()
     finally:
