@@ -58,6 +58,9 @@ HEADLINE = [
     "sessionize",
     "funnel",
     "retention",
+    "cdc_compact",
+    "window_range_frame",
+    "pipeline_e2e",
 ]
 
 

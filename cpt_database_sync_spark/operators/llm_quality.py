@@ -246,3 +246,113 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum.cast("decimal(18,7)").cast("double") / F.count(F.lit(1))
         ).alias("centroid"),
     )
+
+
+_PIPE_LANGS = ("en", "de", "es", "fr")
+_PIPE_MIN_CHARS = 100
+
+
+def _norm_sql(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "pipeline_e2e",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_norm_sql('text')} AS nt FROM documents
+    ),
+    filt AS (
+      SELECT * FROM base
+      WHERE lang IN {_PIPE_LANGS} AND length(nt) >= {_PIPE_MIN_CHARS}
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY nt),
+    kept AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
+    bench_sh AS (
+      SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT string_split(nt, ' ') AS w FROM base
+            WHERE doc_id % {_BENCH_MOD} = 0),
+           unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, string_split(nt, ' ') AS w FROM kept),
+           unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+      JOIN bench_sh ON w[i] || ' ' || w[i+1] || ' ' || w[i+2] = bench_sh.g
+    )
+    SELECT doc_id, lang,
+           CAST(len(string_split(nt, ' ')) AS INT) AS n_tokens
+    FROM kept
+    WHERE doc_id % {_BENCH_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+    """,
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reason to exist, end-to-end: normalize → quality gate
+    → exact dedup → benchmark decontamination → reproducible train split,
+    emitting the surviving (doc_id, lang, token count).
+
+    Every stage is the production-shape operator it demonstrates:
+    map-only normalization; pushed-down language/length gate; dedup as a
+    hash-shuffle keeping min-doc per normalized text; decontamination as
+    a broadcast anti-join against the benchmark shingle vocabulary
+    (hashed int64s, as in contamination_check); split by md5 nibble
+    (engine-agnostic, reshuffle-stable). One corpus-wide shuffle (the
+    dedup) is the whole data-movement budget at 100 TB — everything else
+    is map-side.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # Cached (and repartitioned off the single source file): one
+    # normalization pass shared by the quality/dedup chain and the
+    # benchmark-vocabulary branch, and a pushdown barrier so the shingle
+    # transform never lands in the serial scan (see contamination_check).
+    base = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", norm.alias("nt"))
+        .cache()
+    )
+    filt = base.filter(
+        F.col("lang").isin(*_PIPE_LANGS)
+        & (F.length("nt") >= _PIPE_MIN_CHARS)
+    )
+    kept = (
+        filt.groupBy("nt")
+        .agg(F.min(F.struct("doc_id", "lang")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang"), "nt")
+    )
+
+    def hashed_tri(df: DataFrame) -> DataFrame:
+        w = df.withColumn("w", F.split("nt", " "))
+        return w.filter(F.size("w") >= 3).select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w) - 3),"
+                " i -> xxhash64(w[i], w[i + 1], w[i + 2])))"
+            ).alias("hs"),
+        )
+
+    bench_vocab = (
+        hashed_tri(base.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .select(F.explode("hs").alias("g"))
+        .distinct()
+    )
+    kept_c = kept.cache()  # shared by the shingle branch and the final output
+    contaminated = (
+        hashed_tri(kept_c)
+        .select("doc_id", F.explode("hs").alias("g"))
+        .join(F.broadcast(bench_vocab), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        kept_c.join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (F.col("doc_id") % _BENCH_MOD != 0)
+            & (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "9")
+        )
+        .select(
+            "doc_id", "lang", F.size(F.split("nt", " ")).alias("n_tokens")
+        )
+    )
