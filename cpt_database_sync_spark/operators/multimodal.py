@@ -158,3 +158,59 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         sample_frames, schema="doc_id bigint, frame_idx int, frame_hex string"
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    SELECT doc_id,
+           CAST(u.i // 50 AS INT) AS window_idx,
+           CAST(SUM(ascii(substr(text, CAST(u.i + 1 AS INT), 1))) AS BIGINT)
+             AS energy,
+           CAST(MAX(ascii(substr(text, CAST(u.i + 1 AS INT), 1))) AS INT)
+             AS peak
+    FROM documents, UNNEST(range(length(text))) AS u(i)
+    GROUP BY doc_id, u.i // 50
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing: windowed energy/peak over a PCM-like
+    signal — the payload's bytes stand in for 8-bit samples (a real
+    pipeline decodes with libsndfile in the same spot; the dataflow is
+    identical).
+
+    numpy does the windowed reduction vectorized per Arrow batch
+    (``frombuffer`` → reshape-free strided slicing — no per-sample Python
+    loop); all arithmetic is integer, so the oracle recomputes it exactly
+    via per-byte ascii() in SQL. Map-only: feature rows ~ n_bytes/50 per
+    doc, no shuffle at any scale.
+    """
+    import numpy as np
+
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    WIN = 50
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, peaks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for w in range((len(arr) + WIN - 1) // WIN):
+                    seg = arr[w * WIN : (w + 1) * WIN]
+                    ids.append(doc_id)
+                    idxs.append(w)
+                    energies.append(int(seg.sum()))
+                    peaks.append(int(seg.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": idxs,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        energy_batches,
+        schema="doc_id bigint, window_idx int, energy bigint, peak int",
+    )
