@@ -52,3 +52,36 @@ def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash-agg plan the DataFrame API produces."""
     register_views(spark, sf_dir)
     return spark.sql(_Q1_SQL)
+
+
+_Q3_SQL = """
+    SELECT
+      o.o_orderkey,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+           AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+
+@register("sql_tpch_q3", oracle=_Q3_SQL)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), textual SQL on both engines.
+
+    The optimizer checkpoints this shape exercises: segment filter pushed
+    into the customer scan, date filters into orders/lineitem, the small
+    filtered customer side broadcast into orders, and the revenue sum in
+    the exact decimal lane (price x (1-discount) terminates at scale 8,
+    summed at DECIMAL; see functions/numeric.py). Grouping on the join
+    key reuses the lineitem-orders shuffle partitioning.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
