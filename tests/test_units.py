@@ -190,3 +190,69 @@ class TestStatefulRollup:
         # first_ts must move backwards when an earlier event arrives late
         assert out2["first_ts"][0] == pd.Timestamp("1970-01-01 00:00:00.500000")
         assert out2["last_ts"][0] == pd.Timestamp("1970-01-01 00:00:02")
+
+
+class TestCorruptSourceHandling:
+    """Malformed-record policy on text sources — the operational edge a
+    lake ingestion path hits daily (the reference would just crash its
+    single-threaded pipeline; `sync/FetchRunner.java:29-55` has no error
+    handling at all)."""
+
+    def _write_mixed(self, spark, path):
+        import json as _json
+        import os
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path)
+        good = [{"k": i, "v": f"row{i}"} for i in range(8)]
+        lines = [_json.dumps(g) for g in good]
+        lines.insert(3, '{"k": 99, "v": unquoted-garbage}')
+        lines.insert(6, "not json at all")
+        with open(f"{path}/part-0.json", "w") as f:
+            f.write("\n".join(lines))
+
+    def test_permissive_quarantines_corrupt_records(self, spark):
+        from cpt_database_sync_spark.sources.sync import scratch_dir
+
+        path = f"{scratch_dir()}/corrupt_json"
+        self._write_mixed(spark, path)
+        df = (
+            spark.read.schema("k bigint, v string, _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+        rows = df.collect()
+        assert len(rows) == 10
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        good = [r for r in rows if r["_corrupt_record"] is None]
+        assert len(bad) == 2  # quarantined, not dropped, not fatal
+        assert sorted(r["k"] for r in good) == list(range(8))
+
+    def test_failfast_raises(self, spark):
+        import pytest as _pytest
+
+        from cpt_database_sync_spark.sources.sync import scratch_dir
+
+        path = f"{scratch_dir()}/corrupt_json"
+        self._write_mixed(spark, path)
+        df = (
+            spark.read.schema("k bigint, v string")
+            .option("mode", "FAILFAST")
+            .json(path)
+        )
+        with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+            df.collect()
+
+    def test_dropmalformed_keeps_only_good(self, spark):
+        from cpt_database_sync_spark.sources.sync import scratch_dir
+
+        path = f"{scratch_dir()}/corrupt_json"
+        self._write_mixed(spark, path)
+        df = (
+            spark.read.schema("k bigint, v string")
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+        assert sorted(r["k"] for r in df.collect()) == list(range(8))
