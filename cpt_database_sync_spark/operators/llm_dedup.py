@@ -92,31 +92,6 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded pairs."""
-    return shingle_sets(docs).select("doc_id", F.explode("sh").alias("g"))
-
-
-def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for given candidate pairs via array_intersect on the
-    per-doc shingle sets — linear in |pairs|, no shingle self-join."""
-    sets = shingle_sets(docs)
-    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
-    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
-    return (
-        pairs.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.size("sha") + F.size("shb") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "n_common", "jaccard")
-    )
-
-
 def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over all pairs sharing >=1 shingle.
 
