@@ -23,7 +23,7 @@ SESSION_GAP_MIN = 30
     "sessionize",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                   THEN 1 ELSE 0 END AS new_sess
@@ -32,10 +32,12 @@ SESSION_GAP_MIN = 30
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, user_id
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_num
       FROM marked
     )
+    -- tie-break by event_id everywhere: equal-ts events must take a
+    -- deterministic order or session numbering flaps between engines
     SELECT user_id,
            CAST(sess_num AS BIGINT) AS sess_num,
            MIN(ts) AS session_start,
@@ -61,12 +63,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "user_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
@@ -82,6 +85,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.select(
         "user_id", "ts", F.sum("new_sess").over(wsum).alias("sess_num")
     )
+    # (event_id is carried only for the deterministic wsum ordering)
     return sessions.groupBy("user_id", "sess_num").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

@@ -163,13 +163,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_energy",
     oracle="""
+    WITH sig AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS st
+      FROM documents
+    )
     SELECT doc_id,
            CAST(u.i // 50 AS INT) AS window_idx,
-           CAST(SUM(ascii(substr(text, CAST(u.i + 1 AS INT), 1))) AS BIGINT)
+           CAST(SUM(ascii(substr(st, CAST(u.i + 1 AS INT), 1))) AS BIGINT)
              AS energy,
-           CAST(MAX(ascii(substr(text, CAST(u.i + 1 AS INT), 1))) AS INT)
+           CAST(MAX(ascii(substr(st, CAST(u.i + 1 AS INT), 1))) AS INT)
              AS peak
-    FROM documents, UNNEST(range(length(text))) AS u(i)
+    FROM sig, UNNEST(range(length(st))) AS u(i)
     GROUP BY doc_id, u.i // 50
     """,
 )
@@ -179,15 +183,25 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline decodes with libsndfile in the same spot; the dataflow is
     identical).
 
+    The signal is the ASCII-sanitized text's bytes (non-ASCII chars →
+    '?'), so the Spark side's byte view and the oracle's per-character
+    ascii() view are the same sequence for ANY corpus — without the
+    sanitize, one multi-byte UTF-8 char would shift every later window.
     numpy does the windowed reduction vectorized per Arrow batch
-    (``frombuffer`` → reshape-free strided slicing — no per-sample Python
-    loop); all arithmetic is integer, so the oracle recomputes it exactly
-    via per-byte ascii() in SQL. Map-only: feature rows ~ n_bytes/50 per
-    doc, no shuffle at any scale.
+    (``frombuffer`` — no per-sample Python loop); all arithmetic is
+    integer, hence exact. Map-only: feature rows ~ n_bytes/50 per doc,
+    no shuffle at any scale.
     """
     import numpy as np
 
-    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    media = d.select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace("text", r"[^\x00-\x7F]", "?"), "utf-8"
+        ).alias("payload"),
+    )
     WIN = 50
 
     def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

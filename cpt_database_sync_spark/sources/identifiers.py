@@ -38,13 +38,13 @@ def qualified_name(*parts: str | None, quote: str = '"') -> str:
 def fold_case(name: str, stores_upper: bool) -> str:
     """Fold an identifier the way the target stores it
     (`sync/M2H2SchemaConverter.java:56-60`: toUpperCase(ENGLISH) when the
-    target stores upper-case identifiers). ASCII-only fold — the English
-    locale fold the reference uses, immune to tr-TR dotless-i surprises."""
+    target stores upper-case identifiers). Python's str.upper() is the
+    locale-independent Unicode uppercase — the same mapping as Java's
+    toUpperCase(Locale.ENGLISH) including accented letters (é→É) and
+    immune to tr-TR dotless-i surprises ('i' always folds to 'I')."""
     if not stores_upper:
         return name
-    return "".join(
-        chr(ord(c) - 32) if "a" <= c <= "z" else c for c in name
-    )
+    return name.upper()
 
 
 def stores_upper_case(spark: SparkSession, url: str) -> bool:

@@ -117,7 +117,7 @@ def jdbc_sync_table(
     props: dict | None = None,
     varchar_lengths: dict[str, int] | None = None,
     flavor: str = "mysql",
-    quote: str = '"',
+    quote: str | None = None,
     fold: bool | None = None,
 ) -> None:
     """The reference's full table sync with *its* DDL: DROP TABLE (ignore
@@ -141,6 +141,11 @@ def jdbc_sync_table(
         stores_upper_case,
     )
 
+    if quote is None:
+        # the flavor implies the quote style: stock MySQL rejects
+        # double-quoted identifiers (no ANSI_QUOTES), everything else
+        # speaks the standard double quote
+        quote = "`" if flavor == "mysql" else '"'
     if fold is None:
         fold = stores_upper_case(spark, url)
     table = fold_case(table, fold)
@@ -151,14 +156,25 @@ def jdbc_sync_table(
             fold_case(k, fold): v for k, v in (varchar_lengths or {}).items()
         }
     qtable = quote_identifier(table, quote)
-    try:
-        _execute_jdbc(spark, url, [f"DROP TABLE {qtable}"])
-    except Exception:
-        pass  # table did not exist — the reference ignores this too
     ddl = create_table_ddl(
         table, out.schema, varchar_lengths, flavor=flavor, quote=quote
     )
-    _execute_jdbc(spark, url, [ddl])
+    # One connection for drop+create: connectivity/auth errors propagate
+    # from getConnection; only the DROP statement itself is allowed to
+    # fail (table absent — the reference ignores that too). If a DROP
+    # failure was real (e.g. lock timeout), the CREATE right after raises
+    # the accurate 'already exists' loudly.
+    conn = spark._sc._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(f"DROP TABLE {qtable}")
+        except Exception:
+            pass
+        stmt.execute(ddl)
+        stmt.close()
+    finally:
+        conn.close()
     jdbc_writer(out, url, qtable, props=props, mode="append")
 
 
@@ -205,12 +221,17 @@ def merge_statement(
     qcols = {c: quote_identifier(c, quote) for c in columns}
     on = " AND ".join(f"T.{qcols[k]} = S.{qcols[k]}" for k in key_columns)
     non_keys = [c for c in columns if c not in key_columns]
-    sets = ", ".join(f"{qcols[c]} = S.{qcols[c]}" for c in non_keys)
     ins_cols = ", ".join(qcols[c] for c in columns)
     ins_vals = ", ".join(f"S.{qcols[c]}" for c in columns)
+    # all-key tables (pure membership sets) have nothing to UPDATE —
+    # emitting 'UPDATE SET' with an empty list would be a syntax error
+    matched = ""
+    if non_keys:
+        sets = ", ".join(f"{qcols[c]} = S.{qcols[c]}" for c in non_keys)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
     return (
         f"MERGE INTO {qt} AS T USING {qs} AS S ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 

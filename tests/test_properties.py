@@ -123,14 +123,15 @@ class TestIdentifierProperties:
 
     @given(name=st.text(max_size=30))
     @settings(max_examples=100)
-    def test_fold_case_is_ascii_only(self, name):
+    def test_fold_case_matches_english_locale_upper(self, name):
         from cpt_database_sync_spark.sources.identifiers import fold_case
 
         assert fold_case(name, False) == name
         folded = fold_case(name, True)
-        assert len(folded) == len(name)
-        for orig, f in zip(name, folded):
-            if "a" <= orig <= "z":
-                assert f == orig.upper()
-            else:
-                assert f == orig  # non-ASCII untouched (ENGLISH-locale fold)
+        # locale-independent Unicode uppercase: ASCII folds a-z→A-Z,
+        # accents fold (é→É), dotless-i surprises cannot happen
+        assert folded == name.upper()
+        assert fold_case("i", True) == "I"
+        assert fold_case("café", True) == "CAFÉ"
+        # idempotent: folding an already-folded name is a no-op
+        assert fold_case(folded, True) == folded

@@ -256,3 +256,28 @@ class TestCorruptSourceHandling:
             .json(path)
         )
         assert sorted(r["k"] for r in df.collect()) == list(range(8))
+
+
+class TestMergeStatement:
+    def test_all_key_columns_omits_update_clause(self):
+        from cpt_database_sync_spark.sources.sync import merge_statement
+
+        sql = merge_statement("t", "t_stage", ["k1", "k2"], ["k1", "k2"])
+        assert "WHEN MATCHED" not in sql  # nothing to update on a key-only table
+        assert 'WHEN NOT MATCHED THEN INSERT ("k1", "k2")' in sql
+
+    def test_update_excludes_keys(self):
+        from cpt_database_sync_spark.sources.sync import merge_statement
+
+        sql = merge_statement("t", "s", ["k", "v"], ["k"])
+        assert 'UPDATE SET "v" = S."v"' in sql
+        assert '"k" = S."k"' not in sql.split("UPDATE SET")[1].split("WHEN")[0]
+
+    def test_mysql_flavor_defaults_to_backtick_ddl(self):
+        # stock MySQL rejects double-quoted identifiers: the mysql flavor
+        # must emit backtick DDL unless the caller overrides
+        from cpt_database_sync_spark.functions.typelattice import create_table_ddl
+        from pyspark.sql import types as T2
+
+        schema = T2.StructType([T2.StructField("a", T2.LongType())])
+        assert create_table_ddl("t", schema).startswith("CREATE TABLE `t`")
