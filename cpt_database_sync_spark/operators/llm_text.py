@@ -343,3 +343,47 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_STRATA_RATES = {"en": 8, "de": 4, "es": 4, "fr": 4}  # of 16 md5 nibbles
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, lang,
+             CASE lang
+               WHEN 'en' THEN {_STRATA_RATES['en']}
+               WHEN 'de' THEN {_STRATA_RATES['de']}
+               WHEN 'es' THEN {_STRATA_RATES['es']}
+               WHEN 'fr' THEN {_STRATA_RATES['fr']}
+               ELSE 2 END AS keep_nibbles
+      FROM documents
+    )
+    SELECT doc_id, lang FROM rated
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INT)
+          < keep_nibbles
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling at deterministic rates
+    (en 50%, de/es/fr 25%, everything else 12.5%) — the corpus-balancing
+    step of a multilingual training mix.
+
+    Same md5-nibble mechanism as ``corpus_sample`` but with a per-stratum
+    keep threshold: membership depends only on (doc_id, lang), so the
+    sample is identical across engines, runs, and repartitions — unlike
+    ``df.sampleBy``, whose RNG is partition-layout-dependent. Map-only;
+    the rate table rides along as a CASE expression (or a broadcast join
+    for many strata).
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"]))
+    for lg in ("de", "es", "fr"):
+        rate = rate.when(F.col("lang") == lg, F.lit(_STRATA_RATES[lg]))
+    rate = rate.otherwise(F.lit(2))
+    nibble = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return d.filter(nibble < rate).select("doc_id", "lang")
