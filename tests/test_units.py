@@ -281,3 +281,39 @@ class TestMergeStatement:
 
         schema = T2.StructType([T2.StructField("a", T2.LongType())])
         assert create_table_ddl("t", schema).startswith("CREATE TABLE `t`")
+
+
+class TestRegistryRotation:
+    """all_specs orders least-recently-driver-verified first so the
+    driver's fixed correctness budget cycles through every query."""
+
+    def test_never_verified_precede_verified(self):
+        from cpt_database_sync_spark.plans.registry import (
+            _last_verified_round,
+            all_specs,
+        )
+
+        last = _last_verified_round()
+        names = list(all_specs())
+        # repo ships CORRECTNESS_r01/r02: both verified and unverified exist
+        assert last, "expected committed CORRECTNESS_r*.json evidence"
+        seen_verified = False
+        for n in names:
+            if n in last:
+                seen_verified = True
+            else:
+                assert not seen_verified, (
+                    f"never-verified {n} ordered after a verified query"
+                )
+
+    def test_red_rows_do_not_count_as_verified(self):
+        # type_lattice failed (hash_match=false) in r02: it must not be
+        # treated as verified by that round
+        import json
+        from pathlib import Path
+
+        from cpt_database_sync_spark.plans.registry import _last_verified_round
+
+        r2 = json.loads(Path("CORRECTNESS_r02.json").read_text())
+        assert r2["type_lattice"]["hash_match"] is False  # fixture of history
+        assert _last_verified_round().get("type_lattice", 0) < 2
