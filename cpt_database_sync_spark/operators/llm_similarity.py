@@ -350,3 +350,114 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= DEDUP_COS_THRESHOLD)
         .select("a_id", "b_id", F.round("cos", 9).alias("sim"))
     )
+
+
+KM_K = 8
+KM_ITERS = 3
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    cos = _sql_cosine("s.ve", "c.ce")
+    return f"""
+    {out} AS (
+      SELECT vec_id, ve, cid FROM (
+        SELECT s.vec_id, s.ve, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {cos} DESC, c.cid
+               ) AS rn
+        FROM e AS s CROSS JOIN {cent} AS c
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assign: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT cid, list(m ORDER BY pos) AS ce FROM (
+        SELECT cid, t.i AS pos,
+               CAST(CAST(SUM(CAST(ve[CAST(t.i + 1 AS INT)] AS DECIMAL(16,7)))
+                    AS DECIMAL(18,7)) AS DOUBLE) / COUNT(*) AS m
+        FROM {assign}, UNNEST(range(0, len(ve))) AS t(i)
+        GROUP BY cid, t.i
+      ) GROUP BY cid
+    )"""
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, ve AS ce FROM e WHERE vec_id < {KM_K})"""
+    ]
+    for it in range(1, KM_ITERS + 1):
+        parts.append(_km_assign_sql(f"c{it - 1}", f"a{it}"))
+        if it < KM_ITERS:
+            parts.append(_km_update_sql(f"a{it}", f"c{it}"))
+    return (
+        "WITH " + ",".join(parts) + f"\n    SELECT vec_id, cid FROM a{KM_ITERS}"
+    )
+
+
+@register("kmeans_spherical", oracle=_km_oracle())
+def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (Lloyd's algorithm, cosine assignment): the
+    iterative clustering that organizes an embedding corpus — the
+    training step whose output IVF search (``sim_ann_ivf``) consumes as
+    its cell structure.
+
+    Each iteration is one broadcast of the K centroids against the
+    cached corpus (assignment = max-cosine argmax via window rank, ties
+    to the lower centroid id) and one (cid, dim)-keyed aggregation for
+    the update — map-side combine collapses the posexplode to K×dims
+    rows per partition, so per-iteration shuffle volume is independent of
+    corpus size. Centroid means use the exact decimal lane; every cosine
+    is a sequential index-order fold — the DuckDB oracle replays all
+    {KM_ITERS} iterations unrolled and must land on identical clusters.
+    Lineage is cut per iteration with localCheckpoint (the standard
+    Spark iterative-algorithm shape; at 100 TB, persist to storage
+    instead).
+    """
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .repartition(spark_parallelism)
+        .cache()
+    )
+    cent = emb.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assign = None
+    for it in range(1, KM_ITERS + 1):
+        ranked = (
+            emb.join(F.broadcast(cent))
+            .withColumn("cos", cosine(F.col("e"), F.col("ce")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("cos").desc(), "cid"
+                    )
+                ),
+            )
+        )
+        assign = ranked.filter(F.col("rn") == 1).select("vec_id", "e", "cid")
+        if it < KM_ITERS:
+            dims = assign.select("cid", F.posexplode("e").alias("pos", "val"))
+            dec_sum = F.sum(F.col("val").cast("decimal(16,7)"))
+            newc = (
+                dims.groupBy("cid", "pos")
+                .agg(
+                    (
+                        dec_sum.cast("decimal(18,7)").cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm")
+                )
+                .select("cid", F.expr("transform(sm, s -> s.m)").alias("ce"))
+            )
+            cent = newc.localCheckpoint(eager=True)
+    return assign.select("vec_id", "cid")

@@ -198,3 +198,20 @@ class TestDedupClusters:
         out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
         assert all(out[i] == 0 for i in range(11))
         assert out[100] == out[101] == 100
+
+
+class TestKmeans:
+    def test_partition_and_determinism(self, spark, sf_dir):
+        from cpt_database_sync_spark.operators.llm_similarity import (
+            KM_K,
+            kmeans_spherical,
+        )
+        from cpt_database_sync_spark.sources.tables import load
+
+        n = load(spark, sf_dir, "embeddings").count()
+        r1 = {r["vec_id"]: r["cid"] for r in kmeans_spherical(spark, sf_dir).collect()}
+        assert len(r1) == n  # every vector assigned exactly once
+        used = set(r1.values())
+        assert used <= set(range(KM_K)) and len(used) > 1
+        r2 = {r["vec_id"]: r["cid"] for r in kmeans_spherical(spark, sf_dir).collect()}
+        assert r1 == r2  # bit-deterministic across runs
