@@ -99,3 +99,67 @@ def semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("int").alias("k_int"),
         (k.cast("int") % 10).alias("k_mod"),
     )
+
+
+_HOF_SQL = """
+    WITH a AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS BIGINT)
+                  ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qtys
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys)                                                AS n_items,
+           list_transform(qtys, x -> x * 2)                         AS doubled,
+           list_filter(qtys, x -> x >= 25)                          AS big,
+           CAST(len(list_filter(qtys, x -> x >= 25)) > 0 AS INT)    AS has_big,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
+                       (acc, x) -> acc + x)                          AS total,
+           list_sort(qtys)                                          AS sorted_qtys
+    FROM a
+    WHERE l_orderkey <= 100
+"""
+
+
+@register(
+    "hof_surface",
+    oracle=_HOF_SQL,
+)
+def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface in one query: per-order quantity
+    arrays put through transform / filter / exists / aggregate /
+    array_sort. HOFs run inside whole-stage codegen on the JVM — this is
+    the idiom that keeps per-element logic off the Python path (the same
+    machinery minhash/simhash/fingerprint build on). The DuckDB oracle
+    uses its list_* equivalents; element order is pinned by collecting in
+    (l_linenumber, quantity) order on both sides — l_linenumber
+    alone is not unique in the fixture, so the quantity tie-break keeps
+    the arrays deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    a = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "q"))).alias("sq")
+        )
+        .select(
+            "l_orderkey", F.expr("transform(sq, s -> s.q)").alias("qtys")
+        )
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.expr("transform(qtys, x -> x * 2)").alias("doubled"),
+        F.expr("filter(qtys, x -> x >= 25)").alias("big"),
+        F.expr("CAST(exists(qtys, x -> x >= 25) AS INT)").alias("has_big"),
+        F.expr(
+            "aggregate(qtys, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total"),
+        F.array_sort("qtys").alias("sorted_qtys"),
+    )

@@ -672,3 +672,27 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+_GSETS_SQL = f"""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(CAST(year(l_shipdate) AS VARCHAR(8)), 'ALL') AS ship_year,
+      COUNT(*) AS n_rows,
+      {sql_dsum("l_extendedprice", 12, 4)} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)),
+                            (l_returnflag), (year(l_shipdate)))
+"""
+
+
+@register("grouping_sets", oracle=_GSETS_SQL)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    (flag, year), (flag), (year) in ONE pass. Catalyst's Expand operator
+    replicates each input row once per set before a single partial+final
+    hash aggregation — one shuffle regardless of how many sets, versus
+    one scan+shuffle per set for the naive UNION ALL rewrite.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GSETS_SQL)
