@@ -61,6 +61,9 @@ HEADLINE = [
     "cdc_compact",
     "window_range_frame",
     "pipeline_e2e",
+    "kmeans_spherical",
+    "grouping_sets",
+    "stratified_sample",
 ]
 
 
