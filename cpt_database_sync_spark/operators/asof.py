@@ -244,3 +244,131 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("decimal(18,4)").cast("double").alias("sum_qty"),
         F.max("sum_price").alias("dim_price"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row with
+    right_ts >= left_ts per key, optionally only within a tolerance
+    window (beyond it the payload is null — any farther match is worse,
+    so nulling the nearest is exact).
+
+    Same one-shuffle union/carry construction as ``asof_join``, traversed
+    in descending time order; the matched right timestamp rides along so
+    the tolerance gate is a plain post-filter expression.
+    """
+    lcols = [c for c in left.columns if c != key]
+    payload_and_ts = [*right_payload, "_rts"]
+    tagged_left = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in lcols if c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+        F.lit(None).cast("timestamp").alias("_rts"),
+    )
+    tagged_right = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != left_ts],
+        *[F.col(c) for c in right_payload],
+        F.col(right_ts).alias("_rts"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_and_ts
+    ]
+    out = (
+        unioned.select(
+            key,
+            F.col("_ts").alias(left_ts),
+            "_tag",
+            *[c for c in lcols if c != left_ts],
+            *carried,
+        )
+        .filter(F.col("_tag") == 1)
+        .drop("_tag")
+    )
+    if tolerance_sec is not None:
+        in_tol = (
+            F.unix_micros("_rts") - F.unix_micros(F.col(left_ts))
+            <= tolerance_sec * 1_000_000
+        )
+        out = out.select(
+            key,
+            left_ts,
+            *[c for c in lcols if c != left_ts],
+            *[F.when(in_tol, F.col(c)).alias(c) for c in payload_and_ts],
+        )
+    return out
+
+
+_FWD_TOL_DAYS = 3
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    SELECT
+      v.user_id,
+      v.event_id AS view_id,
+      v.ts AS view_ts,
+      CASE WHEN p.ts <= v.ts + INTERVAL {_FWD_TOL_DAYS} DAY
+           THEN p.event_id END AS next_purchase_id,
+      CASE WHEN p.ts <= v.ts + INTERVAL {_FWD_TOL_DAYS} DAY
+           THEN CAST(date_diff('second', v.ts, p.ts) AS BIGINT)
+           END AS lag_sec
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag as-of join: each view matched to the user's next
+    purchase within {tol} days (forward direction + tolerance — the two
+    as-of axes ``join_asof`` doesn't cover). Oracle: DuckDB native
+    forward ASOF JOIN with the tolerance as a post-CASE (exact: any
+    match farther than the nearest is also beyond tolerance)."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("next_purchase_id")
+    )
+    out = asof_join_forward(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["next_purchase_id"],
+        tolerance_sec=_FWD_TOL_DAYS * 86400,
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        F.col("ts").alias("view_ts"),
+        "next_purchase_id",
+        # date_diff('second') truncates EACH side to seconds then
+        # subtracts — mirror with per-side integer division, not a float
+        # division of the micro difference (off by one near boundaries)
+        (
+            F.expr("unix_micros(_rts) div 1000000")
+            - F.expr("unix_micros(ts) div 1000000")
+        ).cast("bigint").alias("lag_sec"),
+    )
