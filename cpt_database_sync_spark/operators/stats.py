@@ -221,3 +221,38 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.sort_array(F.collect_set(F.col("user_id").cast("string")))
         ).alias("user_list"),
     )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT o_orderkey,
+             o_totalprice AS price,
+             CAST(o_custkey AS DOUBLE) AS custkey,
+             CAST(year(o_orderdate) AS DOUBLE) AS order_year
+      FROM orders WHERE o_orderkey <= 500
+    )
+    UNPIVOT (val FOR metric IN (price, custkey, order_year))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt), the inverse of ``pivot_table``: one
+    row per (id, metric, value). Spark's unpivot is a zero-shuffle
+    Expand — each input row emits one output row per value column in the
+    same task, so the reshape is free at any scale; only downstream
+    grouping pays."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "custkey", "order_year"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
