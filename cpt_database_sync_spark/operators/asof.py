@@ -25,6 +25,94 @@ from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
 
 
+def _asof_carry(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Shared one-shuffle as-of construction, both directions.
+
+    Union the two sides with a tag ordering right rows *before* left rows
+    in traversal order at equal timestamps (so ts-equality matches,
+    mirroring `<=` / `>=`); traversal is ascending time for backward,
+    descending for forward. The right row rides as ONE struct (payload
+    columns + its timestamp ``_rts``): a struct of nulls is still
+    non-null, so ``last(ignorenulls)`` carries all fields of the SAME
+    nearest row — carrying columns independently would let a null payload
+    value pair with a different row's timestamp. Output keeps ``_rts``
+    (the matched right timestamp); callers drop it or derive lags.
+    """
+    lcols = [c for c in left.columns if c != key]
+    struct_fields = [
+        *[F.col(c) for c in right_payload],
+        F.col(right_ts).alias("_rts"),
+    ]
+    null_struct_type = (
+        "struct<"
+        + ",".join(
+            [f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload]
+            + [f"_rts:{right.schema[right_ts].dataType.simpleString()}"]
+        )
+        + ">"
+    )
+    tagged_left = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in lcols if c != left_ts],
+        F.lit(None).cast(null_struct_type).alias("_p"),
+    )
+    tagged_right = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c != left_ts
+        ],
+        F.struct(*struct_fields).alias("_p"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_p", ignorenulls=True).over(w).alias("_p")
+    out = (
+        unioned.select(
+            key,
+            F.col("_ts").alias(left_ts),
+            "_tag",
+            *[c for c in lcols if c != left_ts],
+            carried,
+        )
+        .filter(F.col("_tag") == 1)
+        .drop("_tag")
+    )
+    if tolerance_sec is not None:
+        lag = F.unix_micros(F.col("_p._rts")) - F.unix_micros(F.col(left_ts))
+        if direction == "backward":
+            lag = -lag
+        out = out.withColumn(
+            "_p", F.when(lag <= tolerance_sec * 1_000_000, F.col("_p"))
+        )
+    return out.select(
+        key,
+        left_ts,
+        *[c for c in lcols if c != left_ts],
+        *[F.col(f"_p.{c}").alias(c) for c in right_payload],
+        F.col("_p._rts").alias("_rts"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -35,47 +123,10 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: attach to each left row the latest right row with
     right_ts <= left_ts for the same key (null payload when none exists).
-
-    Union the two sides with a tag ordering right rows *before* left rows
-    at equal timestamps (so ts-equality matches, mirroring `<=`), then
-    carry the right payload forward per key with last(ignorenulls) and
-    keep only left rows.
-    """
-    lcols = [c for c in left.columns if c != key]
-    tagged_left = left.select(
-        F.col(key),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_tag"),
-        *[F.col(c) for c in lcols if c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
-    )
-    tagged_right = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_tag"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != left_ts],
-        *[F.col(c) for c in right_payload],
-    )
-    unioned = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy(key)
-        .orderBy("_ts", "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried: list[Column] = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload
-    ]
-    return (
-        unioned.select(
-            key,
-            F.col("_ts").alias(left_ts),
-            "_tag",
-            *[c for c in lcols if c != left_ts],
-            *carried,
-        )
-        .filter(F.col("_tag") == 1)
-        .drop("_tag")
-    )
+    See ``_asof_carry`` for the construction."""
+    return _asof_carry(
+        left, right, key, left_ts, right_ts, right_payload, direction="backward"
+    ).drop("_rts")
 
 
 @register(
@@ -258,62 +309,11 @@ def asof_join_forward(
     """Forward as-of join: attach the EARLIEST right row with
     right_ts >= left_ts per key, optionally only within a tolerance
     window (beyond it the payload is null — any farther match is worse,
-    so nulling the nearest is exact).
-
-    Same one-shuffle union/carry construction as ``asof_join``, traversed
-    in descending time order; the matched right timestamp rides along so
-    the tolerance gate is a plain post-filter expression.
-    """
-    lcols = [c for c in left.columns if c != key]
-    payload_and_ts = [*right_payload, "_rts"]
-    tagged_left = left.select(
-        F.col(key),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_tag"),
-        *[F.col(c) for c in lcols if c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
-        F.lit(None).cast("timestamp").alias("_rts"),
+    so nulling the nearest is exact). See ``_asof_carry``."""
+    return _asof_carry(
+        left, right, key, left_ts, right_ts, right_payload,
+        direction="forward", tolerance_sec=tolerance_sec,
     )
-    tagged_right = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_tag"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != left_ts],
-        *[F.col(c) for c in right_payload],
-        F.col(right_ts).alias("_rts"),
-    )
-    unioned = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_ts").desc(), "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_and_ts
-    ]
-    out = (
-        unioned.select(
-            key,
-            F.col("_ts").alias(left_ts),
-            "_tag",
-            *[c for c in lcols if c != left_ts],
-            *carried,
-        )
-        .filter(F.col("_tag") == 1)
-        .drop("_tag")
-    )
-    if tolerance_sec is not None:
-        in_tol = (
-            F.unix_micros("_rts") - F.unix_micros(F.col(left_ts))
-            <= tolerance_sec * 1_000_000
-        )
-        out = out.select(
-            key,
-            left_ts,
-            *[c for c in lcols if c != left_ts],
-            *[F.when(in_tol, F.col(c)).alias(c) for c in payload_and_ts],
-        )
-    return out
 
 
 _FWD_TOL_DAYS = 3

@@ -314,6 +314,40 @@ class TestRegistryRotation:
 
         from cpt_database_sync_spark.plans.registry import _last_verified_round
 
-        r2 = json.loads(Path("CORRECTNESS_r02.json").read_text())
+        import cpt_database_sync_spark.plans.registry as reg
+
+        root = Path(reg.__file__).resolve().parents[2]
+        r2 = json.loads((root / "CORRECTNESS_r02.json").read_text())
         assert r2["type_lattice"]["hash_match"] is False  # fixture of history
         assert _last_verified_round().get("type_lattice", 0) < 2
+
+
+class TestAsofNullablePayload:
+    def test_null_payload_stays_synchronized_with_matched_row(self, spark):
+        """The nearest right row must be carried as a UNIT: a null payload
+        value on the matched row must surface as null, not be skipped in
+        favor of a farther row's value (code-review r3 finding)."""
+        from cpt_database_sync_spark.operators.asof import (
+            asof_join,
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 100)], "k bigint, ts bigint"
+        ).selectExpr("k", "timestamp_micros(ts * 1000000) AS ts")
+        # nearest forward right row (ts=101) has NULL payload; a farther
+        # one (ts=102) has a value — the match must be the null one
+        right = spark.createDataFrame(
+            [(1, 101, None), (1, 102, "later")],
+            "k bigint, ts bigint, v string",
+        ).selectExpr("k", "timestamp_micros(ts * 1000000) AS ts", "v")
+        fwd = asof_join_forward(left, right, "k", "ts", "ts", ["v"]).collect()[0]
+        assert fwd["v"] is None
+        assert fwd["_rts"].second == 41  # 101s past the minute: the ts=101 row
+        # backward: nearest preceding (ts=99) null, farther (ts=98) valued
+        rback = spark.createDataFrame(
+            [(1, 99, None), (1, 98, "earlier")],
+            "k bigint, ts bigint, v string",
+        ).selectExpr("k", "timestamp_micros(ts * 1000000) AS ts", "v")
+        back = asof_join(left, rback, "k", "ts", "ts", ["v"]).collect()[0]
+        assert back["v"] is None
