@@ -111,12 +111,13 @@ _HOF_SQL = """
     )
     SELECT l_orderkey,
            len(qtys)                                                AS n_items,
-           list_transform(qtys, x -> x * 2)                         AS doubled,
-           list_filter(qtys, x -> x >= 25)                          AS big,
+           array_to_string(list_transform(qtys, x -> x * 2), ',')   AS doubled,
+           COALESCE(array_to_string(list_filter(qtys, x -> x >= 25), ','),
+                    '')                                              AS big,
            CAST(len(list_filter(qtys, x -> x >= 25)) > 0 AS INT)    AS has_big,
            list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
                        (acc, x) -> acc + x)                          AS total,
-           list_sort(qtys)                                          AS sorted_qtys
+           array_to_string(list_sort(qtys), ',')                    AS sorted_qtys
     FROM a
     WHERE l_orderkey <= 100
 """
@@ -135,7 +136,10 @@ def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses its list_* equivalents; element order is pinned by collecting in
     (l_linenumber, quantity) order on both sides — l_linenumber
     alone is not unique in the fixture, so the quantity tie-break keeps
-    the arrays deterministic.
+    the arrays deterministic. Array-typed outputs are serialized to
+    canonical comma-joined strings (array_join / array_to_string) so the
+    driver's pandas canonicalizer can sort and hash them — the HOF
+    lambdas are unchanged, only the output surface is flattened.
     """
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
     a = (
@@ -154,12 +158,19 @@ def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.select(
         "l_orderkey",
-        F.size("qtys").alias("n_items"),
-        F.expr("transform(qtys, x -> x * 2)").alias("doubled"),
-        F.expr("filter(qtys, x -> x >= 25)").alias("big"),
+        F.size("qtys").cast("bigint").alias("n_items"),
+        F.expr(
+            "array_join(transform(qtys, x -> CAST(x * 2 AS STRING)), ',')"
+        ).alias("doubled"),
+        F.expr(
+            "array_join(transform(filter(qtys, x -> x >= 25),"
+            " x -> CAST(x AS STRING)), ',')"
+        ).alias("big"),
         F.expr("CAST(exists(qtys, x -> x >= 25) AS INT)").alias("has_big"),
         F.expr(
             "aggregate(qtys, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("total"),
-        F.array_sort("qtys").alias("sorted_qtys"),
+        F.expr(
+            "array_join(transform(array_sort(qtys), x -> CAST(x AS STRING)), ',')"
+        ).alias("sorted_qtys"),
     )

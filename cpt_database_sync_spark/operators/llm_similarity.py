@@ -405,17 +405,21 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     training step whose output IVF search (``sim_ann_ivf``) consumes as
     its cell structure.
 
-    Each iteration is one broadcast of the K centroids against the
-    cached corpus (assignment = max-cosine argmax via window rank, ties
-    to the lower centroid id) and one (cid, dim)-keyed aggregation for
-    the update — map-side combine collapses the posexplode to K×dims
-    rows per partition, so per-iteration shuffle volume is independent of
-    corpus size. Centroid means use the exact decimal lane; every cosine
+    The K centroids are tiny (K×dims doubles), so each iteration pulls
+    them to the driver and embeds them as a literal array-of-structs;
+    assignment is then a **zero-shuffle per-row HOF argmax** — a
+    ``transform`` scoring every centroid with the sequential-fold cosine
+    and an ``array_max`` over ``struct(cos, -cid)`` (max cosine, ties to
+    the lower centroid id) — no join, no window, no Exchange. The update
+    step is one (cid, dim)-keyed aggregation — map-side combine collapses
+    the posexplode to K×dims rows per partition, so per-iteration shuffle
+    volume is independent of corpus size (and the assignment contributes
+    none at all; at 100 TB the corpus streams through map-only stages
+    three times). Centroid means use the exact decimal lane; every cosine
     is a sequential index-order fold — the DuckDB oracle replays all
-    {KM_ITERS} iterations unrolled and must land on identical clusters.
-    Lineage is cut per iteration with localCheckpoint (the standard
-    Spark iterative-algorithm shape; at 100 TB, persist to storage
-    instead).
+    iterations unrolled and must land on identical clusters. Driver-side
+    state per iteration is exactly K centroid rows — scalar-sized, the
+    same pattern as a watermark read.
     """
     spark_parallelism = spark.sparkContext.defaultParallelism
     emb = (
@@ -424,28 +428,44 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark_parallelism)
         .cache()
     )
-    cent = emb.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect()
     )
-    assign = None
-    for it in range(1, KM_ITERS + 1):
-        ranked = (
-            emb.join(F.broadcast(cent))
-            .withColumn("cos", cosine(F.col("e"), F.col("ce")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("cos").desc(), "cid"
-                    )
+
+    def centroid_literal(rows) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cid"])).cast("bigint").alias("cid"),
+                    F.array(*[F.lit(float(v)) for v in r["ce"]]).alias("ce"),
+                )
+                for r in sorted(rows, key=lambda r: r["cid"])
+            ]
+        )
+
+    def assign_with(rows) -> DataFrame:
+        # struct comparison is field-order lexicographic: max cos first,
+        # then max(-cid) == min cid for the deterministic tie-break.
+        best = F.array_max(
+            F.transform(
+                centroid_literal(rows),
+                lambda c: F.struct(
+                    cosine(F.col("e"), c["ce"]).alias("cos"),
+                    (-c["cid"]).alias("ncid"),
                 ),
             )
         )
-        assign = ranked.filter(F.col("rn") == 1).select("vec_id", "e", "cid")
+        return emb.select("vec_id", "e", (-best["ncid"]).alias("cid"))
+
+    assign = None
+    for it in range(1, KM_ITERS + 1):
+        assign = assign_with(cent_rows)
         if it < KM_ITERS:
             dims = assign.select("cid", F.posexplode("e").alias("pos", "val"))
             dec_sum = F.sum(F.col("val").cast("decimal(16,7)"))
-            newc = (
+            cent_rows = (
                 dims.groupBy("cid", "pos")
                 .agg(
                     (
@@ -458,6 +478,6 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm")
                 )
                 .select("cid", F.expr("transform(sm, s -> s.m)").alias("ce"))
+                .collect()
             )
-            cent = newc.localCheckpoint(eager=True)
     return assign.select("vec_id", "cid")

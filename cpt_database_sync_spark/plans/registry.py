@@ -77,15 +77,19 @@ def _load_all() -> None:
         importlib.import_module(mod)
 
 
-def _last_verified_round() -> dict[str, int]:
+def _last_verified_round(root: Path | None = None) -> dict[str, int]:
     """Per query: the most recent round whose CORRECTNESS_r*.json shows it
     fully green (rows+schema+hash for oracle-backed; rows for rows-only).
 
     Failed or errored rows do NOT count as verified, so a query that went
-    red resurfaces at the front of the budget next round.
+    red resurfaces at the front of the budget next round. ``root`` is the
+    directory holding the evidence files; defaults to the repo checkout
+    (and may legitimately contain none, e.g. an installed package — the
+    caller falls back to a static order in that case).
     """
     last: dict[str, int] = {}
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         if not m:
@@ -115,14 +119,25 @@ def all_specs() -> dict[str, QuerySpec]:
     query was driver-green (never-checked and red queries first, ties by
     registration order) guarantees every query cycles through the budget
     window across rounds.
+
+    With no CORRECTNESS evidence on disk (fresh checkout / installed
+    package) the rotation key is uniform, so fall back to the original
+    guarantee: oracle-backed queries sort before rows-only ones, ties by
+    registration order.
     """
     _load_all()
     last = _last_verified_round()
     order = {name: i for i, name in enumerate(_REGISTRY)}
-    ordered = sorted(
-        _REGISTRY.values(),
-        key=lambda s: (last.get(s.name, -1), order[s.name]),
-    )
+    if not last:
+        ordered = sorted(
+            _REGISTRY.values(),
+            key=lambda s: (s.oracle is None, order[s.name]),
+        )
+    else:
+        ordered = sorted(
+            _REGISTRY.values(),
+            key=lambda s: (last.get(s.name, -1), order[s.name]),
+        )
     return {s.name: s for s in ordered}
 
 
