@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 SHINGLE_K = 3
@@ -291,7 +292,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet materialization of (doc_id, hs) — same dataflow, durable.
     """
     docs = load(spark, sf_dir, "documents")
-    hashed = hashed_shingle_sets(docs).cache()
+    hashed = bounded_cache("dedup_minhash.hashed", hashed_shingle_sets(docs))
     cand = minhash_candidates(minhash_signatures_from_sets(hashed))
     return jaccard_verify_hashed(hashed, cand, JACCARD_THRESHOLD).select(
         "a_id", "b_id", "jaccard"

@@ -20,6 +20,7 @@ from cpt_database_sync_spark.operators.llm_dedup import (
     hashed_shingle_sets,
 )
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 # Benchmark membership proxy: a small deterministic slice of the corpus
@@ -68,7 +69,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     serial single-file scan (measured 4.8 s → 0.3 s at sf0.1). At 100 TB
     the cache is an explicit (doc_id, hs) parquet materialization.
     """
-    sets = hashed_shingle_sets(load(spark, sf_dir, "documents")).cache()
+    sets = bounded_cache(
+        "contamination_check.sets",
+        hashed_shingle_sets(load(spark, sf_dir, "documents")),
+    )
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = (
         sets.filter(is_bench)
@@ -308,10 +312,10 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalization pass shared by the quality/dedup chain and the
     # benchmark-vocabulary branch, and a pushdown barrier so the shingle
     # transform never lands in the serial scan (see contamination_check).
-    base = (
+    base = bounded_cache(
+        "pipeline_e2e.base",
         d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "lang", norm.alias("nt"))
-        .cache()
+        .select("doc_id", "lang", norm.alias("nt")),
     )
     filt = base.filter(
         F.col("lang").isin(*_PIPE_LANGS)
@@ -338,7 +342,8 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("hs").alias("g"))
         .distinct()
     )
-    kept_c = kept.cache()  # shared by the shingle branch and the final output
+    # shared by the shingle branch and the final output
+    kept_c = bounded_cache("pipeline_e2e.kept", kept)
     contaminated = (
         hashed_tri(kept_c)
         .select("doc_id", F.explode("hs").alias("g"))

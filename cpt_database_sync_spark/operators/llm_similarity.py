@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 TOPK = 5
@@ -422,11 +423,11 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pattern as a watermark read.
     """
     spark_parallelism = spark.sparkContext.defaultParallelism
-    emb = (
+    emb = bounded_cache(
+        "kmeans_spherical.emb",
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .repartition(spark_parallelism)
-        .cache()
+        .repartition(spark_parallelism),
     )
     cent_rows = (
         emb.filter(F.col("vec_id") < KM_K)

@@ -85,3 +85,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# One live cached frame per key: repeated invocations of a query in a
+# long-lived session (driver correctness sweep, bench loops, pytest) must
+# not stack cached blocks — the previous run's cache is unpersisted when
+# the next run registers its replacement. The current run's cache stays
+# alive because the returned lazy plan still reads it.
+_BOUNDED_CACHES: dict = {}
+
+
+def bounded_cache(key: str, df):
+    """Cache ``df`` under ``key``, unpersisting whatever the previous
+    invocation cached under the same key."""
+    prev = _BOUNDED_CACHES.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # a stale handle from a stopped session is not an error
+    cached = df.cache()
+    _BOUNDED_CACHES[key] = cached
+    return cached

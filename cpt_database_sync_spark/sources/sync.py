@@ -17,6 +17,7 @@ an option (fetchsize/batchsize/numPartitions — see ``jdbc_reader`` /
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,37 @@ def scratch_dir() -> str:
     d = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Shut down one embedded Derby database so its handles and page
+    cache are released before the directory is removed. Derby signals a
+    successful single-database shutdown WITH an SQLException (SQLState
+    08006) — the expected exception is swallowed."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:
+        pass
+
+
+def sweep_scratch(prefix: str, spark: SparkSession | None = None) -> None:
+    """Remove scratch directories left by previous runs of the same
+    query (each run mkdtemps a fresh dir whose contents the returned lazy
+    plan still reads — so the CURRENT run's dir must survive until the
+    NEXT run, and this sweep runs first). Bounds `.scratch/` growth to
+    one live dir per query instead of one per invocation. Embedded Derby
+    databases are shut down before deletion."""
+    root = scratch_dir()
+    for name in os.listdir(root):
+        if not name.startswith(prefix):
+            continue
+        path = os.path.join(root, name)
+        db = os.path.join(path, "db")
+        if spark is not None and os.path.isdir(db):
+            derby_shutdown(spark, db)
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # The reference's constants (BASELINE.md) as defaults; at scale, raise
@@ -327,6 +359,7 @@ def sync_database_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     back FROM THE TARGET — the copy is what's being verified, exactly the
     reference's fetch-count==pull-count completion check
     (`sync/FetchRunner.java:38` / `sync/H2Runner.java:48`)."""
+    sweep_scratch("sync_db_")
     target = tempfile.mkdtemp(prefix="sync_db_", dir=scratch_dir())
     counts = sync_database(spark, sf_dir, target)
     return spark.createDataFrame(
@@ -344,6 +377,7 @@ def full_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh target and read it back; the result must equal the source exactly
     (the reference's fetch-count==pull-count check made exact,
     `sync/FetchRunner.java:38` / `sync/H2Runner.java:38`)."""
+    sweep_scratch("full_copy_")
     target = tempfile.mkdtemp(prefix="full_copy_", dir=scratch_dir()) + "/lineitem"
     return full_copy_parquet(spark, load(spark, sf_dir, "lineitem"), target)
 
@@ -399,6 +433,7 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DDL (ansi tier for Derby), identifier case-folding, batched append,
     and the parallel partitioned read back.
     """
+    sweep_scratch("jdbc_rt_", spark)
     workdir = tempfile.mkdtemp(prefix="jdbc_rt_", dir=scratch_dir())
     url = f"jdbc:derby:{workdir}/db;create=true"
     src = load(spark, sf_dir, "customer")

@@ -104,8 +104,9 @@ def incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back equals the full source — the reference's count-match check
     (`sync/FetchRunner.java:38`) strengthened to full-value equality.
     """
-    from cpt_database_sync_spark.sources.sync import scratch_dir
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
 
+    sweep_scratch("incr_sync_")
     workdir = tempfile.mkdtemp(prefix="incr_sync_", dir=scratch_dir())
     target = f"{workdir}/events_target"
     wm_file = f"{workdir}/watermark.json"
@@ -160,9 +161,11 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         jdbc_sync_table,
         jdbc_upsert_batch,
         scratch_dir,
+        sweep_scratch,
     )
     from cpt_database_sync_spark.streaming.windows import events_stream
 
+    sweep_scratch("stream_upsert_", spark)
     workdir = tempfile.mkdtemp(prefix="stream_upsert_", dir=scratch_dir())
     url = f"jdbc:derby:{workdir}/db;create=true"
     checkpoint = "2024-01-10 00:00:00"

@@ -20,6 +20,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     spark = get_spark(app_name="cpt-sync-tests", master="local[8]", shuffle_partitions=8)
     yield spark
+    # End-of-session scratch sweep: shut the whole embedded Derby engine
+    # down (releases every booted database), then clear the scratch tree.
+    import shutil
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+    except Exception:
+        pass  # Derby reports a clean engine shutdown via SQLException
+    shutil.rmtree(scratch_dir(), ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
