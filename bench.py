@@ -64,6 +64,12 @@ HEADLINE = [
     "kmeans_spherical",
     "grouping_sets",
     "stratified_sample",
+    "hof_surface",
+    "tfidf_topterms",
+    "event_transitions",
+    "gapfill_daily",
+    "distinct_users_bitmap",
+    "multimodal_image_decode",
 ]
 
 

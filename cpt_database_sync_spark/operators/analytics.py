@@ -248,3 +248,160 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_1h_value"),
         F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 9)
+             AS p
+    FROM t
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    every (previous event_type → current event_type) pair within a user's
+    timeline, the count and the conditional probability P(curr | prev).
+    The sequence-mining primitive behind next-action prediction and
+    anomaly scoring on clickstreams.
+
+    One user_id shuffle for the lag window (events within a user sort
+    locally — the sessionize pattern), then a (prev, curr) aggregation
+    whose cardinality is |event_type|² — tiny however large the corpus,
+    so the normalizing per-prev window costs nothing. Ties at equal ts
+    are broken by event_id so both engines see the same sequence.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 9
+        ).alias("p"),
+    )
+
+
+@register(
+    "gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(min(day), max(day),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily GROUP BY user_id
+    ),
+    j AS (
+      SELECT c.user_id, c.day, d.v
+      FROM cal c LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           CAST(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(28,6)) AS value_filled,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM j
+    """,
+)
+def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's daily value series to a
+    complete calendar (sequence + explode between the user's first and
+    last active day) and forward-fill missing days with the last
+    observed value — the regularization step before any rolling-feature
+    or forecasting job, where absent rows would silently shrink windows.
+
+    Daily sums use the exact decimal lane so both engines agree
+    bit-for-bit; the calendar explode is proportional to the span, not
+    the event count. Two shuffles total (daily agg, user window) — the
+    join calendar⋈daily co-partitions on the same user key. Forward fill
+    is ``last(..., ignorenulls)`` over an unbounded-preceding row frame —
+    linear per user run.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    cal = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).cast("decimal(28,6)").alias(
+            "value_filled"
+        ),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )
+
+
+@register(
+    "distinct_users_bitmap",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users via BITMAPS instead of COUNT(DISTINCT):
+    each (day, bucket) partial aggregates user ids into a fixed-size bit
+    vector (``bitmap_construct_agg`` over ``bitmap_bit_position``), then
+    per-day counts sum the popcounts. COUNT(DISTINCT) shuffles every
+    (day, user) pair and cannot pre-aggregate; bitmaps combine
+    associatively, so the map side collapses to #days × #buckets rows —
+    the re-aggregatable exact-distinct shape that also incrementalizes
+    (store the bitmaps, OR tomorrow's in). The oracle is plain
+    COUNT(DISTINCT): same numbers, different physics.
+
+    n_events rides along on the second-level agg (sum of partial
+    counts), proving the bitmap lane composes with ordinary measures.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_bucket.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )

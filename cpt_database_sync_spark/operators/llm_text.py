@@ -9,7 +9,7 @@ small aggregations). Each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
@@ -387,3 +387,67 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
     ).cast("int")
     return d.filter(nibble < rate).select("doc_id", "lang")
+
+
+TFIDF_TOPK = 5
+
+
+@register(
+    "tfidf_topterms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                        tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, round(tfidf, 9) AS tfidf
+    FROM scored WHERE rn <= {TFIDF_TOPK}
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/topic
+    signal (and the weighting behind BM25-ish corpus search and
+    centroid-based topic clustering of a training mix).
+
+    TF is a (doc, term) aggregation; DF reuses the TF result (a term
+    counts once per doc by construction — no second corpus pass); the
+    corpus size N is one scalar driver read (the watermark pattern). The
+    TF⋈DF join is term-keyed and stays DISTRIBUTED — at 100 TB the
+    vocabulary is billions of terms and must never broadcast; Catalyst
+    picks broadcast only when DF is provably tiny (as at test SF). The
+    idf uses the smoothed form ln((N+1)/(df+1)) + 1, emitted rounded to
+    9 decimals: ranking uses the raw doubles (1-ulp ln() differences
+    between engines cannot reorder distinct (tf, df) pairs; equal pairs
+    tie-break by term), rounding only absorbs display noise.
+    """
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(df, "term").withColumn("tfidf", F.col("tf") * idf)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), "term"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 9).alias("tfidf"))
+    )

@@ -224,3 +224,16 @@ def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     assert all("RoundRobin" in e for e in exchanges), (
         f"assignment introduced a keyed shuffle: {exchanges}"
     )
+
+
+def test_bitmap_distinct_preaggregates_map_side(spark, sf_dir):
+    """distinct_users_bitmap exists to REPLACE count-distinct's full
+    (day,user) shuffle: the bitmap agg must run partial (map-side) before
+    any exchange, and no expand/distinct shuffle may appear."""
+    from cpt_database_sync_spark.operators.analytics import distinct_users_bitmap
+
+    plan = plan_string(distinct_users_bitmap(spark, sf_dir))
+    assert "partial_bitmap_construct_agg" in plan or (
+        "bitmap_construct_agg" in plan and "partial" in plan.lower()
+    ), f"bitmap agg is not partial/map-side:\n{plan[:2000]}"
+    assert "Expand" not in plan, "a count-distinct Expand crept in"
