@@ -70,6 +70,9 @@ HEADLINE = [
     "gapfill_daily",
     "distinct_users_bitmap",
     "multimodal_image_decode",
+    "anomaly_zscore",
+    "embedding_quantize",
+    "stream_dedup_delivery",
 ]
 
 

@@ -405,3 +405,65 @@ def distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).alias("n_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+Z_THRESHOLD = 2.0
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS sxx
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (CAST(e.value AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n)
+             / sqrt((CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+                    / (s.n - 1)) AS z
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value, round(z, 9) AS z
+    FROM scored WHERE abs(z) > {2.0}
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: events whose value sits more
+    than {Z_THRESHOLD}σ from their event_type's mean — the statistical
+    anomaly gate of a metrics/quality pipeline.
+
+    The per-type moments (n, Σx, Σx²) are computed in the exact decimal
+    lane — value is cast to DECIMAL(18,6) first so the squares and sums
+    are bit-identical across engines regardless of aggregation order;
+    mean/variance only drop to double at the very end (one deterministic
+    expression over exact inputs). The stats table is |event_type| rows —
+    broadcast back onto the stream, so the whole operator is one
+    map-side-combined aggregation plus a map-only scoring pass: no
+    corpus-sized shuffle at any scale. z is emitted rounded to 9; the
+    |z| > τ gate uses the raw double.
+    """
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value").cast("double") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round("z", 9).alias("z"))
+    )

@@ -482,3 +482,109 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
     return assign.select("vec_id", "cid")
+
+
+_QUANT_ORACLE = """
+WITH d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+dims AS (
+  SELECT u.i AS pos, min(e[CAST(u.i + 1 AS INT)]) AS lo,
+         max(e[CAST(u.i + 1 AS INT)]) AS hi
+  FROM d, UNNEST(range(len(e))) AS u(i)
+  GROUP BY 1
+),
+lims AS (
+  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM dims
+),
+q AS (
+  SELECT d.vec_id,
+         list_transform(range(len(d.e)), i ->
+           CASE WHEN lims.hi[CAST(i + 1 AS INT)] = lims.lo[CAST(i + 1 AS INT)]
+                THEN 0
+                ELSE CAST(floor((d.e[CAST(i + 1 AS INT)]
+                                 - lims.lo[CAST(i + 1 AS INT)])
+                                / (lims.hi[CAST(i + 1 AS INT)]
+                                   - lims.lo[CAST(i + 1 AS INT)])
+                                * 255.0 + 0.5) AS BIGINT) END) AS qv,
+         d.e AS e, lims.lo AS lo, lims.hi AS hi
+  FROM d, lims
+),
+err AS (
+  SELECT vec_id,
+         array_to_string(qv, ',') AS q_str,
+         list_transform(range(len(e)), i ->
+           abs(e[CAST(i + 1 AS INT)]
+               - (lo[CAST(i + 1 AS INT)]
+                  + CAST(qv[CAST(i + 1 AS INT)] AS DOUBLE)
+                    * (hi[CAST(i + 1 AS INT)] - lo[CAST(i + 1 AS INT)])
+                    / 255.0))) AS errs
+  FROM q
+)
+SELECT vec_id, q_str,
+       round(list_aggregate(errs, 'max'), 9) AS max_abs_err,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+                         (acc, x) -> acc + x * x) / len(errs), 9) AS mse
+FROM err
+"""
+
+
+@register("embedding_quantize", oracle=_QUANT_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — the 4× storage
+    compression (float32 → uint8 per dimension) that makes a 100 TB
+    vector corpus searchable from fast storage — with per-vector
+    reconstruction-error stats (max abs error, MSE) as the quality gate.
+
+    Per-dimension [lo, hi] ranges come from one posexplode aggregation
+    with map-side combine (dims-sized output), collected to the driver
+    and embedded as literal arrays — the kmeans centroid pattern; the
+    quantize + dequantize + error pass is then a ZERO-shuffle map over
+    the corpus in pure HOF arithmetic (floor((x-lo)/(hi-lo)*255+0.5),
+    clamp-free since lo/hi are the observed extrema). Every float op is
+    identical IEEE double arithmetic on both engines; the error fold is
+    a sequential index-order sum, so the oracle matches bit-for-bit
+    before the display rounding.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    dims = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo = F.array(*[F.lit(r.lo) for r in sorted(dims, key=lambda r: r.pos)])
+    hi = F.array(*[F.lit(r.hi) for r in sorted(dims, key=lambda r: r.pos)])
+    qv = F.expr(
+        "transform(sequence(0, size(e) - 1), i -> IF(hi_a[i] = lo_a[i], 0L, "
+        "CAST(floor((e[i] - lo_a[i]) / (hi_a[i] - lo_a[i]) * 255.0D + 0.5D) "
+        "AS BIGINT)))"
+    )
+    errs = F.expr(
+        "transform(sequence(0, size(e) - 1), i -> "
+        "abs(e[i] - (lo_a[i] + CAST(qv[i] AS DOUBLE) "
+        "* (hi_a[i] - lo_a[i]) / 255.0D)))"
+    )
+    return (
+        emb.withColumn("lo_a", lo)
+        .withColumn("hi_a", hi)
+        .withColumn("qv", qv)
+        .withColumn("errs", errs)
+        .select(
+            "vec_id",
+            F.expr(
+                "array_join(transform(qv, x -> CAST(x AS STRING)), ',')"
+            ).alias("q_str"),
+            F.round(F.array_max("errs"), 9).alias("max_abs_err"),
+            F.round(
+                F.expr(
+                    "aggregate(errs, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"
+                )
+                / F.size("errs"),
+                9,
+            ).alias("mse"),
+        )
+    )

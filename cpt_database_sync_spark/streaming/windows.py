@@ -346,3 +346,26 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "day")
     )
     return run_to_table(keys, "append")
+
+
+@register("stream_dedup_delivery", oracle="SELECT * FROM events")
+def stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery healed by keyed streaming dedup: the source
+    arrives TWICE (the same stream unioned with itself — the retry /
+    replayed-partition shape), and ``dropDuplicates`` on the primary key
+    under a watermark must reconstruct the original table exactly, full
+    payload rows included. The oracle is simply ``SELECT * FROM events``:
+    any row lost, doubled, or mixed between copies breaks identity.
+
+    State is one entry per key within the watermark horizon — bounded on
+    an unbounded source; at 100 TB the dedup state shards across the
+    state store by key exactly like the aggregation stores.
+    """
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    return run_to_table(deduped, "append")
