@@ -325,7 +325,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(last_value(v IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(28,6)) AS value_filled,
+           ) AS DOUBLE) AS value_filled,
            CAST(v IS NULL AS INT) AS is_gap
     FROM j
     """,
@@ -338,7 +338,11 @@ def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     or forecasting job, where absent rows would silently shrink windows.
 
     Daily sums use the exact decimal lane so both engines agree
-    bit-for-bit; the calendar explode is proportional to the span, not
+    bit-for-bit; the filled value is surfaced as DOUBLE (exact decimal →
+    correctly-rounded double is identical in both engines, and both
+    pandas lanes then carry float64, which the driver's value-hash needs
+    — a decimal column stringifies with trailing zeros on one side
+    only). The calendar explode is proportional to the span, not
     the event count. Two shuffles total (daily agg, user window) — the
     join calendar⋈daily co-partitions on the same user key. Forward fill
     is ``last(..., ignorenulls)`` over an unbounded-preceding row frame —
@@ -363,7 +367,7 @@ def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id",
         "day",
-        F.last("v", ignorenulls=True).over(w).cast("decimal(28,6)").alias(
+        F.last("v", ignorenulls=True).over(w).cast("double").alias(
             "value_filled"
         ),
         F.col("v").isNull().cast("int").alias("is_gap"),
