@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 ALL_TABLES = (
     "region",
@@ -35,18 +36,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet scan automatically because this returns an unmaterialized
     DataFrame (check ``.explain``: PushedFilters / ReadSchema).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw int64 nanos
-    (``nanosAsLong``) and convert exactly to a micros timestamp with integer
-    division (`div`, not `/` — float division would lose precision on
-    epoch-nanos magnitudes).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read as raw int64 nanos via ``nanosAsLong`` and convert with
+    integer division, not float `/`, to keep epoch-nanos exact) and plain
+    TIMESTAMP(MICROS) (read natively). Dispatch on the loaded schema so both
+    generations work.
     """
     if name not in ALL_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {ALL_TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; downstream code
+            # (unix_micros, watermarks) wants the session-TZ timestamp type.
+            # Session TZ is pinned to UTC (session.py) so the cast is exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -28,34 +28,36 @@ from pyspark.sql import types as T
 from cpt_database_sync_spark.functions.numeric import sql_dsum
 from cpt_database_sync_spark.plans.registry import register
 
-# Physical schema of events.parquet with nanos read as raw int64
-# (see sources/tables.py — Spark rejects TIMESTAMP(NANOS) natively).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of events.parquet. ``ts`` has shipped both as
+    TIMESTAMP(NANOS) (which Spark rejects natively — read as raw int64 via
+    ``nanosAsLong``, see sources/tables.py) and as TIMESTAMP(MICROS) (read
+    natively). readStream needs an explicit schema, so probe the batch
+    reader's inferred schema once (metadata-only, no data scan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded source: readStream over the fixture dir.
     On a real deployment this is the same code over a Kafka/file-drop
     source; only the format/options line changes."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     # the file source wants a directory: stream the fixture dir, filtered
     # to the events file (a real deployment points at a landing directory)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # TIMESTAMP_NTZ → session-TZ timestamp (UTC session, exact cast);
+        # watermarks and window() expect the LTZ lane.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return raw
 
 
 # State-store instances scale with shuffle partitions; see the comment at
