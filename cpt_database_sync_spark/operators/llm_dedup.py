@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cpt_database_sync_spark.plans.golden import (
+    DOCS_FINGERPRINT_SQL,
+    golden_oracle,
+)
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
@@ -275,7 +279,15 @@ def jaccard_verify_hashed(
     )
 
 
-@register("dedup_minhash")  # rows-only: xxhash64 signatures are Spark-specific
+@register(
+    "dedup_minhash",
+    # xxhash64 signatures have no DuckDB equivalent — the oracle is the
+    # committed golden expectation (deterministic seeded output), keyed
+    # by corpus fingerprint. See plans/golden.py.
+    oracle=golden_oracle(
+        "dedup_minhash", ["a_id", "b_id", "jaccard"], DOCS_FINGERPRINT_SQL
+    ),
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
@@ -330,7 +342,13 @@ def simhash_column(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
-@register("dedup_simhash")  # rows-only: xxhash64-based
+@register(
+    "dedup_simhash",
+    # xxhash64-based — golden-fixture oracle, see plans/golden.py.
+    oracle=golden_oracle(
+        "dedup_simhash", ["a_id", "b_id", "hamming"], DOCS_FINGERPRINT_SQL
+    ),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band LSH (a pair within Hamming
     distance 3 shares ≥1 exact band — pigeonhole), verified by true

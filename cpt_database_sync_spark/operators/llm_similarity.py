@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cpt_database_sync_spark.plans.golden import (
+    EMB_FINGERPRINT_SQL,
+    golden_oracle,
+)
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
@@ -160,7 +164,14 @@ def lsh_bucket(vec: Column, dim: int = 64) -> Column:
     return bucket
 
 
-@register("sim_ann_lsh")  # rows-only: bucket-local search is approximate
+@register(
+    "sim_ann_lsh",
+    # Bucket-local search is approximate and the seeded hyperplanes have
+    # no DuckDB equivalent — golden-fixture oracle, see plans/golden.py.
+    oracle=golden_oracle(
+        "sim_ann_lsh", ["q_id", "n_id", "rn", "sim"], EMB_FINGERPRINT_SQL
+    ),
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table sign-LSH: score only candidates sharing a
     (table, bucket) with the query in any of the L tables, then rank.
