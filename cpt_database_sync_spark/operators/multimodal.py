@@ -103,19 +103,108 @@ def decode_image_meta(payload: bytes) -> dict:
     raise ValueError("unrecognized image container")
 
 
-def decode_image(payload: bytes):
-    """Full pixel decode — needs a real codec library (PIL). Falls back
-    to NotImplementedError when absent; metadata extraction stays
-    available via decode_image_meta either way."""
-    pil = _probe_pil()
-    if pil is None:
-        raise NotImplementedError(
-            "pixel decoding needs PIL/libjpeg (not installed); "
-            "decode_image_meta works codec-less"
-        )
-    import io  # noqa: PLC0415
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
 
-    return pil.open(io.BytesIO(payload))
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """Full PNG pixel decode in pure stdlib: IDAT zlib-inflate + scanline
+    unfiltering (all five filter types: None/Sub/Up/Average/Paeth).
+
+    Supports the non-interlaced 8-bit color types (grayscale, RGB,
+    gray+alpha, RGBA) — the shapes a training pipeline's synthesized or
+    screenshot-like PNGs use. Returns width/height/channels/fmt plus the
+    raw ``pixels`` bytes (row-major, channel-interleaved)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _, _, interlace = payload[24:29]
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
+    if color_type not in (0, 2, 4, 6):
+        raise NotImplementedError(f"PNG color type {color_type} unsupported")
+    if interlace:
+        raise NotImplementedError("Adam7 interlacing unsupported")
+    channels = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT payloads
+    idat, i = b"", 8
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += payload[i + 8 : i + 8 + length]
+        if tag == b"IEND":
+            break
+        i += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = bytearray(h * stride)
+    prior = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "fmt": "png",
+        "pixels": bytes(out),
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Full pixel decode: PIL when installed (any format), else the pure
+    stdlib PNG decoder — so the pixel path is REAL in this sandbox too.
+    Only non-PNG payloads without a codec library raise. Returns
+    width/height/channels/fmt plus row-major ``pixels`` bytes."""
+    pil = _probe_pil()
+    if pil is not None:
+        import io  # noqa: PLC0415
+
+        with pil.open(io.BytesIO(payload)) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "channels": len(im.getbands()),
+                "fmt": (im.format or "unknown").lower(),
+                "pixels": im.tobytes(),
+            }
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png_pixels(payload)
+    raise NotImplementedError(
+        "non-PNG pixel decoding needs PIL/libjpeg (not installed); "
+        "decode_image_meta works codec-less"
+    )
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
@@ -192,9 +281,17 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def make_png(width: int, height: int) -> bytes:
-    """A minimal VALID grayscale PNG (8-bit, zero pixels) — stdlib only.
-    Used to exercise the real decode path with genuine image bytes."""
+def png_pixel(x: int, y: int, seed: int = 0) -> int:
+    """The deterministic grayscale test pattern baked into make_png —
+    shared with the SQL oracle, which recomputes it symbolically."""
+    return (x * 31 + y * 17 + seed) % 256
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A minimal VALID grayscale PNG (8-bit) — stdlib only. Pixels carry
+    the ``png_pixel`` pattern and each scanline is stored with filter
+    type ``y % 5``, so decoding exercises every PNG filter
+    (None/Sub/Up/Average/Paeth), not just the trivial path."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
@@ -207,36 +304,72 @@ def make_png(width: int, height: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    raw = bytearray()
+    prior = bytes(width)
+    for y in range(height):
+        row = bytes(png_pixel(x, y, seed) for x in range(width))
+        ft = y % 5
+        filt = bytearray(width)
+        for x in range(width):
+            a = row[x - 1] if x >= 1 else 0  # left (bpp=1: grayscale)
+            b = prior[x]  # up
+            c = prior[x - 1] if x >= 1 else 0  # up-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(filt)
+        prior = row
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 1))
         + chunk(b"IEND", b"")
     )
 
 
 @register(
     "multimodal_image_decode",
+    # The oracle recomputes the png_pixel pattern symbolically: the Spark
+    # side's pixel sum comes from REAL decoded bytes (zlib inflate +
+    # unfilter, or PIL), so a decoder bug of even one pixel hash-fails.
     oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n, 1 + n % 64 AS w, 1 + (n * 3) % 48 AS h FROM d
+    )
     SELECT doc_id,
-           CAST(1 + octet_length(encode(text)) % 64 AS INT)       AS width,
-           CAST(1 + (octet_length(encode(text)) * 3) % 48 AS INT) AS height,
-           CAST(1 AS INT)                                         AS channels,
-           'png'                                                  AS fmt
-    FROM documents
+           CAST(w AS INT)  AS width,
+           CAST(h AS INT)  AS height,
+           CAST(1 AS INT)  AS channels,
+           'png'           AS fmt,
+           round(CAST(SUM(((u.i % w) * 31 + (u.i // w) * 17 + n) % 256)
+                      AS DOUBLE) / (w * h), 6) AS mean_px
+    FROM dims, UNNEST(range(w * h)) AS u(i)
+    GROUP BY doc_id, n, w, h
     """,
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, end to end: synthesize a valid PNG per document
-    (dimensions derived from the text's byte length), then decode it with
-    ``decode_image_meta`` — PIL when installed, stdlib PNG-header parsing
-    otherwise, so the decode is genuine in both environments and yields
-    identical metadata. The oracle recomputes the expected dimensions
-    from octet_length, closing the loop: encode → real bytes → real
-    decode → verified values. Map-only Arrow batches; at 100 TB the
-    payloads arrive from storage instead of the synthesizer and the rest
-    of the stage is unchanged."""
+    (dimensions and pixel pattern derived from the text's byte length,
+    scanlines stored with all five PNG filter types), then decode it with
+    ``decode_image`` — PIL when installed, pure-stdlib zlib-inflate +
+    scanline unfiltering otherwise — and reduce the DECODED pixels to a
+    mean-value statistic. The oracle recomputes dimensions and the pixel
+    pattern symbolically, closing the loop: encode → real bytes → real
+    pixel decode → verified values (division and rounding stay JVM-side
+    for engine parity). Map-only Arrow batches; at 100 TB the payloads
+    arrive from storage instead of the synthesizer and the rest of the
+    stage is unchanged."""
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
     src = d.select(
@@ -246,7 +379,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                decode_image_meta(make_png(1 + n % 64, 1 + (n * 3) % 48))
+                decode_image(make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n))
                 for n in pdf["n"]
             ]
             yield pd.DataFrame(
@@ -256,12 +389,26 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "height": [m["height"] for m in metas],
                     "channels": [m["channels"] for m in metas],
                     "fmt": [m["fmt"] for m in metas],
+                    "px_sum": [sum(m["pixels"]) for m in metas],
                 }
             )
 
-    return src.mapInPandas(
+    decoded = src.mapInPandas(
         encode_decode,
-        schema="doc_id bigint, width int, height int, channels int, fmt string",
+        schema=(
+            "doc_id bigint, width int, height int, channels int, "
+            "fmt string, px_sum bigint"
+        ),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        "fmt",
+        F.round(
+            F.col("px_sum").cast("double") / (F.col("width") * F.col("height")), 6
+        ).alias("mean_px"),
     )
 
 
