@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructType
 
 ALL_TABLES = (
     "region",
@@ -31,31 +31,56 @@ ALL_TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to the session-TZ timestamp lane.
+
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations; this is the single dispatch point shared by the batch
+    loader and the streaming source (``streaming/windows.events_stream``):
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it —
+      read as raw int64 nanos via ``nanosAsLong`` (arrives as LongType)
+      and convert with integer division, not float `/`, to keep
+      epoch-nanos exact;
+    - plain TIMESTAMP(MICROS): arrives as TIMESTAMP_NTZ; downstream code
+      (unix_micros, watermarks) wants the session-TZ timestamp type.
+      Session TZ is pinned to UTC (session.py) so the cast is exact.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+
+
+# Physical schema of events.parquet, memoized per sf_dir: the probe is
+# metadata-only but readStream construction calls it per query — once per
+# fixture dir is enough (fixture schemas don't change mid-session).
+_EVENTS_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Pre-normalization schema of ``events.parquet`` (``ts`` as int64
+    nanos or TIMESTAMP_NTZ micros, see ``normalize_events_ts``)."""
+    if sf_dir not in _EVENTS_SCHEMA_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _EVENTS_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).schema
+    return _EVENTS_SCHEMA_CACHE[sf_dir]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Column pruning / predicate pushdown reach the
     parquet scan automatically because this returns an unmaterialized
     DataFrame (check ``.explain``: PushedFilters / ReadSchema).
 
-    ``events.ts`` has shipped in two physical encodings across fixture
-    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
-    rejects — read as raw int64 nanos via ``nanosAsLong`` and convert with
-    integer division, not float `/`, to keep epoch-nanos exact) and plain
-    TIMESTAMP(MICROS) (read natively). Dispatch on the loaded schema so both
-    generations work.
+    ``events`` is ts-normalized via ``normalize_events_ts`` (dual physical
+    encodings across fixture generations).
     """
     if name not in ALL_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {ALL_TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            # TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; downstream code
-            # (unix_micros, watermarks) wants the session-TZ timestamp type.
-            # Session TZ is pinned to UTC (session.py) so the cast is exact.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -23,26 +23,24 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from cpt_database_sync_spark.functions.numeric import sql_dsum
 from cpt_database_sync_spark.plans.registry import register
-
-def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """Physical schema of events.parquet. ``ts`` has shipped both as
-    TIMESTAMP(NANOS) (which Spark rejects natively — read as raw int64 via
-    ``nanosAsLong``, see sources/tables.py) and as TIMESTAMP(MICROS) (read
-    natively). readStream needs an explicit schema, so probe the batch
-    reader's inferred schema once (metadata-only, no data scan)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+from cpt_database_sync_spark.sources.tables import (
+    events_raw_schema,
+    normalize_events_ts,
+)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded source: readStream over the fixture dir.
     On a real deployment this is the same code over a Kafka/file-drop
-    source; only the format/options line changes."""
-    schema = _events_raw_schema(spark, sf_dir)
+    source; only the format/options line changes.
+
+    readStream needs an explicit schema — ``events_raw_schema`` probes it
+    once per sf_dir (memoized); ts-encoding dispatch is shared with the
+    batch loader via ``normalize_events_ts``."""
+    schema = events_raw_schema(spark, sf_dir)
     # the file source wants a directory: stream the fixture dir, filtered
     # to the events file (a real deployment points at a landing directory)
     raw = (
@@ -51,13 +49,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        # TIMESTAMP_NTZ → session-TZ timestamp (UTC session, exact cast);
-        # watermarks and window() expect the LTZ lane.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
-    return raw
+    return normalize_events_ts(raw)
 
 
 # State-store instances scale with shuffle partitions; see the comment at
