@@ -76,6 +76,26 @@ HEADLINE = [
 ]
 
 
+def fixture_fingerprint(sf_dir: str) -> dict:
+    """Identity of the fixture set the numbers were measured against:
+    (name, size, mtime) of every parquet, folded into one short hash.
+    Fixtures have been regenerated between rounds before (r4→r5, same row
+    counts, different host state) — without this stamp, round-over-round
+    bench deltas are not attributable."""
+    import hashlib  # noqa: PLC0415
+
+    files = sorted(
+        f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    parts, max_mtime = [], 0.0
+    for f in files:
+        st = os.stat(os.path.join(sf_dir, f))
+        parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+        max_mtime = max(max_mtime, st.st_mtime)
+    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+    return {"hash": digest, "n_files": len(files), "max_mtime": int(max_mtime)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -111,6 +131,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
+    fixture = fixture_fingerprint(sf_dir)
+    # Full detail to a sidecar file: the driver snapshots only a bounded
+    # tail of stdout, so the printed line must stay compact (per-query
+    # MINs + fingerprint); medians/spread/fixture inventory live here.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "total_median": total_median,
+        "trials": trials,
+        "sf": float(sf),
+        "fixture": fixture,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
@@ -118,11 +158,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
                 "total_median": total_median,
                 "trials": trials,
                 "sf": float(sf),
-            }
+                "fixture": fixture["hash"],
+            },
+            separators=(",", ":"),
         )
     )
 
