@@ -104,8 +104,11 @@ def main() -> None:
 
     # Warmup on the smallest fixture: JVM/codegen JIT, the higher-order-
     # function interpreter paths, and the Python worker pool — so per-query
-    # numbers measure the plan, not first-run JIT/process startup.
-    for warm_q in ("agg_hash", "multimodal_meta", "sim_topk", "dedup_minhash"):
+    # numbers measure the plan, not first-run JIT/process startup. Every
+    # headline query warms (first-run codegen compilation measured 5-10x
+    # the steady state for the decimal/HOF-heavy queries; sf0.001 makes the
+    # warmup pass cheap while compiling the same generated classes).
+    for warm_q in HEADLINE:
         queries[warm_q](spark, "/root/testdata/sf0.001").count()
 
     # Best-of-N (N=3) per query: this host shows bursty CPU steal
