@@ -73,6 +73,10 @@ HEADLINE = [
     "anomaly_zscore",
     "embedding_quantize",
     "stream_dedup_delivery",
+    "bm25_retrieval",
+    "ngram_lm_score",
+    "weighted_sample",
+    "embedding_outliers",
 ]
 
 

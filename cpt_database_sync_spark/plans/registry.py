@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "cpt_database_sync_spark.operators.llm_dedup",
     "cpt_database_sync_spark.operators.llm_similarity",
     "cpt_database_sync_spark.operators.llm_text",
+    "cpt_database_sync_spark.operators.llm_retrieval",
     "cpt_database_sync_spark.operators.llm_quality",
     "cpt_database_sync_spark.operators.multimodal",
 ]

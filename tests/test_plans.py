@@ -241,6 +241,38 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
         assert "Exchange" not in plan, f"{name} must be map-only:\n{plan}"
 
 
+def test_bm25_topk_avoids_global_window_sort(spark, sf_dir):
+    """bm25_retrieval and weighted_sample must take their top-k through a
+    distributed TakeOrderedAndProject (bounded per-partition heap), not a
+    corpus-wide single-partition window sort; bm25's index pass must be
+    one partial+final aggregation (no (doc,term) join)."""
+    from cpt_database_sync_spark.operators.llm_retrieval import (
+        bm25_retrieval,
+        weighted_sample,
+    )
+
+    for fn in (bm25_retrieval, weighted_sample):
+        plan = plan_string(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (
+            f"{fn.__name__} lacks distributed top-k:\n{plan[:2000]}"
+        )
+    bm25 = plan_string(bm25_retrieval(spark, sf_dir))
+    assert "partial_count" in bm25 or "partial" in bm25.lower()
+    assert "Join" not in bm25, "bm25 must not join a term table"
+
+
+def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
+    """The |labels|-row centroid table must broadcast; the centroid
+    aggregation must pre-aggregate map-side (the kmeans update shape)."""
+    from cpt_database_sync_spark.operators.llm_retrieval import (
+        embedding_outliers,
+    )
+
+    plan = plan_string(embedding_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"centroids not broadcast:\n{plan[:2000]}"
+    assert "partial" in plan.lower(), "centroid agg is not map-side combined"
+
+
 def test_bitmap_distinct_preaggregates_map_side(spark, sf_dir):
     """distinct_users_bitmap exists to REPLACE count-distinct's full
     (day,user) shuffle: the bitmap agg must run partial (map-side) before
