@@ -77,6 +77,8 @@ HEADLINE = [
     "ngram_lm_score",
     "weighted_sample",
     "embedding_outliers",
+    "scd2_intervals",
+    "sequence_chunking",
 ]
 
 

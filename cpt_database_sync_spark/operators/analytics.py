@@ -471,3 +471,61 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > Z_THRESHOLD)
         .select("event_id", "event_type", "value", F.round("z", 9).alias("z"))
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           CAST(LEAD(valid_from) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 construction from an event/CDC
+    stream: per user, compress consecutive equal states and emit validity
+    intervals [valid_from, valid_to) with the open current row — the
+    standard warehouse history table the reference's drop-and-recopy
+    model throws away on every sync (handler/Handler.java:42-55 keeps
+    only the latest snapshot; this keeps lineage).
+
+    One user-keyed shuffle serves BOTH window passes (change detection
+    via lag, interval close via lead — same partitioning, Catalyst
+    reuses the Exchange). Deterministic under ts ties by the (ts,
+    event_id) total order. At 100 TB: partition the sink by
+    is_current/valid_to date so point-in-time queries prune to the
+    intervals they touch.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

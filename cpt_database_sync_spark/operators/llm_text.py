@@ -451,3 +451,70 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 9).alias("tfidf"))
     )
+
+
+CHUNK_TOKENS = 64
+
+
+@register(
+    "sequence_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.i AS INT) AS chunk_id,
+           CAST(u.i * {CHUNK_TOKENS} AS BIGINT) AS start_tok,
+           CAST(least(len(ws) - u.i * {CHUNK_TOKENS}, {CHUNK_TOKENS}) AS BIGINT)
+             AS n_tok,
+           array_to_string(
+             list_slice(ws, CAST(u.i * {CHUNK_TOKENS} + 1 AS INT),
+                        CAST(least((u.i + 1) * {CHUNK_TOKENS}, len(ws)) AS INT)),
+             ' ') AS chunk_text
+    FROM w, UNNEST(range((len(ws) + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS})) AS u(i)
+    """,
+)
+def sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed
+    token-budget sequences (CHUNK_TOKENS = 64 per chunk) — the step that
+    turns a filtered corpus into trainer-ready samples, preserving the
+    (doc_id, chunk_id, start offset) lineage needed to trace any training
+    sequence back to its source document.
+
+    Pure JVM generator: tokenize once, explode one row per chunk index,
+    slice the token array per chunk — map-only (the explode multiplies
+    rows ~n_tokens/budget, no shuffle at any scale), whole-stage codegen
+    end to end. The oracle reproduces the exact chunk grid and text
+    slices in SQL, so boundary arithmetic (last short chunk, off-by-one
+    in slices) is value-checked, not eyeballed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(CHUNK_TOKENS)).cast("int")
+    return (
+        ws.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id").cast("bigint") * CHUNK_TOKENS).alias("start_tok"),
+            F.least(
+                F.size("ws") - F.col("chunk_id") * CHUNK_TOKENS,
+                F.lit(CHUNK_TOKENS),
+            )
+            .cast("bigint")
+            .alias("n_tok"),
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("chunk_id") * CHUNK_TOKENS + 1,
+                    F.lit(CHUNK_TOKENS),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -184,6 +184,42 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "sink_jsonl",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) round-trip of the documents table —
+    the interchange format LLM training corpora actually ship in (one
+    JSON object per line, splittable, appendable).
+
+    Write is the distributed task-per-partition text writer; read-back
+    uses an explicit schema (schema inference over JSONL is a full extra
+    pass at 100 TB — never pay it twice). The oracle compares against
+    the original parquet, so what's verified is the codec's type and
+    string fidelity (unicode escapes, int64 width) across the round
+    trip. At scale, pair with compression (zstd) and
+    ``maxRecordsPerFile`` to keep shard sizes trainer-friendly.
+    """
+    out = _fmt_dir("documents_jsonl")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(_DOCS_SCHEMA).json(out)
+
+
 @register(
     "schema_evolution",
     oracle="""
