@@ -273,6 +273,32 @@ def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
     assert "partial" in plan.lower(), "centroid agg is not map-side combined"
 
 
+def test_scd2_shares_one_exchange_across_windows(spark, sf_dir):
+    """Change-detection (lag) and interval-close (lead) partition the
+    same way; Catalyst must reuse ONE user-keyed Exchange for both
+    Window operators — a second shuffle would double the data movement
+    of the history build at 100 TB."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import scd2_intervals
+
+    plan = plan_string(scd2_intervals(spark, sf_dir))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 keyed shuffle, got {len(exchanges)}"
+    assert plan.count("Window") >= 2, "both window passes should appear"
+
+
+def test_sequence_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is a generator (explode) + array slice — map-only; any
+    Exchange means the trainer-sample fan-out would reshuffle the whole
+    corpus."""
+    from cpt_database_sync_spark.operators.llm_text import sequence_chunking
+
+    plan = plan_string(sequence_chunking(spark, sf_dir))
+    assert "Exchange" not in plan, f"chunking must be map-only:\n{plan[:2000]}"
+    assert "Generate" in plan, "chunk fan-out should be a Generate (explode)"
+
+
 def test_bitmap_distinct_preaggregates_map_side(spark, sf_dir):
     """distinct_users_bitmap exists to REPLACE count-distinct's full
     (day,user) shuffle: the bitmap agg must run partial (map-side) before
