@@ -135,3 +135,28 @@ class TestIdentifierProperties:
         assert fold_case("café", True) == "CAFÉ"
         # idempotent: folding an already-folded name is a no-op
         assert fold_case(folded, True) == folded
+
+
+class TestPngCodecProperties:
+    @given(
+        width=st.integers(min_value=1, max_value=80),
+        height=st.integers(min_value=1, max_value=60),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_encode_decode_roundtrip_exact(self, width, height, seed):
+        """make_png → decode_png_pixels must reconstruct the exact pixel
+        pattern for ANY dimensions/seed — every scanline filter type
+        (y % 5) and every edge shape (1-wide, 1-tall, non-multiple-of-
+        filter-cycle heights) included."""
+        from cpt_database_sync_spark.operators.multimodal import (
+            decode_png_pixels,
+            make_png,
+            png_pixel,
+        )
+
+        m = decode_png_pixels(make_png(width, height, seed))
+        assert (m["width"], m["height"], m["channels"]) == (width, height, 1)
+        assert m["pixels"] == bytes(
+            png_pixel(x, y, seed) for y in range(height) for x in range(width)
+        )
