@@ -350,12 +350,47 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("cos", dot(F.col("qe"), F.col("ce_vec")) / (F.col("qn") * F.col("cn")))
     )
+    return _ivf_topk(scored)
+
+
+def _ivf_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
         .select("q_id", "n_id", "rn", F.round("cos", 9).alias("sim"))
     )
+
+
+@register("sim_ann_ivf_indexed", oracle=_IVF_ORACLE)
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized form of ``sim_ann_ivf`` — the layout the 100 TB
+    deployment actually runs: the cell assignment is PERSISTED as parquet
+    partitioned by cell id, and each probe reads only its cells' files.
+
+    The probe join hits the index on its partition column, so Catalyst
+    plans **dynamic partition pruning** (plan-gated): the NPROBE cell ids
+    from the broadcast side prune the index scan to NPROBE directories —
+    at 100 TB with thousands of cells, a probe touches ~NPROBE/NLIST of
+    the corpus files and the rest are never opened. Identical results to
+    the on-the-fly variant (same oracle); the only difference is where
+    the assignment lives.
+    """
+    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    assign, probes = _ivf_parts(spark, sf_dir)
+    out = os.path.join(scratch_dir(), "ivf_index", os.path.basename(sf_dir.rstrip("/")))
+    assign.write.mode("overwrite").partitionBy("c_id").parquet(out)
+    idx = spark.read.parquet(out)
+    scored = (
+        idx.join(F.broadcast(probes), "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", dot(F.col("qe"), F.col("ce_vec")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    return _ivf_topk(scored)
 
 
 @register(

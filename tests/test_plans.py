@@ -241,6 +241,22 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
         assert "Exchange" not in plan, f"{name} must be map-only:\n{plan}"
 
 
+def test_ivf_indexed_probes_with_dynamic_partition_pruning(spark, sf_dir):
+    """The materialized IVF index is parquet partitioned by cell id; the
+    probe join must plan dynamic partition pruning so a probe opens only
+    its NPROBE cells' files — the property that makes IVF sub-linear at
+    100 TB."""
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        sim_ann_ivf_indexed,
+    )
+
+    plan = plan_string(sim_ann_ivf_indexed(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), (
+        f"probe scan is not dynamically pruned:\n{plan[:2000]}"
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_bm25_topk_avoids_global_window_sort(spark, sf_dir):
     """bm25_retrieval and weighted_sample must take their top-k through a
     distributed TakeOrderedAndProject (bounded per-partition heap), not a
