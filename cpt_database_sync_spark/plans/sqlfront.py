@@ -85,3 +85,43 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+    SELECT
+      n.n_name,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+           AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+"""
+
+
+@register("sql_tpch_q5", oracle=_Q5_SQL)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join closure —
+    region→nation→supplier pruning chain, the customer⋈supplier
+    same-nation condition, and a date-range window on orders — as one
+    textual SQL string both engines run verbatim.
+
+    The optimizer checkpoints: region/nation are BROADCAST_DIMS-tiny and
+    fold into broadcast hash joins; the region filter prunes nations
+    before any fact table is touched (join reordering); the date range
+    pushes into the orders scan; revenue sums in the exact decimal lane.
+    Six tables is where join ORDER starts to dominate — at 100 TB a bad
+    order shuffles lineitem twice; Catalyst's cost-based reorder plus AQE
+    keeps the fact table shuffled once, which is the property sql_frontend
+    exists to surface.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
