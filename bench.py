@@ -79,6 +79,7 @@ HEADLINE = [
     "embedding_outliers",
     "scd2_intervals",
     "sequence_chunking",
+    "sql_tpch_q5",
 ]
 
 
