@@ -478,3 +478,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# Fuzzy (edit-distance) dedup: blocking bounds the pair space, the
+# Levenshtein gate runs only on co-blocked pairs.
+FUZZY_PREFIX = 200  # compare prefixes (distance on full 100KB docs is O(n^2))
+FUZZY_MAXDIST = 20
+FUZZY_LEN_WINDOW = 8  # candidate pairs must be within 8 chars in length
+FUZZY_BUCKET = 2 * FUZZY_LEN_WINDOW  # bucket width >= 2*window => ±1 bucket
+
+
+@register(
+    "dedup_fuzzy",
+    oracle=f"""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(substr(a.text, 1, {FUZZY_PREFIX}),
+                       substr(b.text, 1, {FUZZY_PREFIX})) AS dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {FUZZY_LEN_WINDOW}
+    WHERE levenshtein(substr(a.text, 1, {FUZZY_PREFIX}),
+                      substr(b.text, 1, {FUZZY_PREFIX})) <= {FUZZY_MAXDIST}
+    """,
+)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: the catch-all for duplicates that
+    differ by small in-place edits (typo fixes, template fills) which
+    shingle-based methods only see once the edit density is high.
+
+    Blocking makes it tractable: candidates must share (lang,
+    length-bucket) — an EQUI join key, so Spark plans a plain shuffled
+    hash join instead of the lang-only join + length filter, whose
+    per-language pair space is quadratic. One side explodes to its
+    bucket ±1 (bucket width = 2× the length window, so every pair within
+    the window lands in adjacent buckets — no candidate is missed, and a
+    pair can match in at most one bucket, so no dedup pass is needed).
+    The Levenshtein gate runs on co-blocked pairs only, over
+    {FUZZY_PREFIX}-char prefixes (full-document distance is O(n²) per
+    pair; the prefix is the standard first-stage gate). At 100 TB the
+    same two-stage shape holds: block → cheap gate → (optionally) full
+    verify on survivors.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring("text", 1, FUZZY_PREFIX).alias("pfx"),
+        F.floor(F.col("n_chars") / FUZZY_BUCKET).alias("bk0"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        "lang",
+        F.col("n_chars").alias("a_len"),
+        F.col("pfx").alias("a_pfx"),
+        F.explode(
+            F.array(F.col("bk0") - 1, F.col("bk0"), F.col("bk0") + 1)
+        ).alias("bk"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        "lang",
+        F.col("n_chars").alias("b_len"),
+        F.col("pfx").alias("b_pfx"),
+        F.col("bk0").alias("bk"),
+    )
+    dist = F.levenshtein("a_pfx", "b_pfx")
+    return (
+        a.join(b, ["lang", "bk"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= FUZZY_LEN_WINDOW)
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= FUZZY_MAXDIST)
+        .select("a_id", "b_id", "dist")
+    )

@@ -315,6 +315,21 @@ def test_sequence_chunking_is_shuffle_free(spark, sf_dir):
     assert "Generate" in plan, "chunk fan-out should be a Generate (explode)"
 
 
+def test_dedup_fuzzy_blocks_with_equi_join(spark, sf_dir):
+    """The fuzzy-dedup candidate join must key on (lang, length-bucket) —
+    an equi join — not degrade to a nested-loop/cartesian over the
+    per-language pair space with the length window as a filter."""
+    from cpt_database_sync_spark.operators.llm_dedup import dedup_fuzzy
+
+    plan = plan_string(dedup_fuzzy(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, (
+        f"fuzzy blocking degraded to a non-equi join:\n{plan[:2000]}"
+    )
+    assert "Left keys [2]" in plan or "BroadcastHashJoin [lang" in plan, (
+        f"expected a 2-key (lang, bucket) equi join:\n{plan[:2000]}"
+    )
+
+
 def test_bitmap_distinct_preaggregates_map_side(spark, sf_dir):
     """distinct_users_bitmap exists to REPLACE count-distinct's full
     (day,user) shuffle: the bitmap agg must run partial (map-side) before
