@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 # Query terms chosen from the fixture vocabulary; any literal set works —
@@ -101,12 +102,18 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
-    per_doc = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
-            for i, t in enumerate(BM25_QUERY_TERMS)
-        ],
+    # cached: the tokenize+agg index pass feeds BOTH the stats collect
+    # and the returned scoring plan — without the cache it would run
+    # twice per action (the kmeans collect-then-reuse pattern).
+    per_doc = bounded_cache(
+        "bm25_retrieval.per_doc",
+        words.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        ),
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -8,11 +8,15 @@ interpretation. This module keeps that contract at the storage layer
 training-data pipeline needs: decode / feature-extract / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/librosa) are not in this container, so
-``decode_image`` raises NotImplementedError and the pipeline runs a
-clearly-marked deterministic fake decoder instead. Everything around the
-stub — schema, binary handling, batch iteration, partition parallelism —
-is real and oracle-tested.
+Decoding is REAL where stdlib can carry it: ``decode_image_meta`` parses
+PNG/JPEG/GIF container headers directly, and ``decode_image`` fully
+decodes PNG pixels (zlib inflate + scanline unfiltering) with PIL as the
+fast path when installed — only non-PNG pixel decoding without a codec
+library raises NotImplementedError. ``multimodal_meta`` additionally
+keeps a clearly-marked deterministic fake decoder to exercise the
+plumbing against arbitrary (non-image) payloads; schema, binary
+handling, batch iteration, and partition parallelism are oracle-tested
+throughout.
 
 Scale notes: binary payloads ride the columnar format untouched (parquet
 keeps them page-compressed); metadata extraction is map-only (no shuffle);

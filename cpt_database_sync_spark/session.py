@@ -122,7 +122,11 @@ def bounded_cache(key: str, df):
     """
     prev = _BOUNDED_CACHES.get(key)
     if prev is not None:
-        if _same_plan(prev, df):
+        # Reuse requires the SAME live session: sameResult() is a pure
+        # plan-tree compare that succeeds even on a handle from a stopped
+        # session, so gate on session identity first (a restart within
+        # one process must fall through to re-cache, as pre-r6 code did).
+        if prev.sparkSession is df.sparkSession and _same_plan(prev, df):
             return prev
         try:
             prev.unpersist()

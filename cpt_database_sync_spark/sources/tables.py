@@ -60,8 +60,11 @@ _EVENTS_SCHEMA_CACHE: dict[str, StructType] = {}
 def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Pre-normalization schema of ``events.parquet`` (``ts`` as int64
     nanos or TIMESTAMP_NTZ micros, see ``normalize_events_ts``)."""
+    # conf is per-SESSION but the memo is per-process: set it on every
+    # call so a later session hitting the cache can still scan the
+    # nanos-encoded file at micro-batch time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if sf_dir not in _EVENTS_SCHEMA_CACHE:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _EVENTS_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
             f"{sf_dir}/events.parquet"
         ).schema

@@ -405,6 +405,42 @@ class TestAsofNullablePayload:
         assert back["v"] is None
 
 
+class TestBoundedCacheSessionRestart:
+    def test_restart_falls_through_to_fresh_cache(self):
+        """bounded_cache must NOT hand back a frame bound to a stopped
+        session: sameResult() is a pure plan compare that still succeeds
+        on dead handles, so the session-identity gate has to catch it
+        (code-review r6 finding). Runs in a subprocess to avoid touching
+        the session-scoped fixture."""
+        import subprocess
+        import sys
+
+        script = """
+from pyspark.sql import SparkSession
+from cpt_database_sync_spark.session import bounded_cache
+
+def run_once():
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.ui.enabled", "false").appName("bc-restart")
+             .getOrCreate())
+    df = bounded_cache("restart-test", spark.range(100).selectExpr("id", "id * 2 AS y"))
+    assert df.count() == 100
+    spark.stop()
+
+run_once()
+run_once()  # same key, same plan, NEW session: must re-cache, not reuse
+print("RESTART-OK")
+"""
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=__file__.rsplit("/", 2)[0],
+        )
+        assert "RESTART-OK" in out.stdout, f"stderr:\n{out.stderr[-2000:]}"
+
+
 class TestEventsTsDispatch:
     """events.ts has shipped as parquet TIMESTAMP(NANOS) and as
     TIMESTAMP(MICROS) across fixture generations; the loader dispatches
