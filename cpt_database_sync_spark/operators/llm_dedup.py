@@ -543,7 +543,11 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pfx").alias("b_pfx"),
         F.col("bk0").alias("bk"),
     )
-    dist = F.levenshtein("a_pfx", "b_pfx")
+    # thresholded levenshtein: banded O(len × maxdist) DP with early
+    # exit, returning -1 past the threshold — ~5x cheaper than the full
+    # O(len²) matrix at maxdist=20/prefix=200. Survivors' distances are
+    # exact, so the plain-levenshtein oracle sees identical rows.
+    dist = F.levenshtein("a_pfx", "b_pfx", FUZZY_MAXDIST)
     return (
         a.join(b, ["lang", "bk"])
         .filter(
@@ -551,6 +555,6 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("a_len") - F.col("b_len")) <= FUZZY_LEN_WINDOW)
         )
         .withColumn("dist", dist)
-        .filter(F.col("dist") <= FUZZY_MAXDIST)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= FUZZY_MAXDIST))
         .select("a_id", "b_id", "dist")
     )
