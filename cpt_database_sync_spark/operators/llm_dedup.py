@@ -22,7 +22,7 @@ BASELINE.json-mandated extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.golden import (
@@ -557,4 +557,57 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", dist)
         .filter((F.col("dist") >= 0) & (F.col("dist") <= FUZZY_MAXDIST))
         .select("a_id", "b_id", "dist")
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT nt FROM nt WHERE doc_id % 5 <> 0),
+    incoming AS (SELECT doc_id, nt FROM nt WHERE doc_id % 5 = 0)
+    SELECT i.doc_id,
+           CASE
+             WHEN e.nt IS NOT NULL THEN 'dup_vs_corpus'
+             WHEN i.doc_id <> MIN(i.doc_id) OVER (PARTITION BY i.nt)
+               THEN 'dup_in_batch'
+             ELSE 'new'
+           END AS status
+    FROM incoming i LEFT JOIN existing e ON i.nt = e.nt
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape production pipelines actually run:
+    dedup TODAY'S increment against the already-ingested corpus (and
+    within itself) without ever re-deduping the corpus. Here the split
+    is doc_id % 5 (increment) vs the rest (corpus); in production the
+    increment is the new crawl and 'existing' is the dedup index —
+    a (normalized-hash) table maintained across runs.
+
+    Each incoming doc is classified: ``dup_vs_corpus`` (normalized text
+    already ingested), ``dup_in_batch`` (an earlier increment row has the
+    same text — kept once), else ``new``. One nt-keyed shuffle serves
+    both the corpus anti-lookup (left join on the distinct existing
+    keys) and the within-batch min-window; the corpus side reduces to
+    its distinct key set — at 100 TB that's the persisted dedup index,
+    not a corpus scan, and the increment (≪ corpus) is the only data
+    that moves.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    nt = load(spark, sf_dir, "documents").select("doc_id", norm.alias("nt"))
+    existing = nt.filter(F.col("doc_id") % 5 != 0).select("nt").distinct()
+    incoming = nt.filter(F.col("doc_id") % 5 == 0)
+    w = Window.partitionBy("nt")
+    joined = incoming.join(
+        existing.withColumn("in_corpus", F.lit(True)), "nt", "left"
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("in_corpus").isNotNull(), "dup_vs_corpus")
+        .when(F.col("doc_id") != F.min("doc_id").over(w), "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
     )
