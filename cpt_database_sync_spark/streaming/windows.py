@@ -363,3 +363,56 @@ def stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
     )
     return run_to_table(deduped, "append")
+
+
+STREAM_TOPN = 3
+
+
+@register(
+    "stream_topn",
+    oracle=f"""
+    SELECT window_start, event_type, n_events, rn FROM (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type
+             ) AS rn
+      FROM (
+        SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn <= {STREAM_TOPN}
+    """,
+)
+def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-N event types per tumbling hour — the
+    serving-layer pattern for streaming rank queries. Ranking is NOT
+    expressible inside a streaming aggregation (no windowed row_number
+    over an updating result), so the stream maintains the windowed
+    counts (watermark-bounded state, incremental) and the rank runs as
+    a batch window over the SINK table — exactly how a dashboard reads
+    a continuously-maintained aggregate. At 100 TB the sink is a
+    partitioned table keyed by window_start; the rank touches only the
+    windows the dashboard asks for (partition pruning), never the
+    stream state.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    counts = run_to_table(agg, "complete").select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STREAM_TOPN)
+        .select("window_start", "event_type", "n_events", "rn")
+    )
