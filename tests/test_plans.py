@@ -315,6 +315,21 @@ def test_sequence_chunking_is_shuffle_free(spark, sf_dir):
     assert "Generate" in plan, "chunk fan-out should be a Generate (explode)"
 
 
+def test_timegrain_rollup_is_one_expand_one_shuffle(spark, sf_dir):
+    """All three time grains must come from ONE Expand + one partial+
+    final aggregation — the continuous-aggregate shape; a per-grain
+    UNION ALL would scan and shuffle once per grain."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import rollup_timegrain
+
+    plan = plan_string(rollup_timegrain(spark, sf_dir))
+    assert "Expand" in plan, "grouping sets should compile to Expand"
+    assert plan.count("Union") == 0, "must not rewrite to per-grain UNION ALL"
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}"
+
+
 def test_dedup_fuzzy_blocks_with_equi_join(spark, sf_dir):
     """The fuzzy-dedup candidate join must key on (lang, length-bucket) —
     an equi join — not degrade to a nested-loop/cartesian over the
