@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cpt_database_sync_spark.functions.numeric import sql_dsum
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
 
@@ -531,15 +532,14 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TIMEGRAIN_SQL = """
+_TIMEGRAIN_SQL = f"""
     SELECT
       CASE WHEN GROUPING(h) = 0 THEN 'hour'
            WHEN GROUPING(d) = 0 THEN 'day'
            ELSE 'week' END AS grain,
       COALESCE(h, d, w) AS bucket_start,
       COUNT(*) AS n_events,
-      CAST(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DECIMAL(18,6)) AS DOUBLE)
-        AS sum_value
+      {sql_dsum("value", 14, 6)} AS sum_value
     FROM (
       SELECT date_trunc('hour', ts) AS h,
              date_trunc('day', ts)  AS d,

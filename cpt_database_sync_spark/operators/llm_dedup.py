@@ -29,6 +29,7 @@ from cpt_database_sync_spark.plans.golden import (
     DOCS_FINGERPRINT_SQL,
     golden_oracle,
 )
+from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
@@ -555,16 +556,18 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("a_len") - F.col("b_len")) <= FUZZY_LEN_WINDOW)
         )
         .withColumn("dist", dist)
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= FUZZY_MAXDIST))
+        # >= 0 is the complete gate: the thresholded levenshtein maps
+        # every distance above FUZZY_MAXDIST to -1
+        .filter(F.col("dist") >= 0)
         .select("a_id", "b_id", "dist")
     )
 
 
 @register(
     "dedup_incremental",
-    oracle="""
+    oracle=f"""
     WITH nt AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, {sql_norm_ws('text')} AS nt
       FROM documents
     ),
     existing AS (SELECT DISTINCT nt FROM nt WHERE doc_id % 5 <> 0),
@@ -596,8 +599,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a corpus scan, and the increment (≪ corpus) is the only data
     that moves.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    nt = load(spark, sf_dir, "documents").select("doc_id", norm.alias("nt"))
+    nt = load(spark, sf_dir, "documents").select(
+        "doc_id", norm_ws("text").alias("nt")
+    )
     existing = nt.filter(F.col("doc_id") % 5 != 0).select("nt").distinct()
     incoming = nt.filter(F.col("doc_id") % 5 == 0)
     w = Window.partitionBy("nt")

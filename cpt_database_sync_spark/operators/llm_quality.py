@@ -19,6 +19,7 @@ from cpt_database_sync_spark.operators.llm_dedup import (
     SHINGLE_K,
     hashed_shingle_sets,
 )
+from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
@@ -256,15 +257,11 @@ _PIPE_LANGS = ("en", "de", "es", "fr")
 _PIPE_MIN_CHARS = 100
 
 
-def _norm_sql(col: str) -> str:
-    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
-
-
 @register(
     "pipeline_e2e",
     oracle=f"""
     WITH base AS (
-      SELECT doc_id, lang, {_norm_sql('text')} AS nt FROM documents
+      SELECT doc_id, lang, {sql_norm_ws('text')} AS nt FROM documents
     ),
     filt AS (
       SELECT * FROM base
@@ -307,7 +304,7 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side.
     """
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = norm_ws("text")
     # Cached (and repartitioned off the single source file): one
     # normalization pass shared by the quality/dedup chain and the
     # benchmark-vocabulary branch, and a pushdown barrier so the shingle

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
 
@@ -188,11 +189,11 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_normalize",
-    oracle=r"""
+    oracle=f"""
     SELECT
       doc_id,
-      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-      length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_chars
+      {sql_norm_ws('text')} AS norm_text,
+      length({sql_norm_ws('text')}) AS norm_chars
     FROM documents
     """,
 )
@@ -203,7 +204,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason exact dedup catches case/whitespace variants when run on
     norm_text instead of text."""
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = norm_ws("text")
     return d.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_chars")
     )

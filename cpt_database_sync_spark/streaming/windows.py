@@ -21,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.functions.numeric import sql_dsum
@@ -406,9 +406,7 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = run_to_table(agg, "complete").select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
-    w = W.partitionBy("window_start").orderBy(
+    w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), "event_type"
     )
     return (
