@@ -405,6 +405,49 @@ class TestAsofNullablePayload:
         assert back["v"] is None
 
 
+class TestGoldenFixtureFreshness:
+    def test_golden_contains_current_fixture_fingerprints(self, sf_dir):
+        """Early, legible drift signal: the committed golden parquet must
+        contain rows keyed by the CURRENT fixture's content fingerprint
+        (sf0.001 and sf0.01). If the driver regenerates fixture content,
+        this fails with a clear message pointing at the regeneration
+        command — before parity fails with an opaque 0-row oracle."""
+        import duckdb
+
+        from cpt_database_sync_spark.plans.golden import (
+            DOCS_FINGERPRINT_SQL,
+            EMB_FINGERPRINT_SQL,
+            GOLDEN_DIR,
+        )
+
+        checks = {
+            "dedup_minhash": ("documents", DOCS_FINGERPRINT_SQL),
+            "dedup_simhash": ("documents", DOCS_FINGERPRINT_SQL),
+            "sim_ann_lsh": ("embeddings", EMB_FINGERPRINT_SQL),
+        }
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            for name, (table, expr) in checks.items():
+                con = duckdb.connect()
+                try:
+                    con.execute(
+                        f"CREATE VIEW {table} AS "
+                        f"SELECT * FROM '{sf}/{table}.parquet'"
+                    )
+                    fp = con.execute(f"SELECT {expr}").fetchone()[0]
+                    n = con.execute(
+                        f"SELECT count(*) FROM '{GOLDEN_DIR}/{name}.parquet' "
+                        f"WHERE corpus_md5 = ?",
+                        [fp],
+                    ).fetchone()[0]
+                finally:
+                    con.close()
+                assert n > 0, (
+                    f"golden {name} has no rows for the current {sf} "
+                    f"fixture (fingerprint {fp[:12]}): fixture content "
+                    "changed — rerun `python tests/golden/generate_golden.py`"
+                )
+
+
 class TestBoundedCacheSessionRestart:
     def test_restart_falls_through_to_fresh_cache(self):
         """bounded_cache must NOT hand back a frame bound to a stopped
