@@ -503,3 +503,40 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
     )
     return merge_into(target, source, "o_orderkey")
+
+
+@register(
+    "jdbc_pushdown",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown INTO the JDBC source — the
+    capability the reference scaffolded but left dead
+    (`sync/QueryBuilder.java:68-73`: a `TupleDomain` parameter that is
+    always `all()`, so every WHERE clause it could have generated never
+    fires and each sync drags the full table).
+
+    Here the filter and column list reach the remote database: Spark's
+    JDBC relation compiles them into the generated SELECT (gated in
+    tests/test_plans.py via PushedFilters on the scan), so the database
+    returns only matching rows of the requested columns — at 100 TB the
+    difference between shipping a table and shipping an answer.
+    """
+    sweep_scratch("jdbc_pd_", spark)
+    workdir = tempfile.mkdtemp(prefix="jdbc_pd_", dir=scratch_dir())
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    src = load(spark, sf_dir, "nation")
+    jdbc_sync_table(
+        spark, src, url, "nation_pd",
+        varchar_lengths={"n_name": 25, "n_comment": 160},
+        flavor="ansi",
+    )
+    back = jdbc_reader(spark, url, "nation_pd")
+    return (
+        back.toDF(*[c.lower() for c in back.columns])
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

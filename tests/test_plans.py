@@ -315,6 +315,21 @@ def test_sequence_chunking_is_shuffle_free(spark, sf_dir):
     assert "Generate" in plan, "chunk fan-out should be a Generate (explode)"
 
 
+def test_jdbc_filter_and_projection_push_into_source(spark, sf_dir):
+    """The regionkey predicate and the 3-column projection must reach the
+    JDBC relation (the capability the reference scaffolded but left dead,
+    QueryBuilder.java:68-73): PushedFilters with the '*' source-handled
+    marker, and a ReadSchema without the unused comment column."""
+    from cpt_database_sync_spark.sources.sync import jdbc_pushdown
+
+    plan = plan_string(jdbc_pushdown(spark, sf_dir))
+    assert "JDBCRelation" in plan
+    assert "*EqualTo(N_REGIONKEY,1)" in plan, (
+        f"filter not pushed into the JDBC source:\n{plan[:2000]}"
+    )
+    assert "N_COMMENT" not in plan, "projection not pushed (comment col read)"
+
+
 def test_timegrain_rollup_is_one_expand_one_shuffle(spark, sf_dir):
     """All three time grains must come from ONE Expand + one partial+
     final aggregation — the continuous-aggregate shape; a per-grain
