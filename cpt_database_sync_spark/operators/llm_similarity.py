@@ -667,3 +667,55 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
         )
     )
+
+
+_SEM_PAIR_SQL = f"""
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DEDUP_COS_THRESHOLD}
+"""
+
+
+@register(
+    "semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SEM_PAIR_SQL}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS vec_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the
+    embedding near-dup pair graph — pairwise cosine dedup
+    (``dedup_embedding``) raised to "keep one doc per meaning-cluster"
+    (pairs alone double-drop when A~B and B~C but A!~C, the standard
+    paraphrase-chain case).
+
+    Same iterative min-label propagation as ``dedup_clusters``
+    (llm_dedup.connected_components: per-round edge join + min agg,
+    localCheckpoint lineage cuts, rounds ∝ cluster diameter); the edge
+    input is the label-blocked cosine pair set, so at 100 TB the pair
+    stage is IVF-cell-local and the component loop moves only edge rows.
+    The oracle replays it as a DuckDB recursive CTE over the identical
+    pair SQL.
+    """
+    from cpt_database_sync_spark.operators.llm_dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    pairs = dedup_embedding(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
