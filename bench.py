@@ -80,6 +80,8 @@ HEADLINE = [
     "scd2_intervals",
     "sequence_chunking",
     "sql_tpch_q5",
+    "rollup_timegrain",
+    "dedup_incremental",
 ]
 
 
