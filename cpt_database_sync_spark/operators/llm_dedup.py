@@ -443,10 +443,13 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+def cc_oracle(pairs_sql: str, id_col: str) -> str:
+    """Recursive-CTE connected-components oracle over an (a_id, b_id)
+    pair query — min-reachable-node per node. Single definition shared by
+    every clustering oracle (dedup_clusters, semantic_clusters) so a CC
+    fix cannot silently apply to one copy only."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
     edges AS (
       SELECT a_id AS u, b_id AS v FROM pairs
       UNION ALL
@@ -458,10 +461,17 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
       UNION
       SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
     )
-    SELECT node AS doc_id,
+    SELECT node AS {id_col},
            CAST(MIN(root) AS BIGINT) AS cluster_id
     FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=cc_oracle(
+        f"WITH {_NGRAM_PAIR_CTES} SELECT a_id, b_id FROM pairs", "doc_id"
+    ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the exact near-dup

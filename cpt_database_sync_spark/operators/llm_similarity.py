@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cpt_database_sync_spark.operators.llm_dedup import (
+    cc_oracle,
+    connected_components,
+)
 from cpt_database_sync_spark.plans.golden import (
     EMB_FINGERPRINT_SQL,
     golden_oracle,
@@ -393,14 +397,23 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(scored)
 
 
+# Shared pair predicate: the single SQL definition of "embedding
+# near-dup pair" used by BOTH the pairwise oracle (dedup_embedding) and
+# the clustering oracle (semantic_clusters) — the Spark sides already
+# share one implementation, the oracles must too.
+_EMB_PAIR_CORE = f"""
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DEDUP_COS_THRESHOLD}
+"""
+
+
 @register(
     "dedup_embedding",
     oracle=f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DEDUP_COS_THRESHOLD}
+    {_EMB_PAIR_CORE}
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,32 +682,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_PAIR_SQL = f"""
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DEDUP_COS_THRESHOLD}
-"""
-
-
 @register(
     "semantic_clusters",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_SEM_PAIR_SQL}),
-    edges AS (
-      SELECT a_id AS u, b_id AS v FROM pairs
-      UNION ALL
-      SELECT b_id, a_id FROM pairs
+    oracle=cc_oracle(
+        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id {_EMB_PAIR_CORE}", "vec_id"
     ),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
-    reach(node, root) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
-    )
-    SELECT node AS vec_id, CAST(MIN(root) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
-    """,
 )
 def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic duplicate clusters: connected components over the
@@ -711,10 +703,6 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays it as a DuckDB recursive CTE over the identical
     pair SQL.
     """
-    from cpt_database_sync_spark.operators.llm_dedup import (  # noqa: PLC0415
-        connected_components,
-    )
-
     pairs = dedup_embedding(spark, sf_dir).select("a_id", "b_id")
     return connected_components(pairs).select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")

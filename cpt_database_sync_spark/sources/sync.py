@@ -422,6 +422,33 @@ def cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derby_scratch_sync(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    fixture: str,
+    table: str,
+    varchar_lengths: dict[str, int],
+) -> tuple[str, DataFrame]:
+    """Shared scaffold for the embedded-Derby demo queries: sweep old
+    scratch dbs (before mkdtemp — see sweep_scratch), create a fresh db,
+    sync the fixture table through the reference-DDL path (ansi flavor
+    for Derby). Returns (jdbc url, source frame)."""
+    sweep_scratch(prefix, spark)
+    workdir = tempfile.mkdtemp(prefix=prefix, dir=scratch_dir())
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    src = load(spark, sf_dir, fixture)
+    jdbc_sync_table(
+        spark, src, url, table, varchar_lengths=varchar_lengths, flavor="ansi"
+    )
+    return url, src
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    """Fold Derby's uppercase identifiers back to the fixture casing."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
 @register("jdbc_roundtrip", oracle="SELECT * FROM customer")
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full JDBC sync loop against a real database (embedded Derby): the
@@ -433,17 +460,12 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DDL (ansi tier for Derby), identifier case-folding, batched append,
     and the parallel partitioned read back.
     """
-    sweep_scratch("jdbc_rt_", spark)
-    workdir = tempfile.mkdtemp(prefix="jdbc_rt_", dir=scratch_dir())
-    url = f"jdbc:derby:{workdir}/db;create=true"
-    src = load(spark, sf_dir, "customer")
-    jdbc_sync_table(
-        spark, src, url, "customer_rt",
+    url, src = derby_scratch_sync(
+        spark, sf_dir, "jdbc_rt_", "customer", "customer_rt",
         varchar_lengths={
             "c_name": 40, "c_address": 60, "c_phone": 20,
             "c_mktsegment": 20, "c_comment": 200,
         },
-        flavor="ansi",
     )
     hi = src.agg(F.max("c_custkey")).collect()[0][0]
     back = jdbc_reader(
@@ -451,7 +473,7 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_column="C_CUSTKEY", lower_bound=0,
         upper_bound=int(hi) + 1, num_partitions=8,
     )
-    return back.toDF(*[c.lower() for c in back.columns]).select(*src.columns)
+    return lowercase_columns(back).select(*src.columns)
 
 
 _MERGE_ORACLE = """
@@ -525,18 +547,13 @@ def jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns only matching rows of the requested columns — at 100 TB the
     difference between shipping a table and shipping an answer.
     """
-    sweep_scratch("jdbc_pd_", spark)
-    workdir = tempfile.mkdtemp(prefix="jdbc_pd_", dir=scratch_dir())
-    url = f"jdbc:derby:{workdir}/db;create=true"
-    src = load(spark, sf_dir, "nation")
-    jdbc_sync_table(
-        spark, src, url, "nation_pd",
+    url, _ = derby_scratch_sync(
+        spark, sf_dir, "jdbc_pd_", "nation", "nation_pd",
         varchar_lengths={"n_name": 25, "n_comment": 160},
-        flavor="ansi",
     )
     back = jdbc_reader(spark, url, "nation_pd")
     return (
-        back.toDF(*[c.lower() for c in back.columns])
+        lowercase_columns(back)
         .filter(F.col("n_regionkey") == 1)
         .select("n_nationkey", "n_name", "n_regionkey")
     )

@@ -3,6 +3,8 @@ core), the JDBC upsert statement builder, and catalog helpers."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import types as T
 
@@ -406,13 +408,15 @@ class TestAsofNullablePayload:
 
 
 class TestGoldenFixtureFreshness:
-    def test_golden_contains_current_fixture_fingerprints(self, sf_dir):
+    def test_golden_contains_current_fixture_fingerprints(self):
         """Early, legible drift signal: the committed golden parquet must
         contain rows keyed by the CURRENT fixture's content fingerprint
-        (sf0.001 and sf0.01). If the driver regenerates fixture content,
-        this fails with a clear message pointing at the regeneration
-        command — before parity fails with an opaque 0-row oracle."""
+        at every scale the golden covers. If the driver regenerates
+        fixture content, this fails with a clear message pointing at the
+        regeneration command — before parity fails with an opaque 0-row
+        oracle. Skips scales not present on this machine."""
         import duckdb
+        import pytest as _pytest
 
         from cpt_database_sync_spark.plans.golden import (
             DOCS_FINGERPRINT_SQL,
@@ -425,7 +429,14 @@ class TestGoldenFixtureFreshness:
             "dedup_simhash": ("documents", DOCS_FINGERPRINT_SQL),
             "sim_ann_lsh": ("embeddings", EMB_FINGERPRINT_SQL),
         }
-        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sf_dirs = [
+            d
+            for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+            if os.path.isdir(d)
+        ]
+        if not sf_dirs:
+            _pytest.skip("no driver fixture dirs on this machine")
+        for sf in sf_dirs:
             for name, (table, expr) in checks.items():
                 con = duckdb.connect()
                 try:
@@ -434,6 +445,7 @@ class TestGoldenFixtureFreshness:
                         f"SELECT * FROM '{sf}/{table}.parquet'"
                     )
                     fp = con.execute(f"SELECT {expr}").fetchone()[0]
+                    assert fp is not None, f"{sf}/{table}.parquet is empty"
                     n = con.execute(
                         f"SELECT count(*) FROM '{GOLDEN_DIR}/{name}.parquet' "
                         f"WHERE corpus_md5 = ?",
