@@ -696,3 +696,35 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GSETS_SQL)
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(10) OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist, ntile:
+    the rank-normalization trio behind percentile segmentation
+    (customer deciles per market, score normalization before corpus
+    mixing). One shuffle on the partition key serves all three (same
+    window spec); c_custkey in the ORDER BY makes every row its own
+    peer group, so the emitted fractions are pure integer-derived
+    doubles — (rank-1)/(n-1) and rank/n — identical on both engines
+    with no rounding needed.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
