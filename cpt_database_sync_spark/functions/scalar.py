@@ -174,3 +174,53 @@ def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(array_sort(qtys), x -> CAST(x AS STRING)), ',')"
         ).alias("sorted_qtys"),
     )
+
+
+@register(
+    "map_type_surface",
+    # The map ops run Spark-side; the oracle recomputes every emitted
+    # value directly from the JSON scalar, so the MapType plumbing is
+    # value-checked end to end (the multimodal strategy).
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT)          AS k_val,
+           CAST(json_extract(props, '$.k') AS INT) % 10     AS bucket,
+           2                                                 AS n_keys,
+           'bucket,k'                                        AS keys_sorted,
+           CAST(json_extract(props, '$.k') AS INT) * 2
+             + (CAST(json_extract(props, '$.k') AS INT) % 10) * 2 AS doubled_sum,
+           CAST(CAST(json_extract(props, '$.k') AS INT) >= 50 AS INT)
+             + CAST(CAST(json_extract(props, '$.k') AS INT) % 10 >= 50 AS INT)
+                                                             AS n_big
+    FROM events
+    """,
+)
+def map_type_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column surface: parse the JSON props into map<string,int>,
+    extend it with a derived entry (map_concat), then exercise the map
+    HOF family — element_at, map_keys, transform_values, map_filter —
+    reducing each to a scalar the oracle recomputes from the raw JSON.
+
+    All ops are JVM-side expressions over the map (no UDF, map entries
+    never leave the row), so the surface is map-only and codegen'd at
+    any scale — the schema shape (map of tags/features per event) is the
+    standard semi-structured alternative to exploding key-value tables.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("bucket"), F.element_at(m, "k") % 10)
+    )
+    doubled = F.transform_values(m2, lambda k, v: v * 2)
+    big = F.map_filter(m2, lambda k, v: v >= 50)
+    return ev.select(
+        "event_id",
+        F.element_at(m2, "k").alias("k_val"),
+        F.element_at(m2, "bucket").alias("bucket"),
+        F.size(m2).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0), lambda acc, v: acc + v
+        ).alias("doubled_sum"),
+        F.size(big).alias("n_big"),
+    )

@@ -256,3 +256,93 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+HIST_BINS = 100
+HIST_QS = (0.5, 0.95, 0.99)
+
+
+def _hist_oracle() -> str:
+    q_cols = ", ".join(
+        f"""CAST(lims.lo + (MIN(CASE WHEN cum >= {q} * n THEN bin END) + 1)
+             * (lims.hi - lims.lo) / {HIST_BINS} AS DOUBLE) AS est_p{int(q * 100)}"""
+        for q in HIST_QS
+    )
+    return f"""
+    WITH lims AS (
+      SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type,
+             CAST(least(floor((CAST(value AS DOUBLE) - lims.lo)
+                        / (lims.hi - lims.lo) * {HIST_BINS}),
+                        {HIST_BINS - 1}) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events, lims GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, {q_cols}
+    FROM cdf, lims
+    GROUP BY event_type, lims.lo, lims.hi
+    """
+
+
+@register("quantile_histogram", oracle=_hist_oracle())
+def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles: per-group p50/p95/p99 estimated
+    from a fixed-bin histogram — the RE-AGGREGATABLE percentile pattern
+    (bins sum across partitions, days, or streaming micro-batches,
+    unlike exact percentiles which need the raw data every time; the
+    same role ``distinct_users_bitmap`` plays for COUNT DISTINCT).
+
+    Global [lo, hi] is one scalar driver read (the watermark pattern);
+    binning is map-only integer arithmetic; the histogram aggregation is
+    partial+final with at most |groups|×BINS rows shuffled regardless of
+    corpus size; the CDF walk runs over that tiny table. Every estimate
+    is bin-edge arithmetic on exact integer counts — deterministic and
+    identical on both engines, no rounding. At 100 TB: persist the
+    per-day histograms and any period's quantiles come from summing bin
+    counts, never rescanning events.
+    """
+    ev = load(spark, sf_dir, "events")
+    lo, hi = (
+        ev.agg(
+            F.min("value").cast("double"), F.max("value").cast("double")
+        ).collect()[0]
+    )
+    lo, hi = float(lo), float(hi)
+    span = hi - lo
+    bin_col = F.least(
+        F.floor((F.col("value").cast("double") - lo) / span * HIST_BINS),
+        F.lit(HIST_BINS - 1),
+    ).cast("bigint")
+    hist = (
+        ev.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in HIST_QS:
+        bin_q = F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin")))
+        aggs.append(
+            (F.lit(lo) + (bin_q + 1) * span / HIST_BINS)
+            .cast("double")
+            .alias(f"est_p{int(q * 100)}")
+        )
+    return cdf.groupBy("event_type").agg(*aggs)
