@@ -414,3 +414,68 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STREAM_TOPN)
         .select("window_start", "event_type", "n_events", "rn")
     )
+
+
+def _stream_hist_oracle() -> str:
+    from cpt_database_sync_spark.operators.stats import _hist_oracle  # noqa: PLC0415
+
+    return _hist_oracle()
+
+
+@register("stream_quantile_histogram", oracle=_stream_hist_oracle())
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram maintained BY THE STREAM: per-group
+    fixed-bin counts are a streaming aggregation (bins sum across
+    micro-batches — exactly the property that makes the histogram
+    sketch work where exact percentiles cannot stream), and the
+    p50/p95/p99 extraction runs as a batch CDF walk over the sink —
+    the same serving-layer split as ``stream_topn``.
+
+    Bin bounds are fixed up front (production pins them from a
+    calibration pass or domain knowledge; here a batch min/max read —
+    one scalar, the watermark pattern). State per group is BINS
+    counters, constant in stream length. Identical results to the batch
+    ``quantile_histogram`` (same oracle).
+    """
+    from cpt_database_sync_spark.operators.stats import (  # noqa: PLC0415
+        HIST_BINS,
+        HIST_QS,
+    )
+    from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
+
+    lo, hi = (
+        load(spark, sf_dir, "events")
+        .agg(F.min("value").cast("double"), F.max("value").cast("double"))
+        .collect()[0]
+    )
+    lo, hi = float(lo), float(hi)
+    span = hi - lo
+    ev = events_stream(spark, sf_dir)
+    bin_col = F.least(
+        F.floor((F.col("value").cast("double") - lo) / span * HIST_BINS),
+        F.lit(HIST_BINS - 1),
+    ).cast("bigint")
+    hist_stream = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("ts", "event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = run_to_table(hist_stream, "complete")
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in HIST_QS:
+        bin_q = F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin")))
+        aggs.append(
+            (F.lit(lo) + (bin_q + 1) * span / HIST_BINS)
+            .cast("double")
+            .alias(f"est_p{int(q * 100)}")
+        )
+    return cdf.groupBy("event_type").agg(*aggs)
