@@ -346,3 +346,92 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"est_p{int(q * 100)}")
         )
     return cdf.groupBy("event_type").agg(*aggs)
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    cols = _CORR_COLS
+    sums = ["COUNT(*) AS n"]
+    for i, c in enumerate(cols):
+        sums.append(f"CAST(CAST(SUM(x{i}) AS VARCHAR) AS DOUBLE) AS s{i}")
+        sums.append(
+            f"CAST(CAST(SUM(x{i} * x{i}) AS VARCHAR) AS DOUBLE) AS s{i}{i}"
+        )
+    pairs = [(i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j]
+    for i, j in pairs:
+        sums.append(
+            f"CAST(CAST(SUM(x{i} * x{j}) AS VARCHAR) AS DOUBLE) AS s{i}{j}"
+        )
+    casts = ", ".join(
+        f"CAST({c} AS DECIMAL(19,4)) AS x{i}" for i, c in enumerate(cols)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT '{cols[i]}' AS x_var, '{cols[j]}' AS y_var,
+            (s{i}{j} - s{i} * s{j} / n)
+              / (sqrt(s{i}{i} - s{i} * s{i} / n)
+                 * sqrt(s{j}{j} - s{j} * s{j} / n)) AS corr
+            FROM m"""
+        for i, j in pairs
+    )
+    return f"""
+    WITH m AS (
+      SELECT {", ".join(sums)}
+      FROM (SELECT {casts} FROM lineitem)
+    )
+    {rows}
+    """
+
+
+@register("corr_matrix", oracle=_corr_matrix_oracle())
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over the fact table's
+    numeric columns in ONE pass — the feature-correlation screen a
+    training pipeline runs before selecting/derived-weighting features
+    (``agg_stats`` computes one grouped pair; this computes all k(k-1)/2
+    pairs from a single aggregation).
+
+    One partial+final aggregation produces every moment (k sums, k
+    squares, k(k-1)/2 cross products — 15 decimal sums for k=4) from one
+    scan; the matrix assembly is arithmetic over that single 1-row
+    result. Shuffle volume is the moment row, independent of corpus
+    size. Exact decimal lane throughout (the agg_stats discipline: sums
+    exact as decimals, correctly-rounded to double on both engines), so
+    the correlations match bit-for-bit.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    xs = [F.col(c).cast("decimal(12,4)") for c in cols]
+    out = lambda c: c.cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(xs):
+        aggs.append(out(F.sum(x)).alias(f"s{i}"))
+        aggs.append(out(F.sum(x * x)).alias(f"s{i}{i}"))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j]
+    for i, j in pairs:
+        aggs.append(out(F.sum(xs[i] * xs[j])).alias(f"s{i}{j}"))
+    m = li.agg(*aggs)
+    n = F.col("n")
+
+    def corr(i: int, j: int):
+        si, sj = F.col(f"s{i}"), F.col(f"s{j}")
+        sii, sjj, sij = F.col(f"s{i}{i}"), F.col(f"s{j}{j}"), F.col(f"s{i}{j}")
+        return (sij - si * sj / n) / (
+            F.sqrt(sii - si * si / n) * F.sqrt(sjj - sj * sj / n)
+        )
+
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("x_var"),
+                F.lit(cols[j]).alias("y_var"),
+                corr(i, j).alias("corr"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return (
+        m.select(F.explode(pair_structs).alias("p"))
+        .select("p.x_var", "p.y_var", "p.corr")
+    )
