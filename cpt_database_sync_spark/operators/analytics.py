@@ -572,3 +572,63 @@ def rollup_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("events",))
     return spark.sql(_TIMEGRAIN_SQL)
+
+
+@register(
+    "join_temporal",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    intervals AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+             LEAD(ts) OVER w2 AS valid_to
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id, e.ts, s.state, s.valid_from
+    FROM events e
+    JOIN intervals s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_id % 7 = 0
+    """,
+)
+def join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-interval) join: attach to each probe event the
+    SCD2 state interval covering its timestamp — the "what plan was the
+    customer on when this happened" query every history table exists to
+    answer (and the read side of ``scd2_intervals``).
+
+    The join is EQUI on user_id with the interval containment as a
+    post-join range filter: per-user interval counts are small (bounded
+    by that user's state changes), so the pair space is user-local, not
+    quadratic — the same blocking argument as dedup_embedding's label
+    join. The probe side samples event_id % 7 (any predicate; pushed to
+    the scan). At 100 TB: both sides hash-partition by user_id — one
+    co-located shuffle each — and AQE handles hot users; a sorted
+    interval layout upgrades the filter to a merge lookup.
+    """
+    ev = load(spark, sf_dir, "events")
+    intervals = scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        probes.join(intervals, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "state", "valid_from")
+    )
