@@ -263,3 +263,41 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "batch"
     )
+
+
+@register(
+    "file_lineage",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    """,
+)
+def file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden ``_metadata`` file columns: which
+    physical file produced each row — at 100 TB the mechanism that traces
+    a bad training sample back to its shard (and the audit column a
+    curated dataset persists next to the data; no schema change needed,
+    the lineage is free at scan time).
+
+    Aggregated per source file here (one fixture file per table, so the
+    oracle pins the basename); a production pipeline selects
+    ``_metadata.file_path`` / ``row_index`` per row. Map-only +
+    |files|-row aggregation.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
