@@ -262,6 +262,21 @@ HIST_BINS = 100
 HIST_QS = (0.5, 0.95, 0.99)
 
 
+def hist_bin_col(lo: float, hi: float):
+    """Bin index for a fixed-[lo, hi] histogram of ``value``, shared by
+    the batch and streaming variants. Degenerate-span guard: when every
+    value equals lo (hi == lo) all rows land in bin 0 instead of dividing
+    by zero (NaN bins). NULL values must be filtered by the caller — the
+    engines order NULL bins differently in the CDF walk."""
+    span = hi - lo
+    if span == 0:
+        return F.lit(0).cast("bigint")
+    return F.least(
+        F.floor((F.col("value").cast("double") - lo) / span * HIST_BINS),
+        F.lit(HIST_BINS - 1),
+    ).cast("bigint")
+
+
 def _hist_oracle() -> str:
     q_cols = ", ".join(
         f"""CAST(lims.lo + (MIN(CASE WHEN cum >= {q} * n THEN bin END) + 1)
@@ -271,15 +286,16 @@ def _hist_oracle() -> str:
     return f"""
     WITH lims AS (
       SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     hist AS (
       SELECT event_type,
-             CAST(least(floor((CAST(value AS DOUBLE) - lims.lo)
+             CAST(CASE WHEN lims.hi = lims.lo THEN 0
+                  ELSE least(floor((CAST(value AS DOUBLE) - lims.lo)
                         / (lims.hi - lims.lo) * {HIST_BINS}),
-                        {HIST_BINS - 1}) AS BIGINT) AS bin,
+                        {HIST_BINS - 1}) END AS BIGINT) AS bin,
              COUNT(*) AS cnt
-      FROM events, lims GROUP BY 1, 2
+      FROM events, lims WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cdf AS (
       SELECT event_type, bin, cnt,
@@ -293,7 +309,7 @@ def _hist_oracle() -> str:
     """
 
 
-@register("quantile_histogram", oracle=_hist_oracle())
+@register("quantile_histogram", oracle=_hist_oracle(), tags=("reverify",))
 def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantiles: per-group p50/p95/p99 estimated
     from a fixed-bin histogram — the RE-AGGREGATABLE percentile pattern
@@ -310,7 +326,7 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day histograms and any period's quantiles come from summing bin
     counts, never rescanning events.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     lo, hi = (
         ev.agg(
             F.min("value").cast("double"), F.max("value").cast("double")
@@ -318,12 +334,8 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = float(lo), float(hi)
     span = hi - lo
-    bin_col = F.least(
-        F.floor((F.col("value").cast("double") - lo) / span * HIST_BINS),
-        F.lit(HIST_BINS - 1),
-    ).cast("bigint")
     hist = (
-        ev.select("event_type", bin_col.alias("bin"))
+        ev.select("event_type", hist_bin_col(lo, hi).alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

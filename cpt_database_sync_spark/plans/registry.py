@@ -135,9 +135,16 @@ def all_specs() -> dict[str, QuerySpec]:
             key=lambda s: (s.oracle is None, order[s.name]),
         )
     else:
+        # "reverify"-tagged queries had their implementation changed this
+        # round: treat them as never-verified so the driver's budget
+        # re-checks them first. The tag is removed once the next
+        # CORRECTNESS round confirms them green.
         ordered = sorted(
             _REGISTRY.values(),
-            key=lambda s: (last.get(s.name, -1), order[s.name]),
+            key=lambda s: (
+                -1 if "reverify" in s.tags else last.get(s.name, -1),
+                order[s.name],
+            ),
         )
     return {s.name: s for s in ordered}
 

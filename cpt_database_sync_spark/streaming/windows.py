@@ -365,7 +365,104 @@ def stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(deduped, "append")
 
 
+def serve_keyed_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    prefix: str,
+    varchar_lengths: dict[str, int] | None = None,
+):
+    """Continuously-maintained serving table: the streaming aggregation
+    runs in UPDATE output mode — each micro-batch emits only the groups
+    whose aggregate changed — and ``foreachBatch`` MERGEs those rows into
+    a keyed JDBC serving table (``jdbc_upsert_batch``: distributed staging
+    write + one set-based ANSI MERGE, the same machinery as
+    ``stream_upsert``). This is the continuous-deployment shape complete
+    mode cannot give: in complete mode Spark retains EVERY window's state
+    forever and rewrites the whole sink each batch, whereas here the
+    watermark genuinely evicts closed windows from the state store
+    (``numRowsRemoved`` in the query progress — gated in
+    tests/test_plans.py) and each batch ships only the delta. At 100 TB
+    the Derby URL becomes the warehouse's MERGE-capable store (Delta/
+    Iceberg/JDBC) and state scales with ACTIVE windows, not history.
+
+    Returns (serving table read-back, list of StreamingQueryProgress).
+    """
+    import tempfile  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import (  # noqa: PLC0415
+        jdbc_reader,
+        jdbc_sync_table,
+        jdbc_upsert_batch,
+        scratch_dir,
+        sweep_scratch,
+    )
+
+    spark = stream_df.sparkSession
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sweep_scratch(prefix, spark)
+    workdir = tempfile.mkdtemp(prefix=prefix, dir=scratch_dir())
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    table = "serving"
+    scratch_root = (
+        "/dev/shm/spark-graft-ckpt" if os.path.isdir("/dev/shm") else "/tmp/spark-graft-ckpt"
+    )
+    ckpt_dir = f"{scratch_root}/{os.path.basename(workdir)}/ckpt"
+    created = False
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal created
+        if not created:
+            # empty CREATE once; every batch thereafter is a pure MERGE
+            jdbc_sync_table(
+                spark, batch_df.limit(0), url, table,
+                varchar_lengths=varchar_lengths, flavor="ansi",
+            )
+            created = True
+        jdbc_upsert_batch(
+            spark, batch_df, url, table, key_cols,
+            varchar_lengths=varchar_lengths, flavor="ansi",
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+    progresses = list(q.recentProgress)
+    q.stop()
+    shutil.rmtree(f"{scratch_root}/{os.path.basename(workdir)}", ignore_errors=True)
+    if not created:
+        # zero micro-batches: the serving table was never created
+        return stream_df.sparkSession.createDataFrame([], stream_df.schema), progresses
+    back = jdbc_reader(spark, url, table)
+    # Derby folded identifiers upper; restore the stream's column names
+    back = back.toDF(*[c.lower() for c in back.columns]).select(*stream_df.columns)
+    return back, progresses
+
+
 STREAM_TOPN = 3
+
+
+def topn_counts_stream(ev: DataFrame) -> DataFrame:
+    """The continuously-maintained aggregate behind ``stream_topn``:
+    per-(tumbling hour, event_type) counts with watermark-bounded state,
+    flattened to serving-table columns."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
 
 
 @register(
@@ -384,27 +481,29 @@ STREAM_TOPN = 3
       )
     ) WHERE rn <= {STREAM_TOPN}
     """,
+    tags=("reverify",),
 )
 def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending items: top-N event types per tumbling hour — the
     serving-layer pattern for streaming rank queries. Ranking is NOT
     expressible inside a streaming aggregation (no windowed row_number
     over an updating result), so the stream maintains the windowed
-    counts (watermark-bounded state, incremental) and the rank runs as
-    a batch window over the SINK table — exactly how a dashboard reads
-    a continuously-maintained aggregate. At 100 TB the sink is a
-    partitioned table keyed by window_start; the rank touches only the
-    windows the dashboard asks for (partition pruning), never the
-    stream state.
+    counts in UPDATE mode — each micro-batch MERGEs only the changed
+    (window, event_type) rows into a keyed serving table
+    (``serve_keyed_stream``), with the watermark genuinely evicting
+    closed windows from state — and the rank runs as a batch window
+    over the SINK table, exactly how a dashboard reads a
+    continuously-maintained aggregate. At 100 TB the sink is a
+    partitioned MERGE-capable table keyed by window_start; the rank
+    touches only the windows the dashboard asks for (partition
+    pruning), never the stream state.
     """
     ev = events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    counts = run_to_table(agg, "complete").select(
-        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    counts, _ = serve_keyed_stream(
+        topn_counts_stream(ev),
+        ["window_start", "event_type"],
+        "stream_topn_",
+        varchar_lengths={"event_type": 40},
     )
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), "event_type"
@@ -422,24 +521,30 @@ def _stream_hist_oracle() -> str:
     return _hist_oracle()
 
 
-@register("stream_quantile_histogram", oracle=_stream_hist_oracle())
+@register(
+    "stream_quantile_histogram", oracle=_stream_hist_oracle(), tags=("reverify",)
+)
 def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable histogram maintained BY THE STREAM: per-group
     fixed-bin counts are a streaming aggregation (bins sum across
     micro-batches — exactly the property that makes the histogram
     sketch work where exact percentiles cannot stream), and the
     p50/p95/p99 extraction runs as a batch CDF walk over the sink —
-    the same serving-layer split as ``stream_topn``.
+    the same serving-layer split as ``stream_topn``. The stream runs
+    in UPDATE mode: each micro-batch MERGEs only the changed
+    (event_type, bin) counters into the keyed serving table
+    (``serve_keyed_stream``), so state per group stays BINS counters
+    and the sink write per batch is the delta, not a full rewrite.
 
     Bin bounds are fixed up front (production pins them from a
     calibration pass or domain knowledge; here a batch min/max read —
-    one scalar, the watermark pattern). State per group is BINS
-    counters, constant in stream length. Identical results to the batch
+    one scalar, the watermark pattern). Identical results to the batch
     ``quantile_histogram`` (same oracle).
     """
     from cpt_database_sync_spark.operators.stats import (  # noqa: PLC0415
         HIST_BINS,
         HIST_QS,
+        hist_bin_col,
     )
     from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
 
@@ -451,17 +556,19 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = float(lo), float(hi)
     span = hi - lo
     ev = events_stream(spark, sf_dir)
-    bin_col = F.least(
-        F.floor((F.col("value").cast("double") - lo) / span * HIST_BINS),
-        F.lit(HIST_BINS - 1),
-    ).cast("bigint")
     hist_stream = (
         ev.withWatermark("ts", "10 minutes")
-        .select("ts", "event_type", bin_col.alias("bin"))
+        .filter(F.col("value").isNotNull())
+        .select("ts", "event_type", hist_bin_col(lo, hi).alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    hist = run_to_table(hist_stream, "complete")
+    hist, _ = serve_keyed_stream(
+        hist_stream,
+        ["event_type", "bin"],
+        "stream_qhist_",
+        varchar_lengths={"event_type": 40},
+    )
     w_cum = Window.partitionBy("event_type").orderBy("bin")
     w_all = Window.partitionBy("event_type")
     cdf = hist.select(

@@ -371,3 +371,92 @@ def test_bitmap_distinct_preaggregates_map_side(spark, sf_dir):
         "bitmap_construct_agg" in plan and "partial" in plan.lower()
     ), f"bitmap agg is not partial/map-side:\n{plan[:2000]}"
     assert "Expand" not in plan, "a count-distinct Expand crept in"
+
+
+def test_stream_serving_update_mode_bounded_state(spark, tmp_path):
+    """The streaming serving pattern (stream_topn / stream_quantile_histogram)
+    must run in UPDATE output mode with watermark-bounded state: the source
+    arrives as multiple micro-batches, each batch MERGEs only its delta into
+    the keyed serving table, and closed windows are EVICTED from the state
+    store. Complete-mode re-emission (state = every window ever, sink
+    rewritten per batch) fails every assertion here."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.windows import (
+        serve_keyed_stream,
+        topn_counts_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (f"2024-03-01 {h:02d}:{m:02d}:00", et)
+        for h in range(24)
+        for m in (0, 20, 40)
+        for et in ("a", "b")
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    # three time-ordered files; hour-8's window straddles files 0/1 so the
+    # MERGE UPDATE arm is exercised on a partially-counted window
+    bounds = [
+        ("2024-03-01 00:00:00", "2024-03-01 08:20:00"),
+        ("2024-03-01 08:20:00", "2024-03-01 16:00:00"),
+        ("2024-03-01 16:00:00", "2024-03-02 00:00:00"),
+    ]
+    now = time.time()
+    for i, (lo, hi) in enumerate(bounds):
+        part_dir = tmp_path / f"part{i}"
+        (
+            df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(part_dir))
+        )
+        pf = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = src / f"batch{i}.parquet"
+        shutil.copy(part_dir / pf, dst)
+        # the file source triggers in modification-time order
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    served, progresses = serve_keyed_stream(
+        topn_counts_stream(stream),
+        ["window_start", "event_type"],
+        "test_serving_",
+        varchar_lengths={"event_type": 40},
+    )
+
+    data_batches = [p for p in progresses if p.numInputRows > 0]
+    assert len(data_batches) >= 3, "source must arrive as multiple micro-batches"
+    assert any(
+        op.numRowsRemoved > 0 for p in progresses for op in p.stateOperators
+    ), "watermark never evicted state from the store"
+    n_keys = 24 * 2
+    final_state = max(op.numRowsTotal for op in data_batches[-1].stateOperators)
+    assert final_state < n_keys, (
+        f"state holds {final_state} rows for {n_keys} total group keys — "
+        "complete-mode retention, not watermark-bounded"
+    )
+    truth = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+        .collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in served.collect()
+    }
+    assert got == truth, "serving table diverged from batch truth"
