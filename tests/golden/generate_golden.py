@@ -39,6 +39,7 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 
 GOLDEN_QUERIES = {
     "dedup_minhash": ("documents", DOCS_FINGERPRINT_SQL),
+    "dedup_minhash_incremental": ("documents", DOCS_FINGERPRINT_SQL),
     "dedup_simhash": ("documents", DOCS_FINGERPRINT_SQL),
     "sim_ann_lsh": ("embeddings", EMB_FINGERPRINT_SQL),
 }

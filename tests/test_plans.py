@@ -460,3 +460,27 @@ def test_stream_serving_update_mode_bounded_state(spark, tmp_path):
         (r["window_start"], r["event_type"]): r["n_events"] for r in served.collect()
     }
     assert got == truth, "serving table diverged from batch truth"
+
+
+def test_minhash_incremental_shuffles_only_increment(spark, sf_dir):
+    """dedup_minhash_incremental's contract: corpus-scale data (the
+    persisted band + shingle-set index) must never shuffle — the
+    increment broadcasts into the index scans and every hash-partitioned
+    Exchange is keyed by increment/candidate ids. A sort-merge or
+    shuffled-hash join anywhere means the index side moved."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        dedup_minhash_incremental,
+    )
+
+    plan = plan_string(dedup_minhash_incremental(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "index side participated in a shuffle join"
+    )
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected increment-side aggregation exchanges"
+    allowed = {"inc_id", "corpus_id", "a_id", "b_id"}
+    for k in keys:
+        cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
+        assert cols <= allowed, f"corpus-side shuffle detected: {k}"
