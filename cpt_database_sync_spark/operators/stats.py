@@ -447,3 +447,122 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(F.explode(pair_structs).alias("p"))
         .select("p.x_var", "p.y_var", "p.corr")
     )
+
+
+# Count-min sketch: DEPTH independent hash rows of WIDTH counters. eps-bound
+# multiplier 3 (> e): the classic guarantee est <= true + e*N/WIDTH holds
+# per row with prob 1-1/e; the min over DEPTH=4 rows makes a 3*N/WIDTH
+# excess astronomically unlikely (needs a heavy colliding bucket in all 4
+# seeded rows for the same key).
+CM_DEPTH = 4
+CM_WIDTH = 2048
+CM_BOUND = 3
+CM_TOPK = 5
+
+
+def _cm_lanes():
+    """One (row, bucket) pair per sketch row for the current ``term``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col("term"), F.lit(d)), F.lit(CM_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+
+
+def _cm_oracle() -> str:
+    return f"""
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+      SELECT lang, term, COUNT(*) AS exact_cnt
+      FROM words WHERE term <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, term, exact_cnt,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY exact_cnt DESC, term
+             ) AS INTEGER) AS rk
+      FROM counts
+    )
+    SELECT lang, term, exact_cnt, rk,
+           TRUE AS cm_overcounts, TRUE AS cm_within_eps
+    FROM ranked WHERE rk <= {CM_TOPK}
+    """
+
+
+@register("agg_approx_topk", oracle=_cm_oracle())
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch — the third member of the
+    re-aggregatable serving family (bitmap → COUNT DISTINCT, histogram →
+    percentiles, count-min → top-k frequency): per-language top terms
+    with the sketch's accuracy contract made exact-checkable.
+
+    The sketch is DEPTH×WIDTH counters per group: each word increments
+    one bucket per seeded hash row, aggregated with map-side combine so
+    the shuffle carries at most |langs|×DEPTH×WIDTH rows per task
+    REGARDLESS of corpus size (plan-gated) — and bucket counts are
+    mergeable across partitions, days, or streaming micro-batches, which
+    is what exact top-k loses the moment data is distributed. A term's
+    estimate is min over rows of its bucket count: never an undercount,
+    and over by at most ~e·N/WIDTH with overwhelming probability.
+
+    Oracle discipline (= ``agg_approx_distinct``): sketch estimates are
+    engine-specific, so the query emits the EXACT per-term counts and
+    ranks (checkable) plus two flags — ``cm_overcounts`` (est ≥ exact,
+    a mathematical invariant of count-min) and ``cm_within_eps``
+    (est ≤ exact + {CM_BOUND}·N/WIDTH) — which the oracle asserts TRUE,
+    turning the sketch's contract into an exact-checkable result. The
+    exact side here is oracle instrumentation; the 100 TB serving path
+    maintains only the sketch (plus the candidate heap) incrementally.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    sketch = (
+        words.select("lang", F.explode(_cm_lanes()).alias("l"))
+        .select("lang", F.col("l.d").alias("d"), F.col("l.bucket").alias("bucket"))
+        .groupBy("lang", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = (
+        sketch.filter(F.col("d") == 0)
+        .groupBy("lang")
+        .agg(F.sum("cnt").alias("n_total"))
+    )
+    exact = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("exact_cnt").desc(), "term")
+    topk = exact.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= CM_TOPK
+    )
+    probes = topk.select(
+        "lang", "term", "exact_cnt", "rk", F.explode(_cm_lanes()).alias("l")
+    ).select(
+        "lang", "term", "exact_cnt", "rk",
+        F.col("l.d").alias("d"), F.col("l.bucket").alias("bucket"),
+    )
+    est = (
+        sketch.join(F.broadcast(probes), ["lang", "d", "bucket"])
+        .groupBy("lang", "term", "exact_cnt", "rk")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "term",
+        "exact_cnt",
+        "rk",
+        (F.col("est") >= F.col("exact_cnt")).alias("cm_overcounts"),
+        (
+            F.col("est")
+            <= F.col("exact_cnt") + CM_BOUND * F.col("n_total") / F.lit(CM_WIDTH)
+        ).alias("cm_within_eps"),
+    )

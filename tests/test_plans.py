@@ -484,3 +484,19 @@ def test_minhash_incremental_shuffles_only_increment(spark, sf_dir):
     for k in keys:
         cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
         assert cols <= allowed, f"corpus-side shuffle detected: {k}"
+
+
+def test_cm_sketch_preaggregates_map_side(spark, sf_dir):
+    """agg_approx_topk's sketch aggregation must pre-aggregate map-side:
+    the shuffle carries at most |langs|*DEPTH*WIDTH bucket rows per task,
+    never one row per word occurrence."""
+    import re
+
+    from cpt_database_sync_spark.operators.stats import agg_approx_topk
+
+    plan = plan_string(agg_approx_topk(spark, sf_dir))
+    assert "partial_count" in plan, "sketch agg is not partial/map-side"
+    assert re.search(r"hashpartitioning\(lang[^)]*\bd#[^)]*bucket", plan), (
+        f"expected a (lang, d, bucket) sketch exchange:\n{plan[:2000]}"
+    )
+    assert "SortMergeJoin" not in plan, "sketch/probe joins must broadcast"
