@@ -366,11 +366,41 @@ def _ivf_topk(scored: DataFrame) -> DataFrame:
     )
 
 
+def _materialize_index(
+    spark: SparkSession, sf_dir: str, name: str, build_df_fn
+) -> str:
+    """Write a cell-partitioned index for ``sf_dir`` only when absent or
+    stale (source parquet mtime+size stamp), so plan-only callers (explain
+    / plan gates / repeated bench trials) reuse the on-disk index instead
+    of paying a full corpus write per call — the behavior a persisted
+    100 TB index actually has. Returns the index directory."""
+    import os  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    out = os.path.join(scratch_dir(), name, os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(out, "_SRC_STAMP")  # _-prefixed: invisible to scans
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    except OSError:
+        pass
+    build_df_fn().write.mode("overwrite").partitionBy("c_id").parquet(out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
 @register("sim_ann_ivf_indexed", oracle=_IVF_ORACLE)
 def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized form of ``sim_ann_ivf`` — the layout the 100 TB
     deployment actually runs: the cell assignment is PERSISTED as parquet
-    partitioned by cell id, and each probe reads only its cells' files.
+    partitioned by cell id (rebuilt only when the source fixture changes,
+    ``_materialize_index``), and each probe reads only its cells' files.
 
     The probe join hits the index on its partition column, so Catalyst
     plans **dynamic partition pruning** (plan-gated): the NPROBE cell ids
@@ -378,15 +408,17 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB with thousands of cells, a probe touches ~NPROBE/NLIST of
     the corpus files and the rest are never opened. Identical results to
     the on-the-fly variant (same oracle); the only difference is where
-    the assignment lives.
+    the assignment lives. The read-back passes an explicit schema so the
+    c_id partition column stays BIGINT (inference would narrow it to int
+    and lean on an implicit join-key cast).
     """
-    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
-    import os  # noqa: PLC0415
-
     assign, probes = _ivf_parts(spark, sf_dir)
-    out = os.path.join(scratch_dir(), "ivf_index", os.path.basename(sf_dir.rstrip("/")))
-    assign.write.mode("overwrite").partitionBy("c_id").parquet(out)
-    idx = spark.read.parquet(out)
+    out = _materialize_index(spark, sf_dir, "ivf_index", lambda: assign)
+    idx = (
+        spark.read.schema("n_id bigint, ce_vec array<double>, cn double, c_id bigint")
+        .option("basePath", out)
+        .parquet(out)
+    )
     scored = (
         idx.join(F.broadcast(probes), "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
@@ -395,6 +427,152 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ivf_topk(scored)
+
+
+_IVF_PQ_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (
+  SELECT u.i AS pos, min(e[CAST(u.i + 1 AS INT)]) AS lo,
+         max(e[CAST(u.i + 1 AS INT)]) AS hi
+  FROM d, UNNEST(range(len(e))) AS u(i)
+  GROUP BY 1
+),
+lims AS (
+  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM dims
+),
+deq AS (
+  SELECT d.vec_id,
+         list_transform(range(len(d.e)), i ->
+           lims.lo[CAST(i + 1 AS INT)]
+           + CAST(CASE WHEN lims.hi[CAST(i + 1 AS INT)] = lims.lo[CAST(i + 1 AS INT)]
+                  THEN 0
+                  ELSE CAST(floor((d.e[CAST(i + 1 AS INT)] - lims.lo[CAST(i + 1 AS INT)])
+                                  / (lims.hi[CAST(i + 1 AS INT)] - lims.lo[CAST(i + 1 AS INT)])
+                                  * 255.0 + 0.5) AS BIGINT) END AS DOUBLE)
+             * (lims.hi[CAST(i + 1 AS INT)] - lims.lo[CAST(i + 1 AS INT)]) / 255.0) AS dv
+  FROM d, lims
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
+           ) AS crn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, qe, c_id FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS qe, c.c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
+           ) AS crn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE crn <= {IVF_NPROBE}
+)
+SELECT q_id, n_id, rn, round(cos, 9) AS sim FROM (
+  SELECT p.q_id, a.vec_id AS n_id,
+         {_sql_cosine("p.qe", "dq.dv")} AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.q_id
+           ORDER BY {_sql_cosine("p.qe", "dq.dv")} DESC, a.vec_id
+         ) AS rn
+  FROM probes p
+  JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+  JOIN deq dq ON dq.vec_id = a.vec_id
+) WHERE rn <= {TOPK}
+"""
+
+
+@register("sim_ann_ivf_pq", oracle=_IVF_PQ_ORACLE)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index with int8-quantized cells — ``sim_ann_ivf_indexed``'s
+    layout with ``embedding_quantize``'s exact uint8 lanes applied inside
+    the cells, so the persisted 100 TB index stores one byte per dimension
+    (~4× smaller than float32, ~8× than the double lane) and still prunes
+    to NPROBE cell directories per probe (dynamic partition pruning,
+    plan-gated: the scan reads array<smallint>, never the raw vectors).
+
+    Asymmetric distance computation: queries stay full precision, corpus
+    vectors are dequantized in-place from the stored codes with the
+    per-dimension [lo, hi] calibration (persisted next to the cells and
+    read back — no corpus rescan on warm calls). Cell ASSIGNMENT uses the
+    original vectors at build time (the standard IVF-PQ recipe), so cells
+    equal sim_ann_ivf_indexed's. Every quantize/dequantize/cosine step is
+    deterministic IEEE double arithmetic replayed by the DuckDB oracle —
+    the scoring contract is exact, like embedding_quantize's bit-exact
+    reconstruction error.
+    """
+    import os  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+
+    assign, probes = _ivf_parts(spark, sf_dir)
+    lims_dir = os.path.join(
+        scratch_dir(), "ivf_pq_lims", os.path.basename(sf_dir.rstrip("/"))
+    )
+
+    def build() -> DataFrame:
+        dims_df = (
+            assign.select(F.posexplode("ce_vec").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        )
+        dims_df.write.mode("overwrite").parquet(lims_dir)
+        lo, hi = _lims_literals(spark, lims_dir)
+        qv = F.expr(
+            "transform(sequence(0, size(ce_vec) - 1), i -> "
+            "IF(hi_a[i] = lo_a[i], 0S, "
+            "CAST(floor((ce_vec[i] - lo_a[i]) / (hi_a[i] - lo_a[i]) * 255.0D "
+            "+ 0.5D) AS SMALLINT)))"
+        )
+        return (
+            assign.withColumn("lo_a", lo)
+            .withColumn("hi_a", hi)
+            .select("n_id", qv.alias("qv"), "c_id")
+        )
+
+    out = _materialize_index(spark, sf_dir, "ivf_pq_cells", build)
+    lo, hi = _lims_literals(spark, lims_dir)
+    idx = (
+        spark.read.schema("n_id bigint, qv array<smallint>, c_id bigint")
+        .option("basePath", out)
+        .parquet(out)
+    )
+    deq = F.expr(
+        "transform(sequence(0, size(qv) - 1), i -> "
+        "lo_a[i] + CAST(qv[i] AS DOUBLE) * (hi_a[i] - lo_a[i]) / 255.0D)"
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("lo_a", lo)
+        .withColumn("hi_a", hi)
+        .withColumn("dv", deq)
+        .withColumn(
+            "cos",
+            dot(F.col("qe"), F.col("dv"))
+            / (F.col("qn") * F.sqrt(dot(F.col("dv"), F.col("dv")))),
+        )
+    )
+    return _ivf_topk(scored)
+
+
+def _lims_literals(spark: SparkSession, lims_dir: str):
+    """(lo, hi) literal arrays from the persisted per-dim calibration —
+    dims-sized driver read, the kmeans-centroid pattern."""
+    dims = spark.read.parquet(lims_dir).collect()
+    dims = sorted(dims, key=lambda r: r.pos)
+    return (
+        F.array(*[F.lit(float(r.lo)) for r in dims]),
+        F.array(*[F.lit(float(r.hi)) for r in dims]),
+    )
 
 
 # Shared pair predicate: the single SQL definition of "embedding

@@ -500,3 +500,18 @@ def test_cm_sketch_preaggregates_map_side(spark, sf_dir):
         f"expected a (lang, d, bucket) sketch exchange:\n{plan[:2000]}"
     )
     assert "SortMergeJoin" not in plan, "sketch/probe joins must broadcast"
+
+
+def test_ivf_pq_index_is_int8_and_pruned(spark, sf_dir):
+    """sim_ann_ivf_pq's persisted cells must hold the quantized lane only
+    (array<smallint> codes — one logical byte per dim) and the probe join
+    must still plan dynamic partition pruning over the cell directories."""
+    from cpt_database_sync_spark.operators.llm_similarity import sim_ann_ivf_pq
+
+    plan = plan_string(sim_ann_ivf_pq(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), (
+        f"pq probe scan is not dynamically pruned:\n{plan[:2000]}"
+    )
+    assert "PartitionFilters" in plan
+    assert "array<smallint>" in plan, "index scan must read the int8 code lane"
+    assert "ce_vec" not in plan, "raw double vectors leaked into the pq plan"
