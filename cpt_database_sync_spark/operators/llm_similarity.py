@@ -626,6 +626,55 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K = 8
 KM_ITERS = 3
 
+# Ceiling for the driver-literal centroid pattern (_ivf_cell_ranks /
+# kmeans assign_with): K x dims double literals embedded in the plan.
+# Catalyst folds them fine up to ~10^4-10^5 values; past that, plan
+# serialization/compile dominates. Above the ceiling the assignment
+# switches to assign_via_relation: the same HOF argmax, but the centroid
+# array arrives via a one-row BROADCAST RELATION instead of the plan tree.
+CENTROID_LITERAL_CEILING = 65536
+
+
+def argmax_centroid(cents_col: Column) -> Column:
+    """Centroid id of max cosine vs ``e``, ties to the lower id —
+    a zero-shuffle fold over an array-of-centroid-structs column.
+    struct comparison is field-order lexicographic: max cos first, then
+    max(-cid) == min cid."""
+    best = F.array_max(
+        F.transform(
+            cents_col,
+            lambda c: F.struct(
+                cosine(F.col("e"), c["ce"]).alias("cos"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return -best["ncid"]
+
+
+def assign_via_relation(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Large-K assignment path: centroids as a broadcast RELATION.
+
+    ``cent_df`` (cid bigint, ce array<double>) is packed into ONE row
+    holding the sorted array-of-structs and broadcast-cross-joined onto
+    the corpus — a single-row build side, so the corpus streams through
+    map-only stages with NO Exchange (plan-gated in tests/test_plans.py)
+    and the argmax fold is byte-identical to the literal path. A keyed
+    BroadcastHashJoin would need a corpus-side groupBy(vec_id) to reduce
+    the K-way fan-out — exactly the shuffle this shape exists to avoid;
+    the one-row broadcast keeps the fan-out inside the HOF. In kmeans,
+    the large-K update step also skips the centroid collect entirely —
+    the update aggregation's output feeds this directly.
+    """
+    packed = cent_df.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("ce")))).alias(
+            "cents"
+        )
+    )
+    return emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "e", argmax_centroid(F.col("cents")).alias("cid")
+    )
+
 
 def _km_assign_sql(cent: str, out: str) -> str:
     cos = _sql_cosine("s.ve", "c.ce")
@@ -717,6 +766,17 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def assign_with(rows) -> DataFrame:
+        # K x dims above the literal ceiling -> broadcast-relation path
+        # (same argmax fold, centroids shipped as data not plan nodes);
+        # below it, the literal keeps the plan self-contained. At KM_K=8
+        # the literal path runs — results are identical either way
+        # (equality-checked in tests/test_plans.py).
+        if len(rows) * len(rows[0]["ce"]) > CENTROID_LITERAL_CEILING:
+            cent_df = emb.sparkSession.createDataFrame(
+                [(int(r["cid"]), [float(v) for v in r["ce"]]) for r in rows],
+                "cid bigint, ce array<double>",
+            )
+            return assign_via_relation(emb, cent_df)
         # struct comparison is field-order lexicographic: max cos first,
         # then max(-cid) == min cid for the deterministic tie-break.
         best = F.array_max(
