@@ -519,3 +519,117 @@ def sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+PACK_BUDGET = 256  # tokens per packed training row (4x CHUNK_TOKENS)
+PACK_BUCKETS = 16
+
+
+def _pack_oracle() -> str:
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id,
+             CAST(u.i AS INT) AS chunk_id,
+             CAST(least(len(ws) - u.i * {CHUNK_TOKENS}, {CHUNK_TOKENS}) AS BIGINT)
+               AS n_tok,
+             CAST(doc_id % {PACK_BUCKETS} AS BIGINT) AS bucket
+      FROM w, UNNEST(range((len(ws) + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS})) AS u(i)
+    ),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY bucket ORDER BY doc_id, chunk_id
+      ) AS rn
+      FROM grid
+    ),
+    scan(bucket, rn, doc_id, chunk_id, n_tok, pack_id, pack_pos, tok_offset, fill) AS (
+      SELECT bucket, rn, doc_id, chunk_id, n_tok,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tok
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT c.bucket, c.rn, c.doc_id, c.chunk_id, c.n_tok,
+             CASE WHEN s.fill + c.n_tok > {PACK_BUDGET}
+                  THEN s.pack_id + 1 ELSE s.pack_id END,
+             CASE WHEN s.fill + c.n_tok > {PACK_BUDGET}
+                  THEN 0 ELSE s.pack_pos + 1 END,
+             CASE WHEN s.fill + c.n_tok > {PACK_BUDGET}
+                  THEN 0 ELSE s.fill END,
+             CASE WHEN s.fill + c.n_tok > {PACK_BUDGET}
+                  THEN c.n_tok ELSE s.fill + c.n_tok END
+      FROM scan s JOIN ordered c ON c.bucket = s.bucket AND c.rn = s.rn + 1
+    )
+    SELECT bucket, doc_id, chunk_id, n_tok, pack_id, pack_pos, tok_offset
+    FROM scan
+    """
+
+
+@register("sequence_packing", oracle=_pack_oracle())
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: greedy sequential (next-fit) bin-packing of
+    the chunk grid into fixed {PACK_BUDGET}-token training rows with full
+    lineage — the operator between ``sequence_chunking`` and a trainer,
+    which wants dense fixed-length samples, not one short row per chunk.
+
+    Bin-packing is inherently sequential, so the parallel shape is
+    bucket-then-scan: chunks hash into {PACK_BUCKETS} buckets (doc_id
+    mod — replayable by the oracle) — ONE shuffle — and each bucket runs
+    the deterministic next-fit scan (ordered by doc_id, chunk_id: a new
+    pack opens exactly when the next chunk would overflow the budget) as
+    an Arrow-batched ``applyInPandas`` group (plan-gated). Next-fit, not
+    first-fit: its single-open-bin state is what makes the scan
+    streamable, and (bucket, pack_id, pack_pos, tok_offset) gives every
+    training row a reproducible identity. At 100 TB, buckets are sized
+    so each group fits one task; packing stays one shuffle + a linear
+    scan per bucket. The oracle replays the identical scan as a DuckDB
+    recursive CTE over the same ordering — exact assignment check, not a
+    fill-rate eyeball.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(CHUNK_TOKENS)).cast("int")
+    grid = ws.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.least(
+            F.col("nw") - F.col("chunk_id") * CHUNK_TOKENS, F.lit(CHUNK_TOKENS)
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+        F.pmod("doc_id", F.lit(PACK_BUCKETS)).cast("bigint").alias("bucket"),
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        pack, fill, pos = 0, 0, 0
+        packs, poss, offs = [], [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if fill + n > PACK_BUDGET:
+                pack, fill, pos = pack + 1, 0, 0
+            packs.append(pack)
+            poss.append(pos)
+            offs.append(fill)
+            fill += n
+            pos += 1
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        pdf["pack_pos"] = pd.Series(poss, dtype="int64")
+        pdf["tok_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[
+            ["bucket", "doc_id", "chunk_id", "n_tok", "pack_id", "pack_pos",
+             "tok_offset"]
+        ]
+
+    return grid.groupBy("bucket").applyInPandas(
+        pack_group,
+        "bucket bigint, doc_id bigint, chunk_id int, n_tok bigint, "
+        "pack_id bigint, pack_pos bigint, tok_offset bigint",
+    )

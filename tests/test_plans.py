@@ -542,7 +542,7 @@ def test_centroid_broadcast_relation_path(spark, sf_dir):
     rel = assign_via_relation(emb, cent_df)
     plan = plan_string(rel)
     assert "BroadcastExchange" in plan, "centroid relation must broadcast"
-    corpus_shuffles = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    corpus_shuffles = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert not corpus_shuffles, f"corpus-side shuffle: {corpus_shuffles}"
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # same assignment as the literal-path first kmeans iteration? the
@@ -567,3 +567,20 @@ def test_centroid_broadcast_relation_path(spark, sf_dir):
         .count()
     )
     assert diff == 0, f"{diff} vectors assigned differently by the two paths"
+
+
+def test_sequence_packing_one_bucket_shuffle_arrow_scan(spark, sf_dir):
+    """sequence_packing must be exactly one bucket-keyed shuffle feeding
+    an Arrow-batched grouped-map scan — no extra exchanges, no row-wise
+    Python eval."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_text import sequence_packing
+
+    plan = plan_string(sequence_packing(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, "packing scan must be Arrow grouped-map"
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 1 and ex[0].startswith("bucket"), (
+        f"expected exactly one bucket-keyed shuffle, got {ex}"
+    )
+    assert "BatchEvalPython" not in plan, "row-wise Python UDF crept in"
