@@ -195,3 +195,56 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = jdbc_reader(spark, url, "events_replica")
     # Derby folded identifiers to upper case; restore the source names
     return back.toDF(*[c.lower() for c in back.columns]).select(*ev.columns)
+
+
+@register(
+    "stream_schema_evolution",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                THEN NULL ELSE props END AS props
+    FROM events
+    """,
+)
+def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-column schema drift THROUGH the incremental stream —
+    ``schema_evolution``'s batch story carried into the
+    ``incremental_sync_stream`` path: a v1 producer streams events
+    WITHOUT the ``props`` column up to a cutoff, then the upgraded v2
+    producer streams the tail with ``props`` added, both appending to
+    the same sink. Each phase is its own streaming query + checkpoint
+    (a streaming source's schema is pinned at query start — a producer
+    upgrade IS a new query; the sink and its history carry over).
+
+    ``mergeSchema`` on the sink read-back unions the file footers at
+    planning time: v1 micro-batch files surface ``props`` as NULL with
+    no data rewrite — at 100 TB the old files are never touched, which
+    is exactly what the reference's drop+recreate cannot do
+    (`sync/M2H2SchemaConverter.java:48-118`). The oracle is identity
+    across the drift boundary: every source row present exactly once,
+    props NULL iff it shipped before the upgrade.
+    """
+    from cpt_database_sync_spark.sources.sync import (  # noqa: PLC0415
+        scratch_dir,
+        sweep_scratch,
+    )
+    from cpt_database_sync_spark.streaming.windows import events_stream
+
+    sweep_scratch("stream_evo_")
+    workdir = tempfile.mkdtemp(prefix="stream_evo_", dir=scratch_dir())
+    target = f"{workdir}/sink"
+    cutoff = "2024-01-15 00:00:00"
+    ev = events_stream(spark, sf_dir)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target)
+
+    v1 = ev.filter(F.col("ts") <= cutoff).drop("props")
+    q = incremental_sync_stream(spark, v1, append_batch, f"{workdir}/ckpt_v1")
+    q.awaitTermination()
+    v2 = ev.filter(F.col("ts") > cutoff)
+    q = incremental_sync_stream(spark, v2, append_batch, f"{workdir}/ckpt_v2")
+    q.awaitTermination()
+
+    back = spark.read.option("mergeSchema", "true").parquet(target)
+    return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
