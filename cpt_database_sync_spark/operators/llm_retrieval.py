@@ -26,6 +26,8 @@ The reference has no retrieval surface (its one query is
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,8 +36,15 @@ from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 # Query terms chosen from the fixture vocabulary; any literal set works —
-# a production call parameterizes them.
+# a production call parameterizes them. Terms are interpolated into the
+# oracle SQL and compared with == on the Spark side, so they must stay in
+# the safe token alphabet (no quotes, no regex/whitespace specials) —
+# asserted at import so a future parameterization fails loudly, not by
+# producing a broken oracle string.
 BM25_QUERY_TERMS = ("join", "window", "data")
+assert all(
+    re.fullmatch(r"[a-z0-9]+", t) for t in BM25_QUERY_TERMS
+), "BM25 query terms must match [a-z0-9]+ (they are embedded in oracle SQL)"
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20

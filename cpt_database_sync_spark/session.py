@@ -119,6 +119,16 @@ def bounded_cache(key: str, df):
     repopulated, so trial N costs the same as trial 2. Only when the plan
     actually changed (different sf_dir, changed upstream) is the stale
     cache unpersisted and replaced.
+
+    Assumption (deliberate): input files are immutable within a session.
+    If a fixture parquet is regenerated IN PLACE at the same path mid-
+    session, the analyzed plan still compares equal and the warm cache
+    would serve pre-regeneration data. That is Spark's own contract for
+    cached relations (a plain ``.cache()`` has the identical behavior);
+    a long-lived service that rewrites inputs must call
+    ``spark.catalog.refreshByPath(path)`` / clearCache, which also drops
+    these entries. The driver/bench/pytest harnesses all regenerate
+    fixtures only between processes, never mid-session.
     """
     prev = _BOUNDED_CACHES.get(key)
     if prev is not None:
