@@ -82,6 +82,11 @@ HEADLINE = [
     "sql_tpch_q5",
     "rollup_timegrain",
     "dedup_incremental",
+    "dedup_minhash_incremental",
+    "agg_approx_topk",
+    "sim_ann_ivf_pq",
+    "sequence_packing",
+    "stream_topn",
 ]
 
 

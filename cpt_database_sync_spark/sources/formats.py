@@ -301,3 +301,40 @@ def file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+COMPACT_TARGET_BYTES = 32 * 1024 * 1024
+COMPACT_FRAGMENTS = 64
+
+
+@register("compact_small_files", oracle="SELECT * FROM events")
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every 100 TB
+    ingest pipeline schedules: streaming and incremental sinks emit one
+    file per micro-batch task, and thousands of KB-scale files tax the
+    scan planner (footer reads, task scheduling) far more than the bytes
+    justify. Here the events table is first fragmented into
+    {COMPACT_FRAGMENTS} files (a streaming sink's aftermath), then
+    rewritten into ceil(bytes / {COMPACT_TARGET_BYTES}B) size-targeted
+    files — sizing from the ACTUAL on-disk bytes, not row counts, so the
+    same code lands on ~target-size files at any scale or schema width.
+
+    The rewrite is a round-robin repartition (no key skew; at 100 TB
+    compaction jobs run per partition directory, preserving the
+    partition layout). Identity oracle: compaction must not change,
+    drop, or duplicate a single row — the same guarantee FileStreamSink
+    compaction needs before swapping manifests.
+    """
+    frag_dir = _fmt_dir("events_fragmented")
+    comp_dir = _fmt_dir("events_compacted")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag_dir)
+    total_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(frag_dir)
+        if e.name.endswith(".parquet")
+    )
+    n_out = max(1, -(-total_bytes // COMPACT_TARGET_BYTES))
+    frag = spark.read.parquet(frag_dir)
+    frag.repartition(n_out).write.mode("overwrite").parquet(comp_dir)
+    return spark.read.parquet(comp_dir).select(*ev.columns)

@@ -652,3 +652,28 @@ class TestImageDecode:
         payload = make_png(17, 9, seed=42)
         with pil.open(io.BytesIO(payload)) as im:
             assert im.tobytes() == decode_png_pixels(payload)["pixels"]
+
+
+def test_compact_small_files_reduces_file_count(spark, sf_dir):
+    """Compaction must rewrite the fragmented layout into the size-targeted
+    file count computed from actual bytes — and actually shrink it."""
+    import os
+
+    from cpt_database_sync_spark.sources.formats import (
+        COMPACT_FRAGMENTS,
+        COMPACT_TARGET_BYTES,
+        _fmt_dir,
+        compact_small_files,
+    )
+
+    compact_small_files(spark, sf_dir).count()
+    frag_dir, comp_dir = _fmt_dir("events_fragmented"), _fmt_dir("events_compacted")
+    frag_files = [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+    comp_files = [f for f in os.listdir(comp_dir) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(frag_dir, f)) for f in frag_files)
+    expected = max(1, -(-total // COMPACT_TARGET_BYTES))
+    assert len(frag_files) == COMPACT_FRAGMENTS
+    assert len(comp_files) == expected, (
+        f"expected {expected} size-targeted files, got {len(comp_files)}"
+    )
+    assert len(comp_files) < len(frag_files)
