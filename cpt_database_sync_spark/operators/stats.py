@@ -566,3 +566,73 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_cnt") + CM_BOUND * F.col("n_total") / F.lit(CM_WIDTH)
         ).alias("cm_within_eps"),
     )
+
+
+APPROX_PCT_ACC = 10000  # GK sketch accuracy: rank error <= n / accuracy
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(l_extendedprice, 0.5)  AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS approx_p50_ok, TRUE AS approx_p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the percentile that
+    actually runs at 100 TB (constant memory per group, mergeable
+    partials; exact percentiles re-sort the raw data every time) — with
+    its rank-error contract made exact-checkable, the
+    ``agg_approx_distinct`` discipline applied to order statistics.
+
+    GK guarantees the returned value's exact RANK is within
+    n/accuracy of the target rank. The query emits the exact
+    (interpolated) percentiles — checkable bit-for-bit — plus one flag
+    per quantile: the approx value's exact rank interval
+    [count(x < v) + 1, count(x <= v)] (an interval because of ties)
+    must intersect the target window p·n ± n/accuracy. Rank-counting is
+    one extra pass with the per-group sketch results broadcast — no
+    second sort. The oracle asserts the flags, turning the sketch's
+    guarantee into a pass/fail result.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
+        F.percentile_approx("l_extendedprice", 0.5, APPROX_PCT_ACC).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, APPROX_PCT_ACC).alias("a95"),
+    )
+    ranks = (
+        li.join(F.broadcast(ap.select("l_returnflag", "a50", "a95")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("a50")).cast("long")).alias("lt50"),
+            F.sum((F.col("l_extendedprice") <= F.col("a50")).cast("long")).alias("le50"),
+            F.sum((F.col("l_extendedprice") < F.col("a95")).cast("long")).alias("lt95"),
+            F.sum((F.col("l_extendedprice") <= F.col("a95")).cast("long")).alias("le95"),
+        )
+    )
+
+    def ok(lt: str, le: str, p: float):
+        target = F.lit(p) * F.col("n")
+        # +1 row of slop: at n < accuracy the eps·n window shrinks below
+        # one row and the check would hinge on GK's internal rank
+        # convention (count< vs count<=); the sketch contract is rank
+        # error <= eps*n rows, so one extra row keeps the test honest
+        # without ever masking a real contract breach at scale.
+        err = F.col("n") / F.lit(APPROX_PCT_ACC) + 1
+        return (F.col(lt) + 1 <= target + err) & (F.col(le) >= target - err)
+
+    return ap.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        ok("lt50", "le50", 0.5).alias("approx_p50_ok"),
+        ok("lt95", "le95", 0.95).alias("approx_p95_ok"),
+    )
