@@ -171,3 +171,85 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-UDF + Python-UDF projection (see also udf_grouped /
     udf_map_partitions for applyInPandas and mapInPandas)."""
     return udf_scalar(spark, sf_dir)
+
+
+@register(
+    "udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           (max(l_extendedprice) + min(l_extendedprice)) / 2.0 AS midrange_price,
+           max(l_quantity) - min(l_quantity) AS qty_spread
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized user-defined AGGREGATE (pandas_udf GROUPED_AGG):
+    the missing quadrant of the UDF matrix (scalar / grouped-map /
+    map-partitions / grouped-AGG). Each group's column arrives as one
+    pandas Series and the UDAF returns a scalar — Spark runs it as a real
+    aggregate expression (usable alongside built-ins in one ``agg`` call).
+
+    Semantics are order-insensitive (midrange = (max+min)/2, spread =
+    max-min) so the Python aggregation is deterministic and the SQL
+    oracle checks it bit-for-bit. Scale note: GROUPED_AGG buffers each
+    group per column — fine for bounded groups; unbounded groups should
+    pre-aggregate or use a mergeable sketch instead.
+    """
+
+    @F.pandas_udf("double")
+    def midrange(v: pd.Series) -> float:
+        return (float(v.max()) + float(v.min())) / 2.0
+
+    @F.pandas_udf("double")
+    def spread(v: pd.Series) -> float:
+        return float(v.max()) - float(v.min())
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").agg(
+        midrange("l_extendedprice").alias("midrange_price"),
+        spread("l_quantity").alias("qty_spread"),
+    )
+
+
+@register(
+    "udtf_surface",
+    oracle="""
+    SELECT doc_id, word, pos FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             CAST(unnest(range(len(string_split(text, ' ')))) AS INT) AS pos
+      FROM documents WHERE doc_id < 40
+    ) WHERE word <> ''
+    """,
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): a user-defined TABLE function expanded with
+    LATERAL — the N-in/M-out extension point as a first-class SQL
+    relation, completing the UDF matrix begun in udf_scalar.
+
+    The UDTF tokenizes with position; the oracle replays it as
+    unnest+range. Like the row UDF, a Python UDTF runs row-at-a-time in
+    the Python worker — API-surface coverage, deliberately kept on a
+    small slice; the vectorized production path for this exact job is
+    the built-in split+posexplode (sequence_chunking) or mapInPandas.
+    """
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate(text.split(" ")):
+                if w:
+                    yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM udtf_docs d, LATERAL split_words(text) s"
+    )
