@@ -366,33 +366,26 @@ def _ivf_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def _materialize_index(
-    spark: SparkSession, sf_dir: str, name: str, build_df_fn
-) -> str:
+def _materialize_index(sf_dir: str, name: str, build_df_fn) -> str:
     """Write a cell-partitioned index for ``sf_dir`` only when absent or
-    stale (source parquet mtime+size stamp), so plan-only callers (explain
-    / plan gates / repeated bench trials) reuse the on-disk index instead
-    of paying a full corpus write per call — the behavior a persisted
-    100 TB index actually has. Returns the index directory."""
+    stale (``materialize_stamped`` over the embeddings fixture), so
+    plan-only callers and repeated bench trials reuse the on-disk index
+    instead of paying a full corpus write per call. Returns the index
+    directory."""
     import os  # noqa: PLC0415
 
     from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+    from cpt_database_sync_spark.sources.tables import (  # noqa: PLC0415
+        materialize_stamped,
+    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    stamp = f"{st.st_mtime_ns}:{st.st_size}"
     out = os.path.join(scratch_dir(), name, os.path.basename(sf_dir.rstrip("/")))
-    marker = os.path.join(out, "_SRC_STAMP")  # _-prefixed: invisible to scans
-    try:
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out
-    except OSError:
-        pass
-    build_df_fn().write.mode("overwrite").partitionBy("c_id").parquet(out)
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return out
+    return materialize_stamped(
+        src,
+        out,
+        lambda d: build_df_fn().write.mode("overwrite").partitionBy("c_id").parquet(d),
+    )
 
 
 @register("sim_ann_ivf_indexed", oracle=_IVF_ORACLE)
@@ -413,7 +406,7 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lean on an implicit join-key cast).
     """
     assign, probes = _ivf_parts(spark, sf_dir)
-    out = _materialize_index(spark, sf_dir, "ivf_index", lambda: assign)
+    out = _materialize_index(sf_dir, "ivf_index", lambda: assign)
     idx = (
         spark.read.schema("n_id bigint, ce_vec array<double>, cn double, c_id bigint")
         .option("basePath", out)
@@ -518,6 +511,8 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_dir(), "ivf_pq_lims", os.path.basename(sf_dir.rstrip("/"))
     )
 
+    lims_cache: dict = {}
+
     def build() -> DataFrame:
         dims_df = (
             assign.select(F.posexplode("ce_vec").alias("pos", "x"))
@@ -525,7 +520,8 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
         )
         dims_df.write.mode("overwrite").parquet(lims_dir)
-        lo, hi = _lims_literals(spark, lims_dir)
+        lims_cache["lims"] = _lims_literals(spark, lims_dir)
+        lo, hi = lims_cache["lims"]
         qv = F.expr(
             "transform(sequence(0, size(ce_vec) - 1), i -> "
             "IF(hi_a[i] = lo_a[i], 0S, "
@@ -538,8 +534,8 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_id", qv.alias("qv"), "c_id")
         )
 
-    out = _materialize_index(spark, sf_dir, "ivf_pq_cells", build)
-    lo, hi = _lims_literals(spark, lims_dir)
+    out = _materialize_index(sf_dir, "ivf_pq_cells", build)
+    lo, hi = lims_cache.get("lims") or _lims_literals(spark, lims_dir)
     idx = (
         spark.read.schema("n_id bigint, qv array<smallint>, c_id bigint")
         .option("basePath", out)
@@ -662,9 +658,12 @@ def assign_via_relation(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
     and the argmax fold is byte-identical to the literal path. A keyed
     BroadcastHashJoin would need a corpus-side groupBy(vec_id) to reduce
     the K-way fan-out — exactly the shuffle this shape exists to avoid;
-    the one-row broadcast keeps the fan-out inside the HOF. In kmeans,
-    the large-K update step also skips the centroid collect entirely —
-    the update aggregation's output feeds this directly.
+    the one-row broadcast keeps the fan-out inside the HOF. Callers that
+    already hold the centroids as a DataFrame (e.g. a kmeans update
+    aggregation at production K) pass it straight in with no driver
+    collect; kmeans' own dispatch (``assign_with``) still collects rows
+    for its exact driver-side oracle replay and re-ships them here only
+    above the ceiling.
     """
     packed = cent_df.agg(
         F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("ce")))).alias(

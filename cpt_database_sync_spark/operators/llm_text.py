@@ -569,12 +569,12 @@ def _pack_oracle() -> str:
 @register("sequence_packing", oracle=_pack_oracle())
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: greedy sequential (next-fit) bin-packing of
-    the chunk grid into fixed {PACK_BUDGET}-token training rows with full
+    the chunk grid into fixed 256-token (PACK_BUDGET) training rows with full
     lineage — the operator between ``sequence_chunking`` and a trainer,
     which wants dense fixed-length samples, not one short row per chunk.
 
     Bin-packing is inherently sequential, so the parallel shape is
-    bucket-then-scan: chunks hash into {PACK_BUCKETS} buckets (doc_id
+    bucket-then-scan: chunks hash into PACK_BUCKETS=16 buckets (doc_id
     mod — replayable by the oracle) — ONE shuffle — and each bucket runs
     the deterministic next-fit scan (ordered by doc_id, chunk_id: a new
     pack opens exactly when the next chunk would overflow the budget) as

@@ -309,7 +309,7 @@ def _hist_oracle() -> str:
     """
 
 
-@register("quantile_histogram", oracle=_hist_oracle(), tags=("reverify",))
+@register("quantile_histogram", oracle=_hist_oracle(), tags=("reverify:r7",))
 def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantiles: per-group p50/p95/p99 estimated
     from a fixed-bin histogram — the RE-AGGREGATABLE percentile pattern
@@ -517,7 +517,7 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so the query emits the EXACT per-term counts and
     ranks (checkable) plus two flags — ``cm_overcounts`` (est ≥ exact,
     a mathematical invariant of count-min) and ``cm_within_eps``
-    (est ≤ exact + {CM_BOUND}·N/WIDTH) — which the oracle asserts TRUE,
+    (est ≤ exact + CM_BOUND·N/WIDTH) — which the oracle asserts TRUE,
     turning the sketch's contract into an exact-checkable result. The
     exact side here is oracle instrumentation; the 100 TB serving path
     maintains only the sketch (plus the candidate heap) incrementally.

@@ -135,16 +135,24 @@ def all_specs() -> dict[str, QuerySpec]:
             key=lambda s: (s.oracle is None, order[s.name]),
         )
     else:
-        # "reverify"-tagged queries had their implementation changed this
-        # round: treat them as never-verified so the driver's budget
-        # re-checks them first. The tag is removed once the next
-        # CORRECTNESS round confirms them green.
+        # "reverify:rN"-tagged queries had their implementation changed
+        # while building round N: treat them as never-verified so the
+        # driver's budget re-checks them first. SELF-CLEARING: the boost
+        # applies only while the newest CORRECTNESS round on disk is
+        # < N — once round-N evidence exists (the driver re-verified the
+        # changed code), the tag stops boosting, so a forgotten tag
+        # cannot pin its queries to the head of every future round and
+        # starve the LRU tail.
+        newest = max(last.values())
+
+        def rank(s: QuerySpec) -> int:
+            for t in s.tags:
+                if t.startswith("reverify:r") and newest < int(t[10:]):
+                    return -1
+            return last.get(s.name, -1)
+
         ordered = sorted(
-            _REGISTRY.values(),
-            key=lambda s: (
-                -1 if "reverify" in s.tags else last.get(s.name, -1),
-                order[s.name],
-            ),
+            _REGISTRY.values(), key=lambda s: (rank(s), order[s.name])
         )
     return {s.name: s for s in ordered}
 

@@ -313,9 +313,9 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pipeline schedules: streaming and incremental sinks emit one
     file per micro-batch task, and thousands of KB-scale files tax the
     scan planner (footer reads, task scheduling) far more than the bytes
-    justify. Here the events table is first fragmented into
-    {COMPACT_FRAGMENTS} files (a streaming sink's aftermath), then
-    rewritten into ceil(bytes / {COMPACT_TARGET_BYTES}B) size-targeted
+    justify. Here the events table is first fragmented into 64 files
+    (COMPACT_FRAGMENTS — a streaming sink's aftermath), then rewritten
+    into ceil(bytes / COMPACT_TARGET_BYTES=32MB) size-targeted
     files — sizing from the ACTUAL on-disk bytes, not row counts, so the
     same code lands on ~target-size files at any scale or schema width.
 

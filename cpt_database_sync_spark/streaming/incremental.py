@@ -236,15 +236,28 @@ def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = "2024-01-15 00:00:00"
     ev = events_stream(spark, sf_dir)
 
-    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(target)
+    def writer(gen: str):
+        # idempotent per incremental_sync_stream's contract: each batch
+        # overwrites its own (generation, batch_id)-keyed subdirectory,
+        # so a checkpoint replay after a crash-between-commits replaces
+        # rather than duplicates (the incremental_append pattern).
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{target}/{gen}_b{batch_id}"
+            )
+
+        return write_batch
 
     v1 = ev.filter(F.col("ts") <= cutoff).drop("props")
-    q = incremental_sync_stream(spark, v1, append_batch, f"{workdir}/ckpt_v1")
+    q = incremental_sync_stream(spark, v1, writer("v1"), f"{workdir}/ckpt_v1")
     q.awaitTermination()
     v2 = ev.filter(F.col("ts") > cutoff)
-    q = incremental_sync_stream(spark, v2, append_batch, f"{workdir}/ckpt_v2")
+    q = incremental_sync_stream(spark, v2, writer("v2"), f"{workdir}/ckpt_v2")
     q.awaitTermination()
 
-    back = spark.read.option("mergeSchema", "true").parquet(target)
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(target)
+    )
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")

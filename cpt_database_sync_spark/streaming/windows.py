@@ -481,7 +481,7 @@ def topn_counts_stream(ev: DataFrame) -> DataFrame:
       )
     ) WHERE rn <= {STREAM_TOPN}
     """,
-    tags=("reverify",),
+    tags=("reverify:r7",),
 )
 def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending items: top-N event types per tumbling hour — the
@@ -522,7 +522,7 @@ def _stream_hist_oracle() -> str:
 
 
 @register(
-    "stream_quantile_histogram", oracle=_stream_hist_oracle(), tags=("reverify",)
+    "stream_quantile_histogram", oracle=_stream_hist_oracle(), tags=("reverify:r7",)
 )
 def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable histogram maintained BY THE STREAM: per-group
