@@ -698,6 +698,17 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs_idx = spark.read.parquet(f"{index_dir}/hs")
 
     inc = docs.filter(F.col("doc_id") % 5 == 0)
+    return classify_increment(inc, bands_idx, hs_idx)
+
+
+def classify_increment(
+    inc: DataFrame, bands_idx: DataFrame, hs_idx: DataFrame
+) -> DataFrame:
+    """(doc_id, status, jaccard) classification of increment docs against
+    a banded MinHash index — the shared read path of
+    ``dedup_minhash_incremental`` (batch-built index) and
+    ``stream_minhash_index`` (stream-maintained index). Only
+    increment/candidate-keyed data ever shuffles (plan-gated)."""
     inc_hs = bounded_cache(
         "dedup_mh_incr.inc_hs", hashed_shingle_sets(inc)
     )
@@ -756,4 +767,76 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
             F.col("jc").alias("jaccard"),
         )
+    )
+
+
+@register(
+    "stream_minhash_index",
+    # identical contract to the batch-built index — SAME golden oracle:
+    # the stream-maintained index must classify the increment byte-
+    # identically to dedup_minhash_incremental's one-shot build.
+    oracle=golden_oracle(
+        "dedup_minhash_incremental",
+        ["doc_id", "status", "jaccard"],
+        DOCS_FINGERPRINT_SQL,
+    ),
+)
+def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the MinHash signature index: the corpus
+    arrives as an unbounded stream and every micro-batch appends its
+    band table + hashed shingle sets to the persisted index — the write
+    path that keeps ``dedup_minhash_incremental``'s "persisted index"
+    premise true on a live crawl, instead of rebuilding from a snapshot.
+
+    Each batch's index contribution is written to a batch-id-keyed
+    subdirectory with overwrite (idempotent under checkpoint replay, the
+    incremental_append pattern); signature/banding work is the same
+    map-only lanes as the batch build, so a micro-batch costs
+    O(batch size), never a corpus scan. The increment classification
+    then runs against the stream-built index via the shared
+    ``classify_increment`` and must equal the batch-built result — the
+    SAME golden oracle as dedup_minhash_incremental, which is the whole
+    point: index maintenance strategy must be invisible to readers.
+    A multi-micro-batch equivalence test lives in tests/test_llm_ops.py.
+    """
+    import tempfile  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import (  # noqa: PLC0415
+        scratch_dir,
+        sweep_scratch,
+    )
+    from cpt_database_sync_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_sync_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sweep_scratch("mh_stream_")
+    workdir = tempfile.mkdtemp(prefix="mh_stream_", dir=scratch_dir())
+    idx = f"{workdir}/index"
+
+    corpus_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 5 != 0)
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hs = hashed_shingle_sets(batch_df)
+        band_table(minhash_signatures_from_sets(hs)).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/bands/b{batch_id}")
+        hs.write.mode("overwrite").parquet(f"{idx}/hs/b{batch_id}")
+
+    q = incremental_sync_stream(
+        spark, corpus_stream, index_batch, f"{workdir}/ckpt"
+    )
+    q.awaitTermination()
+
+    bands_idx = (
+        spark.read.option("recursiveFileLookup", "true").parquet(f"{idx}/bands")
+    )
+    hs_idx = spark.read.option("recursiveFileLookup", "true").parquet(f"{idx}/hs")
+    return classify_increment(
+        docs.filter(F.col("doc_id") % 5 == 0), bands_idx, hs_idx
     )

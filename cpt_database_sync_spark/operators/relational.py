@@ -728,3 +728,77 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             COUNT(*) AS n_a
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             COUNT(*) AS n_b
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    )
+    SELECT a.k AS k, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys, where a plain equi join silently drops them — the
+    standard trap when a join key is itself the result of an outer join
+    or a NULLIF-style normalization. The fixtures have no natural NULLs
+    (null_handling's note), so the key is deterministically NULLed for
+    'error' events on both sides.
+
+    Plan note: Spark keeps ``eqNullSafe`` a HASH-joinable predicate
+    (keys compare as (coalesced value, isnull flag)) — no degradation to
+    a nested-loop join, so the null-safe form costs the same as the
+    plain join at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") != "error", F.col("event_type"))
+    a = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )
+
+
+_IN_EXISTS_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+      )
+      AND o.o_orderkey NOT IN (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      )
+"""
+
+
+@register("subquery_in_exists", oracle=_IN_EXISTS_SQL)
+def subquery_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT IN subqueries through the SQL front-end —
+    the predicate-subquery surface next to subquery_scalar. Catalyst
+    rewrites EXISTS to a left-semi join and NOT IN to a null-aware
+    left-anti join; the same SQL text runs verbatim on DuckDB as the
+    oracle. (The DataFrame-API twins are join_semi / join_anti; this key
+    checks the SQL rewrite path produces identical rows.)
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_IN_EXISTS_SQL)

@@ -330,3 +330,78 @@ class TestSelfCertification:
             assert sims_in_rank_order == sorted(sims_in_rank_order, reverse=True), (
                 f"query {q}: rank order inconsistent with similarity"
             )
+
+
+def test_stream_minhash_index_multibatch_equivalence(spark, sf_dir, tmp_path):
+    """The stream-maintained MinHash index must classify the increment
+    identically to a one-shot batch build even when the corpus arrives
+    across several micro-batches (batch-id-keyed idempotent appends)."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        band_table,
+        classify_increment,
+        hashed_shingle_sets,
+        minhash_signatures_from_sets,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.incremental import (
+        incremental_sync_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    for i in range(3):
+        part = tmp_path / f"part{i}"
+        (
+            corpus.filter(F.col("doc_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(part))
+        )
+        pf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = src / f"b{i}.parquet"
+        shutil.copy(part / pf, dst)
+        os.utime(dst, (now - 300 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "idx")
+    batch_ids = []
+
+    def index_batch(bdf, bid):
+        batch_ids.append(bid)
+        hs = hashed_shingle_sets(bdf)
+        band_table(minhash_signatures_from_sets(hs)).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/bands/b{bid}")
+        hs.write.mode("overwrite").parquet(f"{idx}/hs/b{bid}")
+
+    q = incremental_sync_stream(spark, stream, index_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(batch_ids) >= 3, "corpus must arrive as multiple micro-batches"
+
+    streamed = classify_increment(
+        inc,
+        spark.read.option("recursiveFileLookup", "true").parquet(f"{idx}/bands"),
+        spark.read.option("recursiveFileLookup", "true").parquet(f"{idx}/hs"),
+    )
+    hs_all = hashed_shingle_sets(corpus)
+    ref = classify_increment(
+        inc, band_table(minhash_signatures_from_sets(hs_all)), hs_all
+    )
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
