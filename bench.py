@@ -87,6 +87,9 @@ HEADLINE = [
     "sim_ann_ivf_pq",
     "sequence_packing",
     "stream_topn",
+    "subquery_in_exists",
+    "stream_minhash_index",
+    "stream_schema_evolution",
 ]
 
 

@@ -125,3 +125,44 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+_Q18_SQL = """
+    SELECT
+      c.c_name,
+      c.c_custkey,
+      o.o_orderkey,
+      o.o_orderdate,
+      o.o_totalprice,
+      SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@register("sql_tpch_q18", oracle=_Q18_SQL)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): an IN aggregate-subquery
+    (HAVING over a grouped lineitem pass) feeding a 3-table join + group
+    + global top-100 — the classic two-pass-over-the-fact shape.
+
+    Optimizer checkpoints: the IN subquery rewrites to a left-semi join
+    whose build side is the HAVING-filtered order keys; the top-100 runs
+    as TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Quantities are integral, so SUM(l_quantity) is exact in the double
+    lane at any bench scale and the HAVING threshold cuts identically on
+    both engines. The tie-break (totalprice DESC, orderdate, orderkey)
+    is total, so LIMIT 100 is deterministic — spec Q18 orders by
+    (o_totalprice, o_orderdate) alone, which under-specifies the cut.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

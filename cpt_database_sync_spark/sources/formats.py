@@ -338,3 +338,46 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag = spark.read.parquet(frag_dir)
     frag.repartition(n_out).write.mode("overwrite").parquet(comp_dir)
     return spark.read.parquet(comp_dir).select(*ev.columns)
+
+
+RETENTION_CUTOFF_DAY = "2024-01-15"
+
+
+@register(
+    "partition_retention",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE CAST(ts AS DATE) >= DATE '{RETENTION_CUTOFF_DAY}'
+    """,
+)
+def partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expiry as PARTITION DROPS — the other table-maintenance
+    pass (next to ``compact_small_files``) a 100 TB pipeline schedules:
+    with the sink laid out day(ts)-partitioned, expiring a retention
+    window deletes whole partition directories — a metadata/file
+    operation that never opens, rewrites, or shuffles surviving data.
+    Row-level retention (DELETE WHERE) would rewrite every file; the
+    partition layout turns it into O(expired partitions) directory
+    removals, which is why retention policy dictates partition
+    granularity at scale.
+
+    The oracle is the surviving window (``ts >= cutoff day``): exact
+    only because partition boundaries align with the retention predicate
+    — the layout-design point this operator demonstrates.
+    """
+    import shutil  # noqa: PLC0415
+
+    out = _fmt_dir("events_by_day")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    for name in os.listdir(out):
+        if name.startswith("day=") and name[4:] < RETENTION_CUTOFF_DAY:
+            shutil.rmtree(os.path.join(out, name))
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

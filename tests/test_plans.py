@@ -584,3 +584,13 @@ def test_sequence_packing_one_bucket_shuffle_arrow_scan(spark, sf_dir):
         f"expected exactly one bucket-keyed shuffle, got {ex}"
     )
     assert "BatchEvalPython" not in plan, "row-wise Python UDF crept in"
+
+
+def test_q18_semi_join_and_distributed_top100(spark, sf_dir):
+    """Q18's IN aggregate-subquery must rewrite to a left-semi join and
+    the top-100 must run as TakeOrderedAndProject, not a global sort."""
+    from cpt_database_sync_spark.plans.sqlfront import sql_tpch_q18
+
+    plan = plan_string(sql_tpch_q18(spark, sf_dir))
+    assert "LeftSemi" in plan, f"IN subquery did not rewrite to semi join:\n{plan[:1500]}"
+    assert "TakeOrderedAndProject" in plan, "top-100 degraded to a global sort"
