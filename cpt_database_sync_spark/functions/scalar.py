@@ -224,3 +224,38 @@ def map_type_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_sum"),
         F.size(big).alias("n_big"),
     )
+
+
+@register(
+    "variant_surface",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS k_str,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def variant_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4): semi-structured payloads parsed ONCE into
+    the binary variant encoding and extracted with typed paths —
+    ``from_json`` needs the full schema up front (semi_structured),
+    variant keeps open schemas queryable with per-path type assertion,
+    which is the shingle of modern lakehouse JSON columns.
+
+    ``parse_json`` → ``variant_get(path, type)`` stays JVM-side; at
+    100 TB the parse happens at ingest and the variant column is stored
+    (parquet variant encoding), so queries pay only the typed path read.
+    The oracle recomputes every extraction from the raw JSON string with
+    DuckDB's json_extract — same values, engine-independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = "variant_get(parse_json(props), '$.k', 'int')"
+    return ev.select(
+        "event_id",
+        F.expr(g).alias("k_int"),
+        F.expr(f"CAST({g} AS STRING)").alias("k_str"),
+        F.expr(
+            "variant_get(parse_json(props), '$.missing', 'string') IS NULL"
+        ).alias("missing_is_null"),
+    )

@@ -166,3 +166,37 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE cal(day) AS (
+      SELECT CAST('2024-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(day + INTERVAL '1' DAY AS DATE) FROM cal
+      WHERE day < CAST('2024-01-31' AS DATE)
+    )
+    SELECT cal.day, COUNT(e.event_id) AS n_events
+    FROM cal LEFT JOIN events e ON CAST(e.ts AS DATE) = cal.day
+    GROUP BY cal.day
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+) through the SQL front-end: a calendar
+    spine generated by linear recursion, outer-joined to events — the
+    densification shape gapfill_daily builds with sequence()+explode,
+    here expressed in the SQL-standard recursion both engines parse, so
+    ONE dialect-portable string is the query AND the oracle (the
+    sql_frontend discipline).
+
+    Scale note: the recursion materializes one row per day — driver-tiny
+    — then the join is a broadcast of the spine against the fact scan.
+    Recursive CTEs whose working set GROWS per step (graph closure) need
+    the iterative-DataFrame loop (connected_components) instead; Spark
+    evaluates recursion with a per-step union, so a spine/hierarchy
+    (bounded depth, bounded rows) is the right use, a frontier expansion
+    is not.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
