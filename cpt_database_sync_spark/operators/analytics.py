@@ -474,9 +474,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_intervals",
-    oracle="""
+_SCD2_SQL = """
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev_type
@@ -493,8 +491,34 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAD(valid_from) OVER w IS NULL AS BOOLEAN) AS is_current
     FROM changes
     WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-    """,
-)
+    """
+
+
+def _scd2_compress(ev: DataFrame) -> DataFrame:
+    """Run-compress (user_id, event_type, ts, event_id) rows into SCD2
+    validity intervals — shared by the full rebuild (scd2_intervals) and
+    the incremental MERGE apply (merge_scd2). One user-keyed shuffle
+    serves both window passes."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register("scd2_intervals", oracle=_SCD2_SQL)
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 construction from an event/CDC
     stream: per user, compress consecutive equal states and emit validity
@@ -513,23 +537,69 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(
-            F.col("prev_type").isNull()
-            | (F.col("prev_type") != F.col("event_type"))
-        )
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    return _scd2_compress(ev)
+
+
+@register("merge_scd2", oracle=_SCD2_SQL)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance — the MERGE-apply WRITE path that
+    completes the trio: ``scd2_intervals`` builds the history,
+    ``join_temporal`` reads it, this keeps it current without ever
+    rebuilding. A persisted dimension (SCD2 of events ≤ cutoff,
+    ``materialize_stamped``) receives a CDC batch (events > cutoff):
+    rows of un-changed users pass through UNTOUCHED (broadcast anti-join
+    on the batch's user set — at 100 TB this is the file-skipping MERGE
+    majority); changed users keep their closed history verbatim and
+    re-compress ONLY their open row (reopened as a pseudo-event at its
+    valid_from) unioned with their batch rows — so the open run extends,
+    closes, or chains exactly as a full rebuild would.
+
+    The oracle IS the full rebuild (same SQL as scd2_intervals): the
+    merge-maintained table must be indistinguishable from recomputing
+    history from scratch, which is the entire correctness contract of
+    incremental dimension maintenance. Work scales with |batch| +
+    |changed users' intervals|, never with history size.
+    """
+    import os  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+    from cpt_database_sync_spark.sources.tables import (  # noqa: PLC0415
+        materialize_stamped,
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    return changes.select(
+
+    cutoff = "2024-01-15 00:00:00"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+
+    def build(d: str) -> None:
+        _scd2_compress(ev.filter(F.col("ts") <= cutoff)).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    dim_dir = materialize_stamped(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(
+            scratch_dir(), "scd2_dim", os.path.basename(sf_dir.rstrip("/"))
+        ),
+        build,
+    )
+    existing = spark.read.parquet(dim_dir)
+    changes = ev.filter(F.col("ts") > cutoff)
+    changed_users = changes.select("user_id").distinct()
+    untouched = existing.join(F.broadcast(changed_users), "user_id", "left_anti")
+    touched = existing.join(F.broadcast(changed_users), "user_id", "left_semi")
+    closed = touched.filter(~F.col("is_current"))
+    reopened = touched.filter("is_current").select(
         "user_id",
         "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.col("valid_from").alias("ts"),
+        # pseudo event id: the open row predates every batch row (its
+        # valid_from <= cutoff < batch ts), so the tie-break never fires
+        F.lit(-1).cast("bigint").alias("event_id"),
     )
+    recomputed = _scd2_compress(reopened.unionByName(changes))
+    return untouched.unionByName(closed).unionByName(recomputed)
 
 
 _TIMEGRAIN_SQL = f"""
