@@ -90,6 +90,8 @@ HEADLINE = [
     "subquery_in_exists",
     "stream_minhash_index",
     "stream_schema_evolution",
+    "sql_tpch_q18",
+    "merge_scd2",
 ]
 
 

@@ -594,3 +594,24 @@ def test_q18_semi_join_and_distributed_top100(spark, sf_dir):
     plan = plan_string(sql_tpch_q18(spark, sf_dir))
     assert "LeftSemi" in plan, f"IN subquery did not rewrite to semi join:\n{plan[:1500]}"
     assert "TakeOrderedAndProject" in plan, "top-100 degraded to a global sort"
+
+
+def test_merge_scd2_touches_only_changed_users(spark, sf_dir):
+    """merge_scd2's apply must broadcast the batch's user set into the
+    persisted dimension (anti + semi), never shuffle the dimension, and
+    re-compress only batch-scale data (user-keyed window shuffles)."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import merge_scd2
+
+    plan = plan_string(merge_scd2(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "dimension side participated in a shuffle join"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "changed-user anti/semi joins must broadcast"
+    )
+    for k in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert k.split(",")[0].strip().startswith("user_id"), (
+            f"non-user-keyed shuffle in the apply path: {k}"
+        )
