@@ -253,3 +253,49 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.word, s.pos "
         "FROM udtf_docs d, LATERAL split_words(text) s"
     )
+
+
+@register(
+    "udf_map_arrow",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_extendedprice * 0.9 AS DOUBLE) AS discounted
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy lane below mapInPandas — the UDF
+    receives raw ``pyarrow.RecordBatch``es with no pandas conversion at
+    all, which matters when the payload is large binary/list columns
+    (multimodal bytes, embeddings) where the pandas detour costs a copy
+    per batch. Semantics here are a vectorized filter+project (pure
+    Arrow compute kernels), row-wise and batch-invariant, so the SQL
+    oracle checks it exactly like udf_map_partitions.
+    """
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+
+    def returned_lines(batches):
+        for batch in batches:
+            keep = pc.equal(batch.column(3), "R")
+            filtered = batch.filter(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    filtered.column(0),
+                    filtered.column(1),
+                    pc.multiply(filtered.column(2), 0.9),
+                ],
+                names=["l_orderkey", "l_linenumber", "discounted"],
+            )
+
+    return li.mapInArrow(
+        returned_lines,
+        schema="l_orderkey bigint, l_linenumber int, discounted double",
+    )
