@@ -17,6 +17,15 @@ Scale: state is shuffled by key (spark.sql.shuffle.partitions state
 stores); per-key memory is O(1) — 100 TB of events with 100 M users is
 100 M small state rows spread over the cluster, the exact shape
 Structured Streaming's state store is built for.
+
+API note: Spark 4's successor surface (``transformWithStateInPandas`` +
+``StatefulProcessor`` — named typed state slots, TTL, timers) was probed
+and is unusable in this container: its driver-side Python worker imports
+``google.protobuf`` (StateMessage_pb2), which is not installed and
+installs are off-limits; the pre-init runner fails before user code runs.
+``applyInPandasWithState`` is therefore the exercised stateful API; the
+rollup logic here ports to a StatefulProcessor unchanged (same
+decimal-string state tuple).
 """
 
 from __future__ import annotations

@@ -686,3 +686,27 @@ def test_compact_small_files_reduces_file_count(spark, sf_dir):
         f"expected {expected} size-targeted files, got {len(comp_files)}"
     )
     assert len(comp_files) < len(frag_files)
+
+
+def test_materialize_stamped_rebuilds_only_on_stamp_change(tmp_path):
+    """The shared index-freshness gate: build runs once, is skipped while
+    the source stamp holds, and re-runs when the source changes."""
+    import os
+
+    from cpt_database_sync_spark.sources.tables import materialize_stamped
+
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"v1-contents")
+    out = str(tmp_path / "idx")
+    calls = []
+
+    def build(d):
+        os.makedirs(d, exist_ok=True)
+        calls.append(d)
+
+    materialize_stamped(str(src), out, build)
+    materialize_stamped(str(src), out, build)
+    assert len(calls) == 1, "warm call must skip the build"
+    src.write_bytes(b"v2-contents-longer")  # size (and mtime) change
+    materialize_stamped(str(src), out, build)
+    assert len(calls) == 2, "source change must force a rebuild"
