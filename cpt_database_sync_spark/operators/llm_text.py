@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
+from cpt_database_sync_spark.plans.golden import (
+    DOCS_FINGERPRINT_SQL,
+    golden_oracle,
+)
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
 
@@ -632,4 +636,87 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_group,
         "bucket bigint, doc_id bigint, chunk_id int, n_tok bigint, "
         "pack_id bigint, pack_pos bigint, tok_offset bigint",
+    )
+
+
+BPE_MERGES = 12
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Leftmost-greedy application of one BPE merge (a, b) -> a+b over a
+    symbol array — a sequential HOF fold, map-only over the vocab."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@register(
+    "bpe_learn",
+    # deterministic function of corpus content + tie-break rule; the merge
+    # fold has no DuckDB equivalent — golden-fixture oracle (plans/golden.py)
+    oracle=golden_oracle(
+        "bpe_learn", ["w", "freq", "tokens", "n_tokens"], DOCS_FINGERPRINT_SQL
+    ),
+)
+def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding tokenizer training — not the BPE-ish regex
+    of ``token_count`` but the actual algorithm, in its production
+    dataflow shape: ONE corpus pass builds the word-frequency table
+    (the only corpus-scale shuffle — after that, BPE never rescans the
+    corpus), then BPE_MERGES rounds of: count adjacent symbol pairs
+    weighted by word frequency (map-side-combined agg over the vocab
+    table), pick the max pair (deterministic tie-break: count DESC, pair
+    ASC — one scalar driver read per round, the kmeans pattern), and
+    apply the merge as a leftmost-greedy HOF fold over each word's
+    symbol array (map-only). Lineage is cut per round with
+    localCheckpoint, as in kmeans/connected_components.
+
+    At 100 TB the vocab table is millions of rows and stays distributed
+    through every round; production training batches multiple
+    non-overlapping merges per round to amortize the per-round job.
+    Output: each distinct word with its frequency and final
+    segmentation — deterministic, frozen as a golden fixture keyed by
+    corpus fingerprint.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", chars)
+        .localCheckpoint(eager=True)
+    )
+    pair_col = F.expr(
+        "transform(sequence(0, size(syms) - 2),"
+        " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+    )
+    for _ in range(BPE_MERGES):
+        top = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair_col).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), top[0]["a"], top[0]["b"])
+        ).localCheckpoint(eager=True)
+    return vocab.select(
+        "w",
+        "freq",
+        F.array_join("syms", " ").alias("tokens"),
+        F.size("syms").cast("int").alias("n_tokens"),
     )

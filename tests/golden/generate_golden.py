@@ -38,6 +38,7 @@ GOLDEN_DIR = os.path.dirname(os.path.abspath(__file__))
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 GOLDEN_QUERIES = {
+    "bpe_learn": ("documents", DOCS_FINGERPRINT_SQL),
     "dedup_minhash": ("documents", DOCS_FINGERPRINT_SQL),
     "dedup_minhash_incremental": ("documents", DOCS_FINGERPRINT_SQL),
     "dedup_simhash": ("documents", DOCS_FINGERPRINT_SQL),

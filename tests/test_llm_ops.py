@@ -405,3 +405,20 @@ def test_stream_minhash_index_multibatch_equivalence(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in ref.collect()
     }
+
+
+def test_bpe_segmentation_reconstructs_words(spark, sf_dir):
+    """BPE invariant: merges only ever concatenate adjacent symbols, so
+    stripping separators from any word's segmentation must reproduce the
+    word exactly, and no segmentation may exceed the char count."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_text import bpe_learn
+
+    seg = bpe_learn(spark, sf_dir)
+    bad = seg.filter(
+        (F.regexp_replace("tokens", " ", "") != F.col("w"))
+        | (F.col("n_tokens") > F.length("w"))
+        | (F.col("n_tokens") < 1)
+    ).count()
+    assert bad == 0
