@@ -92,6 +92,7 @@ HEADLINE = [
     "stream_schema_evolution",
     "sql_tpch_q18",
     "merge_scd2",
+    "bpe_learn",
 ]
 
 
