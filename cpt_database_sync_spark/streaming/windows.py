@@ -109,7 +109,14 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
         q = writer.start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    except Exception:
+        # a failed query must not leak its uuid-named scratch (nothing
+        # ever sweeps these by prefix, unlike the sync.py scratch dirs)
+        q.stop()
+        shutil.rmtree(f"{scratch_root}/{name}", ignore_errors=True)
+        raise
     q.stop()
     if not os.path.isdir(out_dir):
         # the source produced zero micro-batches: no sink write ever ran.
