@@ -449,13 +449,12 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels
 
 
-def cc_oracle(pairs_sql: str, id_col: str) -> str:
-    """Recursive-CTE connected-components oracle over an (a_id, b_id)
-    pair query — min-reachable-node per node. Single definition shared by
-    every clustering oracle (dedup_clusters, semantic_clusters) so a CC
-    fix cannot silently apply to one copy only."""
-    return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
+def cc_ctes(pairs_sql: str) -> str:
+    """The recursive-CTE chain computing connected components over an
+    (a_id, b_id) pair query — the body shared by ``cc_oracle`` and any
+    oracle that needs the component map as one CTE among others. Final
+    CTE ``comp`` holds (node, cluster_id = min reachable node)."""
+    return f"""pairs AS ({pairs_sql}),
     edges AS (
       SELECT a_id AS u, b_id AS v FROM pairs
       UNION ALL
@@ -466,10 +465,21 @@ def cc_oracle(pairs_sql: str, id_col: str) -> str:
       SELECT node, node FROM nodes
       UNION
       SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
-    )
-    SELECT node AS {id_col},
-           CAST(MIN(root) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
+    ),
+    comp AS (
+      SELECT node, CAST(MIN(root) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    )"""
+
+
+def cc_oracle(pairs_sql: str, id_col: str) -> str:
+    """Recursive-CTE connected-components oracle over an (a_id, b_id)
+    pair query — min-reachable-node per node. Single definition shared by
+    every clustering oracle (dedup_clusters, semantic_clusters) so a CC
+    fix cannot silently apply to one copy only."""
+    return f"""
+    WITH RECURSIVE {cc_ctes(pairs_sql)}
+    SELECT node AS {id_col}, cluster_id FROM comp
     """
 
 
@@ -839,4 +849,75 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs_idx = spark.read.option("recursiveFileLookup", "true").parquet(f"{idx}/hs")
     return classify_increment(
         docs.filter(F.col("doc_id") % 5 == 0), bands_idx, hs_idx
+    )
+
+
+def _canonical_oracle() -> str:
+    from cpt_database_sync_spark.operators.llm_text import (  # noqa: PLC0415
+        SQL_QUALITY_EXPR,
+    )
+
+    return f"""
+    WITH RECURSIVE {cc_ctes(f"WITH {_NGRAM_PAIR_CTES} SELECT a_id, b_id FROM pairs")},
+    q AS (
+      SELECT doc_id, {SQL_QUALITY_EXPR} AS quality FROM documents
+    ),
+    clustered AS (
+      SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.quality
+      FROM q LEFT JOIN comp c ON c.node = q.doc_id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           first(doc_id ORDER BY quality DESC, doc_id) AS keep_id,
+           first(quality ORDER BY quality DESC, doc_id) AS keep_quality
+    FROM clustered GROUP BY cluster_id
+    """
+
+
+@register("dedup_canonical", oracle=_canonical_oracle())
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that FINISHES dedup:
+    pairwise detection (dedup_ngram) → clusters (dedup_clusters) → keep
+    exactly ONE document per cluster, chosen by the quality heuristic
+    (``quality_col``, max quality, ties to the lower doc_id) instead of
+    the arbitrary min-id rule. Singleton documents (no near-dup) are
+    their own cluster and keeper, so the output is the complete
+    post-dedup corpus manifest: |clusters| rows, each saying which doc
+    survives and how many it replaced.
+
+    Dataflow: the CC label propagation moves only edge rows; quality is
+    a map-only scalar; the per-cluster argmax is one partial+final agg
+    over max(struct(quality, -doc_id)) — no window, no sort. The oracle
+    replays CC as a recursive CTE and ranks with the SAME quality
+    expression text (SQL_QUALITY_EXPR), so keeper choice is bit-checked.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from cpt_database_sync_spark.operators.llm_text import (  # noqa: PLC0415
+        quality_col,
+    )
+
+    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    q = docs.select("doc_id", quality_col().alias("quality"))
+    clustered = q.join(
+        comp, q["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "quality",
+    )
+    agg = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("quality").alias("quality"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("s"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("s.nid")).alias("keep_id"),
+        F.col("s.quality").alias("keep_quality"),
     )

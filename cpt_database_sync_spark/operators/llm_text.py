@@ -9,7 +9,7 @@ small aggregations). Each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
@@ -120,6 +120,33 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
 
 
+# One SQL definition of the quality heuristic, shared by the
+# quality_score oracle and every downstream oracle that ranks on quality
+# (dedup_canonical) — identical operand order keeps the doubles bit-equal.
+SQL_QUALITY_EXPR = f"""0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+        + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
+                                  / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0)))
+        + 0.3 * least(1.0, 5.0 * CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS DOUBLE)
+                                 / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0))"""
+
+
+def quality_col() -> Column:
+    """The quality heuristic as a Spark column over ``text`` — the single
+    Spark-side definition mirroring SQL_QUALITY_EXPR."""
+    n_chars = F.length("text")
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_PATTERN))
+    n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN))
+    n_stop = F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
+    tokens_d = F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_chars.cast("double") / F.lit(500.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(F.lit(1.0), n_punct.cast("double") / tokens_d))
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(5.0) * n_stop.cast("double") / tokens_d)
+    )
+
+
 @register(
     "quality_score",
     oracle=f"""
@@ -129,11 +156,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS n_tokens,
       CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS INT) AS n_punct,
       CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS INT) AS n_stop,
-      0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
-        + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
-                                  / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0)))
-        + 0.3 * least(1.0, 5.0 * CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS DOUBLE)
-                                 / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0))
+      {SQL_QUALITY_EXPR}
         AS quality
     FROM documents
     """,
@@ -147,14 +170,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.regexp_count("text", F.lit(TOKEN_PATTERN))
     n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN))
     n_stop = F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
-    tokens_d = F.greatest(n_tokens.cast("double"), F.lit(1.0))
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_chars.cast("double") / F.lit(500.0))
-        + F.lit(0.3)
-        * (F.lit(1.0) - F.least(F.lit(1.0), n_punct.cast("double") / tokens_d))
-        + F.lit(0.3)
-        * F.least(F.lit(1.0), F.lit(5.0) * n_stop.cast("double") / tokens_d)
-    )
+    quality = quality_col()
     return d.select(
         "doc_id",
         n_chars.cast("int").alias("n_chars_obs"),
@@ -719,4 +735,69 @@ def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.array_join("syms", " ").alias("tokens"),
         F.size("syms").cast("int").alias("n_tokens"),
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    from cpt_database_sync_spark.plans.golden import GOLDEN_DIR  # noqa: PLC0415
+
+    path = GOLDEN_DIR / "bpe_learn.parquet"
+    return f"""
+    WITH seg AS (
+      SELECT w, n_tokens FROM read_parquet('{path}')
+      WHERE corpus_md5 = {DOCS_FINGERPRINT_SQL}
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN seg USING (w)
+    WHERE w <> ''
+    GROUP BY doc_id
+    """
+
+
+@register("bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer (``bpe_learn``) to the corpus — the
+    inference half of BPE: per document, whitespace word count and total
+    BPE token count under the learned merges. The segmentation table is
+    vocab-sized, persisted via ``materialize_stamped`` (trained once per
+    fixture generation, exactly how a production tokenizer artifact
+    ships) and BROADCAST into the exploded corpus words — tokenization
+    is a map-side join, no corpus shuffle beyond the per-doc count agg.
+
+    The oracle joins the same corpus against the COMMITTED golden
+    segmentation (fingerprint-keyed), so training and application are
+    cross-checked: a drifted merge table breaks both sides loudly.
+    """
+    import os  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+    from cpt_database_sync_spark.sources.tables import (  # noqa: PLC0415
+        materialize_stamped,
+    )
+
+    seg_dir = materialize_stamped(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(
+            scratch_dir(), "bpe_seg", os.path.basename(sf_dir.rstrip("/"))
+        ),
+        lambda d: bpe_learn(spark, sf_dir).write.mode("overwrite").parquet(d),
+    )
+    seg = spark.read.parquet(seg_dir).select("w", "n_tokens")
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
