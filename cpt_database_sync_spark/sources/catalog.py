@@ -67,3 +67,61 @@ def schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, f in enumerate(table_schema(spark, sf_dir, t).fields, start=1):
             rows.append((t, f.name, i))
     return spark.createDataFrame(rows, "table_name string, column_name string, ordinal int")
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           TRUE AS approx_ok
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling — the data-quality screen every platform
+    runs before trusting a table: per column, row/null/exact-distinct
+    counts plus the HLL sketch cross-check (within 5×rsd of exact,
+    asserted by the oracle — the agg_approx_distinct discipline). All
+    columns profile in ONE aggregation: the exact distincts compile to a
+    single multi-column Expand (rows × |columns| before map-side
+    combine), which is the honest cost of exact cardinality; at 100 TB
+    you drop the exact lanes and keep the HLL ones — same query shape,
+    the flags here prove the sketch earns that trust.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
+
+    o = load(spark, sf_dir, "orders")
+    tol = 5 * 0.01
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.approx_count_distinct(c, rsd=0.01).alias(f"ad_{c}"),
+        ]
+    row = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (
+                F.abs(F.col(f"ad_{c}") - F.col(f"nd_{c}"))
+                <= F.col(f"nd_{c}") * tol
+            ).alias("approx_ok"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

@@ -422,3 +422,22 @@ def test_bpe_segmentation_reconstructs_words(spark, sf_dir):
         | (F.col("n_tokens") < 1)
     ).count()
     assert bad == 0
+
+
+def test_ivf_pq_recall_vs_full_precision(spark, sf_dir):
+    """Int8 quantization must not wreck retrieval: the PQ index's top-5
+    per query must overlap the full-precision IVF top-5 substantially
+    (same cells, only the scoring lane differs)."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        sim_ann_ivf,
+        sim_ann_ivf_pq,
+    )
+
+    exact = sim_ann_ivf(spark, sf_dir).select("q_id", "n_id")
+    pq = sim_ann_ivf_pq(spark, sf_dir).select("q_id", "n_id")
+    n_exact = exact.count()
+    hits = exact.join(pq, ["q_id", "n_id"]).count()
+    recall = hits / n_exact
+    assert recall >= 0.8, f"PQ top-5 recall vs full precision = {recall:.2f}"
