@@ -801,3 +801,42 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+REF_SAMPLE_NIBBLE = "3"  # keep orders whose md5 first nibble <= '3' (~25%)
+
+
+@register(
+    "referential_sample",
+    oracle=f"""
+    WITH keep AS (
+      SELECT o_orderkey FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '{REF_SAMPLE_NIBBLE}'
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
+    FROM lineitem l JOIN keep k ON l.l_orderkey = k.o_orderkey
+    """,
+)
+def referential_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-intact sampling: sample PARENT keys (md5-nibble on
+    o_orderkey — the corpus_sample discipline: engine-agnostic,
+    layout-independent, reshuffle-stable) and keep every child row of a
+    sampled parent — the way you cut a coherent test/dev slice of a
+    relational dataset, where row-level sampling of each table
+    independently would orphan nearly every child.
+
+    The sampled key set semi-joins into the fact scan (broadcast at this
+    fraction; at 100 TB the same predicate evaluates INLINE on the child
+    fk — zero join — because the sample is a pure function of the key,
+    which is the entire reason to sample by hash rather than by
+    reservoir).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    keep = o.select("o_orderkey").filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+        <= REF_SAMPLE_NIBBLE
+    )
+    return li.join(
+        F.broadcast(keep), li["l_orderkey"] == keep["o_orderkey"], "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")

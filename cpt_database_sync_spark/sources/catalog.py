@@ -125,3 +125,74 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orderkey_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+           )) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'custkey_fk_covered',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2000-01-01') AS BIGINT)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations — the constraint screen
+    (PK uniqueness, FK coverage, domain ranges) that gates a table
+    before it feeds training or serving, emitting one violation count
+    per rule. The reference trusts its copies blind; this is the check
+    its targets needed.
+
+    Each rule compiles to the cheapest plan for its class: uniqueness is
+    one partial+final agg with a HAVING gate; FK coverage a broadcast
+    left-anti join against the dim; range checks map-only counts — the
+    rule set evaluates in one job per rule over pruned column scans, and
+    at 100 TB rules attach to the same scan via observation metrics
+    instead of separate passes.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    orphan = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o["o_custkey"] == c["c_custkey"],
+        "left_anti",
+    ).count()
+    nonpos = o.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).count()
+    out_of_range = o.filter(
+        (F.col("o_orderdate") < "1990-01-01")
+        | (F.col("o_orderdate") >= "2000-01-01")
+    ).count()
+    return spark.createDataFrame(
+        [
+            ("orderkey_unique", dup),
+            ("custkey_fk_covered", orphan),
+            ("totalprice_positive", nonpos),
+            ("orderdate_in_range", out_of_range),
+        ],
+        "rule string, n_violations bigint",
+    )

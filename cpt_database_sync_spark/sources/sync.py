@@ -557,3 +557,72 @@ def jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") == 1)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH src AS (SELECT * FROM events),
+    tgt AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END AS value,
+             props
+      FROM events WHERE event_id % 11 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(s.event_id, t.event_id) AS event_id,
+             CASE WHEN t.event_id IS NULL THEN 'missing'
+                  WHEN s.value <> t.value THEN 'changed'
+                  ELSE 'match' END AS status
+      FROM src s LEFT JOIN tgt t ON s.event_id = t.event_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY status
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift detection — the audit the reference never runs
+    between its blind full recopies (`handler/Handler.java:42-55` trusts
+    fetch-count == pull-count; it cannot see a row that arrived mangled
+    or was deleted behind its back): key-join source against replica and
+    classify every source row as match / changed (payload differs) /
+    missing (absent from the target). The replica here is events with a
+    deterministic corruption (every 97th value bumped) and deletion
+    (every 11th row dropped) so all three arms are exercised.
+
+    Payload comparison uses a sha2 fingerprint over the canonicalized
+    non-key columns, so the join carries (key, 64-hex digest) — at
+    100 TB the shuffle is key+hash wide regardless of row width, and the
+    same fingerprints feed incremental re-sync of exactly the changed
+    keys (the dedup_exact discipline applied to sync auditing).
+    """
+    ev = load(spark, sf_dir, "events")
+    tgt = ev.filter(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        payload = F.sha2(
+            F.concat_ws(
+                "\x1f",
+                F.col("ts").cast("string"),
+                F.col("user_id").cast("string"),
+                "event_type",
+                F.col("value").cast("string"),
+                "props",
+            ),
+            256,
+        )
+        return df.select("event_id", payload.alias("fp"))
+
+    s, t = fingerprint(ev).alias("s"), fingerprint(tgt).alias("t")
+    j = s.join(t, F.col("s.event_id") == F.col("t.event_id"), "left").select(
+        F.when(F.col("t.event_id").isNull(), "missing")
+        .when(F.col("s.fp") != F.col("t.fp"), "changed")
+        .otherwise("match")
+        .alias("status")
+    )
+    return j.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
