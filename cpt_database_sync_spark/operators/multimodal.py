@@ -525,3 +525,80 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         energy_batches,
         schema="doc_id bigint, window_idx int, energy bigint, peak int",
     )
+
+
+RESIZE_W, RESIZE_H = 16, 12
+
+
+@register(
+    "multimodal_image_resize",
+    # symbolic oracle over the REAL decode + resize: the Spark side sums
+    # pixels selected by numpy nearest-neighbor indexing from the decoded
+    # bytes; the oracle replays the same floor-scaled sampling grid over
+    # the synthetic pixel pattern — one wrong sampled pixel hash-fails.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n, 1 + n % 64 AS w, 1 + (n * 3) % 48 AS h FROM d
+    )
+    SELECT doc_id,
+           CAST({RESIZE_W} AS INT) AS out_w,
+           CAST({RESIZE_H} AS INT) AS out_h,
+           round(CAST(SUM((((u.i % {RESIZE_W}) * w // {RESIZE_W}) * 31
+                           + ((u.i // {RESIZE_W}) * h // {RESIZE_H}) * 17
+                           + n) % 256) AS DOUBLE)
+                 / {RESIZE_W * RESIZE_H}, 6) AS mean_resized
+    FROM dims, UNNEST(range({RESIZE_W * RESIZE_H})) AS u(i)
+    GROUP BY doc_id, n, w, h
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE on the real pixel path — the preprocessing step a
+    vision-data pipeline runs on every sample: decode the synthesized
+    PNG (``decode_image``: PIL fast path or pure-stdlib inflate +
+    unfilter), then nearest-neighbor resize to a fixed
+    {RESIZE_W}x{RESIZE_H} grid with vectorized numpy index sampling
+    (x = X*w//OUT_W — the floor-scaled grid), reducing to the resized
+    mean. Map-only Arrow batches, one Python stage; the oracle replays
+    the identical sampling arithmetic symbolically, so the decode, the
+    grid, and the reduction are all value-checked.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    src = d.select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(RESIZE_W)
+        ys = np.arange(RESIZE_H)
+        sums = []
+        ids = []
+        for pdf in batches:
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = decode_image(make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n))
+                arr = np.frombuffer(bytes(m["pixels"]), dtype=np.uint8).reshape(
+                    m["height"], m["width"]
+                )
+                grid = arr[np.ix_((ys * m["height"]) // RESIZE_H,
+                                  (xs * m["width"]) // RESIZE_W)]
+                ids.append(int(doc_id))
+                sums.append(int(grid.sum()))
+            yield pd.DataFrame({"doc_id": ids, "rs_sum": sums})
+            ids, sums = [], []
+
+    resized = src.mapInPandas(
+        resize_batches, schema="doc_id bigint, rs_sum bigint"
+    )
+    return resized.select(
+        "doc_id",
+        F.lit(RESIZE_W).cast("int").alias("out_w"),
+        F.lit(RESIZE_H).cast("int").alias("out_h"),
+        F.round(
+            F.col("rs_sum").cast("double") / F.lit(RESIZE_W * RESIZE_H), 6
+        ).alias("mean_resized"),
+    )
