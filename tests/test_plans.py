@@ -615,3 +615,15 @@ def test_merge_scd2_touches_only_changed_users(spark, sf_dir):
         assert k.split(",")[0].strip().startswith("user_id"), (
             f"non-user-keyed shuffle in the apply path: {k}"
         )
+
+
+def test_interval_join_buckets_to_hash_join(spark, sf_dir):
+    """join_interval must take the grid-bucketed HASH join, not the
+    nested-loop theta join Spark would plan for the raw range predicate."""
+    from cpt_database_sync_spark.operators.analytics import join_interval
+
+    plan = plan_string(join_interval(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, (
+        f"interval join degraded to nested loop:\n{plan[:1500]}"
+    )
+    assert "bucket" in plan, "day-bucket join key missing from the plan"
