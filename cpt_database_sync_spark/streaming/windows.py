@@ -57,7 +57,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_table(
+    stream_df: DataFrame, output_mode: str, no_data_batches: bool = False
+) -> DataFrame:
     """Execute a streaming query to completion on the available data
     (Trigger.AvailableNow); return the result as a batch DataFrame.
 
@@ -70,8 +72,14 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """
     spark = stream_df.sparkSession
     # one-shot availableNow: the trailing no-data batch would only re-emit
-    # all complete-mode state into the sink a second time — skip it.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # all complete-mode state into the sink a second time — skip it by
+    # default. Outer joins opt IN (no_data_batches=True): their
+    # NULL-extended arm fires only on the final watermark advance, which
+    # is exactly what the trailing batch provides.
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     name = f"stream_{uuid.uuid4().hex[:12]}"
     # Ephemeral checkpoint + result scratch on tmpfs: state-store commits
     # fsync every delta file; on the default /tmp (virtio disk) those
@@ -593,3 +601,83 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"est_p{int(q * 100)}")
         )
     return cdf.groupBy("event_type").agg(*aggs)
+
+
+@register(
+    "stream_join_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT c.user_id, CAST(c.click_ts AS TIMESTAMP) AS click_ts,
+             CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+             p.purchase_value
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id
+       AND CAST(p.purchase_ts AS TIMESTAMP) >  CAST(c.click_ts AS TIMESTAMP)
+       AND CAST(p.purchase_ts AS TIMESTAMP) <= CAST(c.click_ts AS TIMESTAMP)
+                                               + INTERVAL 2 HOUR
+    )
+    SELECT user_id, click_ts, purchase_ts, purchase_value FROM m
+    WHERE purchase_ts IS NOT NULL
+       -- the final GLOBAL watermark is the MIN across both watermarked
+       -- inputs (each: its own max event time, floored to Spark's
+       -- millisecond watermark precision, minus the 10 min delay)
+       OR click_ts + INTERVAL '2 hours 10 minutes'
+          < date_trunc('milliseconds', (SELECT least(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))))
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — attribution with the
+    unconverted clicks included: matches emit as they arrive (the inner
+    arm), and a click with NO purchase inside its 2-hour window emits a
+    NULL-extended row only once the purchase-side WATERMARK proves no
+    match can still come. That proof is the whole point of outer
+    streaming joins: without the watermark bound the unmatched arm could
+    never fire.
+
+    Batch-equivalence needs care the inner variant (``stream_join``)
+    doesn't: clicks whose window is still open when the source drains
+    stay in state, unemitted. The oracle mirrors that exactly — it keeps
+    matched rows plus unmatched clicks whose window provably closed
+    before the final GLOBAL watermark: the min across both inputs'
+    watermarks (each side's ms-floored max event time − the 10 min
+    delay). The trailing no-data micro-batch is
+    ENABLED for this query (run_to_table's no_data_batches flag) so the
+    final watermark advance actually flushes the closed windows.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        F.coalesce("user_id", "c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return run_to_table(joined, "append", no_data_batches=True)
