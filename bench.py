@@ -93,6 +93,11 @@ HEADLINE = [
     "sql_tpch_q18",
     "merge_scd2",
     "bpe_learn",
+    "dedup_canonical",
+    "snapshot_diff",
+    "table_profile",
+    "join_interval",
+    "stream_join_outer",
 ]
 
 

@@ -798,3 +798,63 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "distinct_users_cumulative",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) <= d.day) AS BIGINT) AS n_users_cum
+    FROM days d
+    """,
+)
+def distinct_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the query that makes the
+    bitmap lane's RE-AGGREGATABILITY undeniable: a running COUNT
+    (DISTINCT) cannot reuse yesterday's answer (each day would rescan
+    all history), but the per-(day, bucket) bitmaps OR-merge in a
+    running window, so day N costs one popcount over day N-1's merged
+    bitmap plus today's — exactly how a 100 TB daily-active dashboard
+    maintains all-time reach. Window state is |buckets| bitmaps, the
+    shuffle is #days × #buckets rows (map-side collapsed), and the
+    numbers are EXACT — the oracle is the quadratic rescan formulation.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a bucket contributes to every day from its first appearance on, so
+    # carry each bucket's running bitmap forward onto the full day grid:
+    # join the cumulative bitmaps to all days at-or-after their day via
+    # the last_value-per-day trick — take, per (bucket, day), the running
+    # OR, then for days where a bucket has no row, its latest prior
+    # bitmap still counts. Implemented as: running OR per bucket, then a
+    # per-day sum over each bucket's LATEST cumulative bitmap <= day.
+    cum = per_bucket.select(
+        "day",
+        "bucket",
+        F.bitmap_count(F.bitmap_or_agg("bm").over(w)).alias("cum_cnt"),
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    # per (grid day, bucket): the bucket's latest cumulative popcount at
+    # or before that day (buckets are few: 1 + max(user_id)/64 — this
+    # join is grid × buckets, tiny at any corpus size)
+    latest = (
+        days.alias("g")
+        .join(cum.alias("c"), F.col("c.day") <= F.col("g.day"))
+        .groupBy(F.col("g.day").alias("day"), "bucket")
+        .agg(F.max_by("cum_cnt", F.col("c.day")).alias("cnt"))
+    )
+    return latest.groupBy("day").agg(
+        F.sum("cnt").cast("bigint").alias("n_users_cum")
+    )
