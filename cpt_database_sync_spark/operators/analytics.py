@@ -858,3 +858,65 @@ def distinct_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("day").agg(
         F.sum("cnt").cast("bigint").alias("n_users_cum")
     )
+
+
+# Datasketches HLL_4, lgConfigK=12: rsd ~ 1.04/sqrt(2^12) ~ 1.6%; the
+# flag tolerance is 5x that, the agg_approx_distinct discipline.
+HLL_LGK = 12
+HLL_TOL = 5 * 1.04 / (2 ** (HLL_LGK / 2))
+
+
+@register(
+    "hll_mergeable_distinct",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HyperLogLog sketches (Apache DataSketches via
+    ``hll_sketch_agg`` / ``hll_union_agg``) — unlike
+    ``approx_count_distinct``, whose estimate is a scalar you cannot
+    re-aggregate, these sketches are first-class VALUES: per-day
+    sketches persist, and any period's distinct count is a UNION of
+    stored sketches, never a rescan — the approximate twin of the exact
+    bitmap lane (``distinct_users_bitmap`` / ``_cumulative``).
+
+    The query emits every day's exact distinct count plus an accuracy
+    flag (sketch estimate within 5×rsd), and an 'ALL' row whose estimate
+    comes from UNIONING the daily sketches — so the merge path itself is
+    accuracy-checked against the exact global distinct. The oracle
+    asserts every flag.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    per_day = daily.select(
+        F.col("d").cast("string").alias("day"),
+        "n_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_users"))
+            <= F.col("n_users") * HLL_TOL
+        ).alias("hll_ok"),
+    )
+    exact_total = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    union_row = (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est")
+        )
+        .crossJoin(exact_total)
+        .select(
+            F.lit("ALL").alias("day"),
+            "n_users",
+            (
+                F.abs(F.col("est") - F.col("n_users"))
+                <= F.col("n_users") * HLL_TOL
+            ).alias("hll_ok"),
+        )
+    )
+    return per_day.unionByName(union_row)
