@@ -259,3 +259,36 @@ def variant_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variant_get(parse_json(props), '$.missing', 'string') IS NULL"
         ).alias("missing_is_null"),
     )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS safe_ratio,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INTEGER) AS qty_as_int
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` error-handling surface: ANSI mode makes malformed
+    casts and zero divisions RAISE (the fail-fast the reference's broken
+    error flag never achieved — `utils/Utils.java:33` sets a flag no one
+    reads, `sync/M2H2DataMigrator.java` ploughs on); ``try_divide`` /
+    ``try_cast`` opt individual expressions back into NULL-on-error — a
+    per-expression policy instead of the reference's per-pipeline
+    nothing. NULL results here are VALUES the oracle checks, so the
+    error-to-NULL mapping is verified, not assumed: a non-numeric string
+    casts to NULL, a numeric-looking one to its value, zero denominators
+    to NULL.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("safe_ratio"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("bigint").cast("string").try_cast("int").alias("qty_as_int"),
+    )
