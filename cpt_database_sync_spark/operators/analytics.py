@@ -920,3 +920,189 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(union_row)
+
+
+_TWA_SQL = """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(14,6)) AS v,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    held AS (
+      -- v re-cast to DECIMAL(20,6): forces DuckDB's int128 multiply lane
+      -- (two <=18-digit decimals multiply in int64 and overflow)
+      SELECT user_id, CAST(v AS DECIMAL(20,6)) AS v,
+             CAST(nxt - us AS DECIMAL(13,0)) AS dur_us
+      FROM seq WHERE nxt IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(v * dur_us) AS DECIMAL(38,6)) AS twa_num,
+             CAST(SUM(dur_us) AS BIGINT) AS dur_us_total
+      FROM held GROUP BY user_id
+      HAVING SUM(dur_us) > 0
+    )
+    SELECT user_id, twa_num, dur_us_total,
+           CAST((CAST(floor(twa_num) AS HUGEINT) * 1000000 // dur_us_total)
+                AS DOUBLE) / 1000000 AS twa
+    FROM agg
+"""
+
+
+@register("time_weighted_avg", oracle=_TWA_SQL)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the hypertable serving primitive
+    (TimescaleDB's ``time_weight``/``average`` pair) for irregular
+    samples: each reading holds (LOCF) until the next one, so the mean
+    weights each value by how long it was current, not by sample count.
+
+    The accumulator IS the output: (Σ value·duration, Σ duration) — a
+    mergeable pair, so per-partition partials combine associatively and
+    grain rollups re-aggregate without touching raw events (the
+    bitmap/histogram serving discipline). One shuffle on user_id feeds
+    the lead() window; the rollup re-aggregates the same clustering.
+    Exactness: value in the DECIMAL(14,6) lane × integer microsecond
+    durations never leaves exact decimal; the displayed average is
+    floor(floor(num)·1e6/dur)/1e6 via integer division — bit-identical
+    on both engines with no double-rounding exposure (DuckDB truncates
+    decimal downscales where Spark rounds HALF_UP, and DuckDB ROUNDS
+    decimal→integer casts, so both steps are explicit floors instead).
+    Users whose observations all share one timestamp are dropped
+    (zero held time ⇒ the average is undefined).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(14,6)").alias("v"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    )
+    held = seq.filter(F.col("nxt").isNotNull()).select(
+        "user_id", "v", (F.col("nxt") - F.col("us")).cast("decimal(13,0)").alias("dur_us")
+    )
+    agg = (
+        held.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("dur_us")).cast("decimal(38,6)").alias("twa_num"),
+            F.sum("dur_us").cast("long").alias("dur_us_total"),
+        )
+        .filter(F.col("dur_us_total") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "twa_num",
+        "dur_us_total",
+        (
+            F.expr(
+                "CAST(floor(twa_num) * CAST(1000000 AS DECIMAL(7,0))"
+                " div dur_us_total AS DOUBLE)"
+            )
+            / 1000000
+        ).alias("twa"),
+    )
+
+
+# Fixed-point EWMA kernel: 0.3·0.7^k rounded to 4 dp — a quantized decay
+# kernel (standard DSP practice) so every product stays in a small exact
+# decimal lane. Scale-4 weights × scale-6 daily sums ⇒ scale-10 terms whose
+# per-(user,day) magnitude keeps the summed unscaled value far below 2^53,
+# making the decimal→double emission correctly rounded on BOTH engines.
+EWMA_WEIGHTS = [
+    "0.3000", "0.2100", "0.1470", "0.1029", "0.0720",
+    "0.0504", "0.0353", "0.0247", "0.0173", "0.0121",
+]
+_EWMA_CASE = " ".join(
+    f"WHEN {k} THEN CAST({w} AS DECIMAL(5,4))" for k, w in enumerate(EWMA_WEIGHTS)
+)
+
+_EWMA_SQL = f"""
+    WITH daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+             CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DECIMAL(20,6)) AS dv
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT a.user_id,
+           CAST(to_timestamp(a.dn * 86400) AS DATE) AS day,
+           CAST(CAST(SUM(b.dv * (CASE a.dn - b.dn {_EWMA_CASE} END))
+                AS DECIMAL(24,10)) AS DOUBLE) AS ewma_num,
+           CAST(CAST(SUM(CASE a.dn - b.dn {_EWMA_CASE} END)
+                AS DECIMAL(8,4)) AS DOUBLE) AS wsum,
+           round(CAST(CAST(SUM(b.dv * (CASE a.dn - b.dn {_EWMA_CASE} END))
+                      AS DECIMAL(24,10)) AS DOUBLE)
+                 / CAST(CAST(SUM(CASE a.dn - b.dn {_EWMA_CASE} END)
+                        AS DECIMAL(8,4)) AS DOUBLE), 9) AS ewma
+    FROM daily a
+    JOIN daily b
+      ON b.user_id = a.user_id AND b.dn BETWEEN a.dn - 9 AND a.dn
+    GROUP BY a.user_id, a.dn
+"""
+
+
+@register("ewma_smoothing", oracle=_EWMA_SQL)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's daily value
+    total — the trend-smoothing serving layer over the rollup, with a
+    10-day calendar-decay kernel (missing days decay the weight; they
+    don't shift it, unlike a row-frame EWMA).
+
+    Spark side: one shuffle builds the daily rollup, then a RANGE window
+    frame over day-number [-9, 0] collects (day, value) pairs and a JVM
+    HOF folds them against the fixed-point kernel — no self-join, no
+    second shuffle (the window reuses the rollup's user clustering). The
+    oracle expresses the same kernel as a bounded self-join, which is
+    what a SQL engine without range-frame HOFs would run. Emitting
+    (ewma_num, wsum) keeps the pair mergeable for boundary-correct
+    backfill; `ewma` is their quotient. At 100 TB the daily rollup is
+    ~6 orders smaller than raw events, so the window pass is trivial;
+    the kernel never widens with data volume because weights are per
+    calendar day, not per row.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("dn"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(14,6)")).cast("decimal(20,6)").alias("dv"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("dn")
+        .rangeBetween(-9, Window.currentRow)
+    )
+    wlit = "array({})".format(
+        ", ".join(f"CAST({x} AS DECIMAL(5,4))" for x in EWMA_WEIGHTS)
+    )
+    pairs = F.collect_list(F.struct(F.col("dn").alias("bdn"), F.col("dv"))).over(w)
+    smoothed = daily.select(
+        "user_id",
+        "dn",
+        pairs.alias("pairs"),
+    ).select(
+        "user_id",
+        F.to_date(F.timestamp_seconds(F.col("dn") * 86400)).alias("day"),
+        F.expr(
+            f"CAST(aggregate(pairs, CAST(0 AS DECIMAL(24,10)), (acc, p) -> "
+            f"CAST(acc + p.dv * element_at({wlit}, CAST(dn - p.bdn AS INT) + 1) "
+            f"AS DECIMAL(24,10))) AS DOUBLE)"
+        ).alias("ewma_num"),
+        F.expr(
+            f"CAST(aggregate(pairs, CAST(0 AS DECIMAL(8,4)), (acc, p) -> "
+            f"CAST(acc + element_at({wlit}, CAST(dn - p.bdn AS INT) + 1) "
+            f"AS DECIMAL(8,4))) AS DOUBLE)"
+        ).alias("wsum"),
+    )
+    return smoothed.select(
+        "user_id",
+        "day",
+        "ewma_num",
+        "wsum",
+        F.round(F.col("ewma_num") / F.col("wsum"), 9).alias("ewma"),
+    )

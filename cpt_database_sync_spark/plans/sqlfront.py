@@ -200,3 +200,44 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_Q10_SQL = """
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+           AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+      CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+      n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@register("sql_tpch_q10", oracle=_Q10_SQL)
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter — fact-to-fact join (orders⋈lineitem) with
+    a dimension closure (customer⋈nation) and a global top-20.
+
+    Optimizer checkpoints: the quarter predicate pushes into the orders
+    scan and the returnflag predicate into lineitem BEFORE the join
+    (both show as PushedFilters); nation is broadcast; the top-20 runs
+    as TakeOrderedAndProject with the deterministic (revenue DESC,
+    custkey) tie-break — spec Q10 orders by revenue alone, which
+    under-specifies the cut. Revenue sums in the exact decimal lane.
+    The date window uses this dataset's 1995-2001 order range (the spec
+    dates 1993-10/1994-01 fall outside it; same selectivity shape).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
