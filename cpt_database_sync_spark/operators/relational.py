@@ -802,3 +802,43 @@ def subquery_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_IN_EXISTS_SQL)
+
+
+_ROLLMED_SQL = """
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS med
+    FROM events
+"""
+
+
+@register("window_rolling_median", oracle=_ROLLMED_SQL)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 11 readings per user — the
+    robust denoiser for spiky telemetry (a rolling MEAN lets one
+    outlier bleed into 11 output rows; the median kills it, which is
+    why ops dashboards smooth with medians). Completes the window
+    family: `window_frame` runs sums over row frames, this runs an
+    order statistic.
+
+    Spark evaluates percentile() as a window aggregate over the sliding
+    frame; one shuffle on user_id, sorted once, frames slide in that
+    order. Medians involve no arithmetic beyond a midpoint of two
+    doubles (even warm-up frames), so parity with quantile_cont is
+    bit-exact. At 100 TB this shape is safe precisely because the frame
+    is ROWS-bounded: state per open frame is 11 values regardless of
+    data volume; the RANGE-interval analogue bounds state by time
+    instead (window_range_frame).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.percentile("value", 0.5).over(w).alias("med"),
+    )

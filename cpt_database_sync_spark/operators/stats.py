@@ -636,3 +636,160 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("lt50", "le50", 0.5).alias("approx_p50_ok"),
         ok("lt95", "le95", 0.95).alias("approx_p95_ok"),
     )
+
+
+_ENTROPY_DIMS = [
+    ("event_type", "event_type"),
+    ("dow", "CAST(dayofweek(ts) AS VARCHAR)"),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+]
+
+_ENTROPY_SQL = f"""
+    WITH longform AS (
+      {" UNION ALL ".join(
+          f"SELECT '{name}' AS col_name, {expr} AS val FROM events"
+          for name, expr in _ENTROPY_DIMS)}
+    ),
+    counts AS (
+      SELECT col_name, val, COUNT(*) AS c
+      FROM longform GROUP BY col_name, val
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_cnt,
+           round(ln(CAST(SUM(c) AS DOUBLE))
+                 - CAST(CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)), 9)
+                                           AS DECIMAL(15,9))) AS DECIMAL(24,9))
+                        AS DOUBLE) / CAST(SUM(c) AS DOUBLE),
+                 9) AS entropy_nats
+    FROM counts GROUP BY col_name
+"""
+
+
+@register("entropy_profile", oracle=_ENTROPY_SQL)
+def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of categorical dimensions — the
+    column-level information screen a feature pipeline runs before
+    encoding decisions (near-zero entropy ⇒ constant column, entropy
+    ≈ ln(n_distinct) ⇒ uniform key; `table_profile` counts, this
+    measures concentration).
+
+    One scan: the dimensions unpivot into long form (an Expand, no
+    extra read per column), one shuffle to count (col, val) pairs, then
+    a col-keyed re-aggregation whose input is |distinct values| rows.
+    Entropy uses H = ln(n) − (Σ c·ln c)/n so the only per-group
+    transcendental is ln(c) over integer counts; each ln is quantized
+    to a DECIMAL(15,9) lane before the multi-term sum, making the
+    accumulation order-insensitive and cross-engine exact (a raw double
+    Σ c·ln c would drift in the low bits with partial-agg order). At
+    100 TB the counts shuffle is the only data-sized stage and it
+    map-side combines; everything after is |vocabulary|-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    longform = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("col_name"),
+                    F.col("event_type").alias("val"),
+                ),
+                F.struct(
+                    F.lit("dow").alias("col_name"),
+                    F.dayofweek("ts").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("user_id").alias("col_name"),
+                    F.col("user_id").cast("string").alias("val"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.val")
+    counts = longform.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(
+                F.col("c")
+                * F.round(F.log(F.col("c").cast("double")), 9).cast("decimal(15,9)")
+            )
+            .cast("decimal(24,9)")
+            .cast("double")
+            / F.sum("c").cast("double"),
+            9,
+        ).alias("entropy_nats"),
+    )
+
+
+_WINSOR_SQL = """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           b.p05,
+           b.p95,
+           CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo,
+           CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi,
+           CAST(CAST(SUM(CAST(
+                 CASE WHEN e.value < b.p05 THEN b.p05
+                      WHEN e.value > b.p95 THEN b.p95
+                      ELSE e.value END AS DECIMAL(14,6)))
+               AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*) AS win_mean
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+"""
+
+
+@register("winsorize_scale", oracle=_WINSOR_SQL)
+def winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per group: clamp values into the
+    [p05, p95] band and report the clamp counts + winsorized mean — the
+    outlier-robust normalization a feature pipeline applies before
+    z-scaling (a single fat-finger reading otherwise poisons mean/std
+    for the whole group; `anomaly_zscore` flags outliers, this bounds
+    their influence).
+
+    Two passes by construction (percentiles are rank statistics: no
+    single-pass exact form): pass one computes exact per-group p05/p95,
+    pass two re-aggregates clamped values. The bounds table is
+    |groups|-sized and broadcast back onto the fact scan, so the second
+    pass adds no shuffle beyond the group agg; both passes share one
+    clustering. Exact percentiles (Spark percentile ≡ DuckDB
+    quantile_cont, same linear interpolation) and the decimal mean lane
+    keep parity bit-exact. At 100 TB swap pass one to approx_percentile
+    (t-digest) and pin the bounds — the serving shape the docs of
+    quantile_histogram already use.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        (F.col("value") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("hi"),
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .cast("decimal(14,6)")
+        .alias("wv"),
+    )
+    return clamped.groupBy("event_type", "p05", "p95").agg(
+        F.sum("lo").cast("long").alias("n_lo"),
+        F.sum("hi").cast("long").alias("n_hi"),
+        (
+            F.sum("wv").cast("decimal(18,6)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("win_mean"),
+    )
