@@ -98,6 +98,12 @@ HEADLINE = [
     "table_profile",
     "join_interval",
     "stream_join_outer",
+    "time_weighted_avg",
+    "ewma_smoothing",
+    "sql_tpch_q10",
+    "entropy_profile",
+    "winsorize_scale",
+    "window_rolling_median",
 ]
 
 

@@ -1052,10 +1052,11 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-day calendar-decay kernel (missing days decay the weight; they
     don't shift it, unlike a row-frame EWMA).
 
-    Spark side: one shuffle builds the daily rollup, then a RANGE window
+    Spark side: a map-side-combined shuffle builds the daily rollup
+    (only partial sums move, never raw events), then a RANGE window
     frame over day-number [-9, 0] collects (day, value) pairs and a JVM
-    HOF folds them against the fixed-point kernel — no self-join, no
-    second shuffle (the window reuses the rollup's user clustering). The
+    HOF folds them against the fixed-point kernel — no self-join; the
+    window's user-keyed exchange moves only daily rows. The
     oracle expresses the same kernel as a bounded self-join, which is
     what a SQL engine without range-frame HOFs would run. Emitting
     (ewma_num, wsum) keeps the pair mergeable for boundary-correct

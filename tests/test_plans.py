@@ -627,3 +627,79 @@ def test_interval_join_buckets_to_hash_join(spark, sf_dir):
         f"interval join degraded to nested loop:\n{plan[:1500]}"
     )
     assert "bucket" in plan, "day-bucket join key missing from the plan"
+
+
+def test_q10_pushes_filters_broadcasts_dim_topk(spark, sf_dir):
+    """Q10's quarter predicate must reach the orders scan and the
+    returnflag predicate the lineitem scan; nation must broadcast; the
+    top-20 must run as TakeOrderedAndProject, never a global sort."""
+    from cpt_database_sync_spark.plans.sqlfront import sql_tpch_q10
+
+    df = sql_tpch_q10(spark, sf_dir)
+    plan = plan_string(df)
+    pf = pushed_filters(df)
+    assert "o_orderdate" in pf, f"date window not pushed into orders scan:\n{pf}"
+    assert "l_returnflag" in pf, f"returnflag not pushed into lineitem scan:\n{pf}"
+    assert "BroadcastHashJoin" in plan, "nation dim should broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-20 degraded to a global sort"
+
+
+def test_twa_single_user_shuffle_feeds_window_and_agg(spark, sf_dir):
+    """time_weighted_avg's lead() window and the per-user rollup must
+    share ONE user_id exchange — the window's clustering satisfies the
+    aggregation's requirement, so a second shuffle is a plan bug."""
+    from cpt_database_sync_spark.operators.analytics import time_weighted_avg
+
+    import re
+
+    plan = plan_string(time_weighted_avg(spark, sf_dir))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 user_id shuffle, got {len(exchanges)}"
+
+
+def test_ewma_no_self_join_rollup_shuffles_partials_only(spark, sf_dir):
+    """ewma_smoothing must evaluate the kernel with a RANGE-frame window
+    over the daily rollup — no self-join (the oracle's shape). Two
+    exchanges are correct and REQUIRED to both be rollup-sized: the
+    first must sit above a partial HashAggregate (map-side combine, so
+    raw events never shuffle), the second moves daily rows to the
+    user-keyed window. Collapsing to one exchange would shuffle raw
+    events — strictly worse at scale."""
+    from cpt_database_sync_spark.operators.analytics import ewma_smoothing
+
+    import re
+
+    plan = plan_string(ewma_smoothing(spark, sf_dir))
+    for joinop in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert joinop not in plan, f"kernel degraded to a self-join ({joinop})"
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 2, f"expected 2 rollup-sized shuffles, got {len(exchanges)}"
+    assert "partial_sum" in plan, "daily rollup lost its map-side combine"
+    windows = re.findall(r"^\(\d+\) Window", plan, flags=re.M)
+    assert len(windows) == 1, "kernel should be ONE window pass"
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    """winsorize_scale's second pass must broadcast the |groups|-sized
+    bounds table back onto the fact scan, not shuffle the fact twice
+    into a sort-merge join."""
+    from cpt_database_sync_spark.operators.stats import winsorize_scale
+
+    plan = plan_string(winsorize_scale(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "bounds should broadcast"
+    assert "SortMergeJoin" not in plan, "fact re-shuffled into a sort-merge join"
+
+
+def test_rolling_median_sliding_frame_one_shuffle(spark, sf_dir):
+    """window_rolling_median must run as a window aggregate over a
+    sliding ROWS frame after ONE user_id exchange, reading only the
+    four columns it needs."""
+    from cpt_database_sync_spark.operators.relational import window_rolling_median
+
+    import re
+
+    df = window_rolling_median(spark, sf_dir)
+    plan = plan_string(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"user_id", "event_id", "ts", "value"}, cols
