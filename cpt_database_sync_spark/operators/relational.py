@@ -842,3 +842,96 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.percentile("value", 0.5).over(w).alias("med"),
     )
+
+
+BLOOM_BITS = 1 << 19  # 2^19 bits = 64 KiB/lane; FPR ~ (n/m)^2 with 2 lanes
+_BLOOM_FILTER = "o_totalprice > 450000"
+
+_BLOOM_SQL = f"""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.{_BLOOM_FILTER}
+    GROUP BY l.l_returnflag
+"""
+
+
+def _bloom_lane(keys: DataFrame, key: str, seed: int):
+    """(word, mask) Bloom lane: each key sets ONE bit; bits OR together
+    with a map-side-combined bit_or aggregation, so the lane costs one
+    tiny shuffle of at most BLOOM_BITS/64 rows."""
+    pos = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(BLOOM_BITS))
+    return (
+        keys.select(
+            (pos / 64).cast("long").alias("word"),
+            pos.cast("long").alias("p"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias("mask"))
+    )
+
+
+def _bloom_probe(df: DataFrame, key: str, lane: DataFrame, seed: int) -> DataFrame:
+    """Keep rows whose lane bit is set (possible member). Left join +
+    bit test: an absent word means no build key hashed there."""
+    pos = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(BLOOM_BITS))
+    tagged = df.withColumn(f"_w{seed}", (pos / 64).cast("long")).withColumn(
+        f"_p{seed}", (pos % 64).cast("int")
+    )
+    lane = lane.withColumnRenamed("word", f"_w{seed}").withColumnRenamed(
+        "mask", f"_m{seed}"
+    )
+    return (
+        tagged.join(F.broadcast(lane), f"_w{seed}", "left")
+        .filter(F.expr(f"shiftright(coalesce(_m{seed}, 0L), _p{seed}) & 1 = 1"))
+        .drop(f"_w{seed}", f"_p{seed}", f"_m{seed}")
+    )
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_SQL)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact join — the runtime-filter pattern for the
+    case where the build side is too big to broadcast but still
+    selective: hash the build keys into fixed-size bit-mask lanes
+    (64 KiB each, built with a map-side-combined bit_or — the shuffle
+    moves ≤ 8192 (word, mask) rows no matter how many keys), broadcast
+    the LANES onto the probe scan, and drop probe rows whose bits
+    aren't set BEFORE the join shuffle. Two independent xxhash64 lanes
+    give FPR ≈ (n/m)²; false positives are removed by the exact join
+    that follows, so the prefilter is semantics-free — the oracle is
+    the plain join. Spark's own InjectRuntimeFilter does this
+    transparently when thresholds allow; building it from relational
+    pieces makes the mechanism visible, testable, and available to
+    plans the rule declines (e.g. below its creation-side threshold).
+
+    At 100 TB: the probe side never shuffles dropped rows — with a
+    0.1%-selective build filter the join shuffle shrinks ~1000× for the
+    cost of two broadcast map joins against 64 KiB masks. That trade is
+    the whole reason runtime filters exist.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    build = orders.filter(_BLOOM_FILTER).select("o_orderkey")
+    pruned = li
+    for seed in (7, 13):
+        pruned = _bloom_probe(
+            pruned, "l_orderkey", _bloom_lane(build, "o_orderkey", seed), seed
+        )
+    joined = pruned.join(build, pruned.l_orderkey == build.o_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (1 - F.col("l_discount").cast("decimal(6,4)"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        ).alias("revenue"),
+    )

@@ -703,3 +703,14 @@ def test_rolling_median_sliding_frame_one_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
     cols = read_schema_columns(df)
     assert set(cols) <= {"user_id", "event_id", "ts", "value"}, cols
+
+
+def test_bloom_prefilter_broadcasts_lanes_and_combines_mapside(spark, sf_dir):
+    """join_bloom_prefilter's lanes must reach the probe as broadcast
+    joins (64 KiB masks, never a probe shuffle to meet them) and the
+    lane build must map-side combine its bit_or."""
+    from cpt_database_sync_spark.operators.relational import join_bloom_prefilter
+
+    plan = plan_string(join_bloom_prefilter(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "both Bloom lanes should broadcast"
+    assert "partial_bit_or" in plan, "lane build lost its map-side combine"

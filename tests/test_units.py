@@ -710,3 +710,34 @@ def test_materialize_stamped_rebuilds_only_on_stamp_change(tmp_path):
     src.write_bytes(b"v2-contents-longer")  # size (and mtime) change
     materialize_stamped(str(src), out, build)
     assert len(calls) == 2, "source change must force a rebuild"
+
+
+def test_bloom_prefilter_actually_prunes(spark, sf_dir):
+    """The Bloom lanes must drop (nearly all) non-matching probe rows
+    before the join: survivors >= true matches (no false negatives,
+    or results would silently shrink) and well under the full probe
+    side (or the prefilter does nothing)."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.relational import (
+        _BLOOM_FILTER,
+        _bloom_lane,
+        _bloom_probe,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    build = orders.filter(_BLOOM_FILTER).select("o_orderkey")
+    pruned = li
+    for seed in (7, 13):
+        pruned = _bloom_probe(
+            pruned, "l_orderkey", _bloom_lane(build, "o_orderkey", seed), seed
+        )
+    total = li.count()
+    survivors = pruned.count()
+    matches = li.join(build, li.l_orderkey == build.o_orderkey, "left_semi").count()
+    assert matches <= survivors, "Bloom prefilter dropped true matches"
+    assert survivors < total * 0.5, (
+        f"prefilter prunes nothing: {survivors}/{total} survive"
+    )
