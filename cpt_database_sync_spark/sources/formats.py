@@ -381,3 +381,63 @@ def partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+_CORRECTED_DAYS = ("2024-01-05", "2024-01-06")
+
+_PARTIAL_OVERWRITE_SQL = f"""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN CAST(CAST(ts AS DATE) AS VARCHAR)
+                     IN {_CORRECTED_DAYS!r} THEN value * 2
+                ELSE value END AS value,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+    FROM events
+"""
+
+
+@register("sink_partial_overwrite", oracle=_PARTIAL_OVERWRITE_SQL)
+def sink_partial_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical partition correction — the backfill move a 100 TB lake
+    runs daily: a bug is found in two days of data, the fix job rewrites
+    ONLY those two day-directories (dynamic partition overwrite), and
+    every other partition's files are untouched bytes (no read, no
+    rewrite, no tombstones). `sink_partitioned` shows the layout; this
+    shows the repair semantics on top of it.
+
+    The correction (value × 2) is an exact IEEE operation, so the
+    oracle can state the whole expected table as one CASE expression:
+    untouched partitions must equal the original rows bit-for-bit —
+    which is precisely the property dynamic overwrite guarantees and
+    a blind full rewrite only approximates (new files, new order, new
+    statistics). Write volume is O(|corrected days|), not O(table).
+    """
+    out = _fmt_dir("events_by_day")
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    corrected = base.filter(F.col("day").isin(*_CORRECTED_DAYS)).withColumn(
+        "value", F.col("value") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("day", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).parquet(out).select(
+        "event_id", "user_id", "event_type", "value", "day"
+    )

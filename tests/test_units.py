@@ -741,3 +741,51 @@ def test_bloom_prefilter_actually_prunes(spark, sf_dir):
     assert survivors < total * 0.5, (
         f"prefilter prunes nothing: {survivors}/{total} survive"
     )
+
+
+def test_partial_overwrite_leaves_other_partitions_untouched(spark, sf_dir):
+    """Dynamic partition overwrite must replace ONLY the partitions in
+    the incoming frame: an untouched day's files keep identical names,
+    sizes, and mtimes (no rewrite); a corrected day's files change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.sources.formats import (
+        _CORRECTED_DAYS,
+        _fmt_dir,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    out = _fmt_dir("events_by_day_unit")
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    def snap(day):
+        d = os.path.join(out, f"day={day}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_day, corrected_day = "2024-01-10", _CORRECTED_DAYS[0]
+    before_untouched, before_corrected = snap(untouched_day), snap(corrected_day)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        base.filter(F.col("day").isin(*_CORRECTED_DAYS)).withColumn(
+            "value", F.col("value") * 2
+        ).write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert snap(untouched_day) == before_untouched, (
+        "dynamic overwrite rewrote a partition it was not given"
+    )
+    assert snap(corrected_day) != before_corrected, (
+        "corrected partition was not replaced"
+    )
