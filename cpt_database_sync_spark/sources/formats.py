@@ -441,3 +441,70 @@ def sink_partial_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).parquet(out).select(
         "event_id", "user_id", "event_type", "value", "day"
     )
+
+
+# Morton (Z-order) interleave of two 8-bit quantized dims — one fully
+# parenthesized integer expression valid in BOTH SQL dialects, so the
+# Spark column and the DuckDB oracle share the exact text.
+_Z_EXPR = " + ".join(
+    f"((((u >> {k}) & 1) << {2 * k + 1}) + (((d >> {k}) & 1) << {2 * k}))"
+    for k in range(8)
+)
+# the demo query box: users 64..127 (u 8..15) × Jan-06..Jan-10 (d 5..9)
+_ZBOX = "(min_u <= 15 AND max_u >= 8 AND min_d <= 9 AND max_d >= 5)"
+
+_ZORDER_SQL = f"""
+    WITH quant AS (
+      SELECT LEAST(user_id >> 3, 255) AS u,
+             LEAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)), 255) AS d
+      FROM events
+    ),
+    z AS (SELECT u, d, ({_Z_EXPR}) >> 6 AS zbucket FROM quant)
+    SELECT zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(u) AS min_u, MAX(u) AS max_u,
+           MIN(d) AS min_d, MAX(d) AS max_d,
+           {_ZBOX} AS scanned
+    FROM z GROUP BY zbucket
+"""
+
+
+@register("zorder_layout", oracle=_ZORDER_SQL)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout for multi-dimensional data
+    skipping — what Delta's OPTIMIZE ZORDER BY does, built from
+    first principles: quantize (user, day) to 8 bits each, interleave
+    the bits so nearby (user, day) pairs share z-prefixes, and cluster
+    files by z-ranges. Each output row is one z-bucket (a file in the
+    production layout) with its per-dim min/max — exactly the footer
+    statistics a scan prunes with — plus whether a 2-D box query
+    (users 64–127 × Jan 6–10) would have to open it.
+
+    Why it matters at 100 TB: partitioning can prune ONE dimension;
+    a linear sort gives perfect pruning on its leading key and none on
+    the other. Z-clustering bounds BOTH dims inside every file, so a
+    2-D box touches O(√files)-ish instead of all of them (the unit
+    test measures this against a day-sorted layout on the same data).
+    The bucket grid here is a fixed z-prefix (deterministic ⇒ exactly
+    oracle-checkable); production would repartitionByRange on the full
+    z-value — same locality, sampled boundaries. Map-only quantize +
+    interleave (one shared integer expression, whole-stage codegen),
+    one |buckets|-row aggregation.
+    """
+    ev = load(spark, sf_dir, "events")
+    quant = ev.select(
+        F.expr("LEAST(user_id >> 3, 255)").alias("u"),
+        F.least(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(255),
+        ).alias("d"),
+    )
+    z = quant.select("u", "d", F.expr(f"({_Z_EXPR}) >> 6").alias("zbucket"))
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.expr(_ZBOX).alias("scanned"),
+    )

@@ -789,3 +789,50 @@ def test_partial_overwrite_leaves_other_partitions_untouched(spark, sf_dir):
     assert snap(corrected_day) != before_corrected, (
         "corrected partition was not replaced"
     )
+
+
+def test_zorder_prunes_2d_box_better_than_linear_sort(spark):
+    """The point of the z-layout: a 2-D box query must open a far
+    smaller fraction of z-clustered buckets than of an equal-count
+    day-sorted (linear) layout, whose trailing dimension has no
+    locality. Needs sf0.1 for enough users to spread the u dimension."""
+    import os
+
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.sources.formats import zorder_layout
+    from cpt_database_sync_spark.sources.tables import load
+
+    big = "/root/testdata/sf0.1"
+    if not os.path.isdir(big):
+        pytest.skip("sf0.1 fixtures not present")
+    zstats = zorder_layout(spark, big).collect()
+    z_total = len(zstats)
+    z_scanned = sum(1 for r in zstats if r.scanned)
+
+    quant = load(spark, big, "events").select(
+        F.expr("LEAST(user_id >> 3, 255)").alias("u"),
+        F.least(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(255),
+        ).alias("d"),
+    )
+    lin = (
+        quant.withColumn("f", F.ntile(z_total).over(Window.orderBy("d", "u")))
+        .groupBy("f")
+        .agg(F.min("u").alias("min_u"), F.max("u").alias("max_u"),
+             F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+        .collect()
+    )
+    lin_scanned = sum(
+        1 for r in lin
+        if r.min_u <= 15 and r.max_u >= 8 and r.min_d <= 9 and r.max_d >= 5
+    )
+    z_frac = z_scanned / z_total
+    lin_frac = lin_scanned / len(lin)
+    assert z_frac < lin_frac / 2, (
+        f"z-layout scans {z_frac:.1%}, linear layout {lin_frac:.1%} — "
+        "z-clustering should prune at least 2x better on a 2-D box"
+    )
