@@ -793,3 +793,45 @@ def winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("win_mean"),
     )
+
+
+_MODE_SQL = """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event_type, CAST(c AS BIGINT) AS n
+    FROM counts
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY c DESC, event_type DESC) = 1
+"""
+
+
+@register("agg_mode_frequent", oracle=_MODE_SQL)
+def agg_mode_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value). Spark's own
+    ``mode()`` leaves ties unspecified — useless under a differential
+    oracle and dangerous in any pipeline that must be re-runnable — so
+    the argmax is a total order: highest count, then highest value,
+    computed as ONE ``max(struct(c, val))`` aggregation.
+
+    Two aggregations, both map-side combined: (group, val) counts, then
+    the struct-max per group — the second input is already ≤ |groups| ×
+    |vocabulary| rows. No window, no sort, no shuffle beyond the two
+    keyed exchanges; at 100 TB the struct-max pattern is the cheap way
+    to argmax (a row_number window over the counts would re-sort every
+    group for one surviving row — that's the ORACLE's formulation, kept
+    deliberately different to cross-check the tie-break).
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    best = counts.groupBy("user_id").agg(
+        F.max(F.struct(F.col("c"), F.col("event_type"))).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("m.event_type").alias("mode_event_type"),
+        F.col("m.c").cast("long").alias("n"),
+    )

@@ -241,3 +241,43 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q10_SQL)
+
+
+_Q14_SQL = """
+    WITH rev AS (
+      SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(12,4))
+                                * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                           ELSE CAST(0 AS DECIMAL(12,4)) END)
+                AS DECIMAL(18,6)) AS promo,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                AS DECIMAL(18,6)) AS total
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    )
+    SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue,
+           100 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct
+    FROM rev
+"""
+
+
+@register("sql_tpch_q14", oracle=_Q14_SQL)
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the month's promo share of revenue —
+    a fact⋈dimension join reduced to ONE ratio row.
+
+    Optimizer checkpoints: the one-month shipdate window pushes into the
+    lineitem scan (the join reads ~1% of the fact), part broadcasts, and
+    both conditional sums ride a single aggregation (no second pass for
+    the denominator). Exactness: both sums stay in the decimal lane and
+    convert to double correctly rounded (a one-month window keeps the
+    unscaled sum < 2^53; at sf ≳ 1 widen the output lane per
+    functions/numeric.py), after which the percentage is a single IEEE
+    division — bit-identical on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
