@@ -104,6 +104,11 @@ HEADLINE = [
     "entropy_profile",
     "winsorize_scale",
     "window_rolling_median",
+    "join_bloom_prefilter",
+    "sink_partial_overwrite",
+    "zorder_layout",
+    "sql_tpch_q14",
+    "agg_mode_frequent",
 ]
 
 
@@ -188,9 +193,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
                 "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "total_median": total_median,
                 "trials": trials,

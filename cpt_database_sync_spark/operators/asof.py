@@ -372,3 +372,85 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("unix_micros(ts) div 1000000")
         ).cast("bigint").alias("lag_sec"),
     )
+
+
+_NEAREST_SQL = """
+    WITH p AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+      SELECT p.user_id, p.ts, p.purchase_id, v.view_id, v.view_ts,
+             abs(epoch_us(p.ts) - epoch_us(v.view_ts)) AS adt
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+    )
+    SELECT user_id, ts AS purchase_ts, purchase_id, view_id, view_ts
+    FROM cand
+    QUALIFY row_number() OVER (
+      PARTITION BY purchase_id ORDER BY adt, view_ts, view_id) = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join, either direction — the sensor-fusion
+    matcher (pandas ``merge_asof(direction='nearest')``): each purchase
+    takes whichever view is closest in time, before OR after, ties to
+    the earlier view. Completes the as-of family: `join_asof` looks
+    back, `join_asof_forward` looks ahead, this takes the min.
+
+    Spark side: one backward carry + one forward carry (each a
+    last-non-null window over the SAME user-keyed sort — the
+    `_asof_carry` machinery both siblings use), then a per-row
+    min-struct pick between the two candidates — O(n log n) in each
+    user's events, never the all-pairs product (the ORACLE is the
+    quadratic per-user cross join + rank, kept deliberately naive as a
+    cross-check; per-user row counts make that affordable at oracle
+    scale only). The tie-break struct (|Δt|, view_ts, view_id) is a
+    total order, so the pick is deterministic on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    both = None
+    for direction in ("backward", "forward"):
+        c = _asof_carry(
+            purchases,
+            views,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["view_id", "view_ts"],
+            direction=direction,
+        ).select("user_id", "ts", "purchase_id", "view_id", "view_ts")
+        both = c if both is None else both.unionByName(c)
+    adt = F.abs(F.unix_micros("view_ts") - F.unix_micros("ts"))
+    ranked = both.withColumn(
+        "_pick",
+        F.struct(
+            F.coalesce(adt, F.lit(2**62)).alias("adt"),
+            F.coalesce(F.unix_micros("view_ts"), F.lit(2**62)).alias("vts"),
+            F.coalesce("view_id", F.lit(2**62)).alias("vid"),
+        ),
+    )
+    best = ranked.groupBy("user_id", "ts", "purchase_id").agg(
+        F.min_by(F.struct("view_id", "view_ts"), F.col("_pick")).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_id",
+        F.col("m.view_id").alias("view_id"),
+        F.col("m.view_ts").alias("view_ts"),
+    )

@@ -14,7 +14,7 @@ engines sort the same doubles, so results agree exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
@@ -834,4 +834,68 @@ def agg_mode_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("m.event_type").alias("mode_event_type"),
         F.col("m.c").cast("long").alias("n"),
+    )
+
+
+_WQ_LEVELS = (("p50", 0.5), ("p90", 0.9))
+
+_WEIGHTED_PCT_SQL = f"""
+    WITH by_val AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS val,
+             SUM(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, val, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM by_val
+    )
+    SELECT flag,
+           {", ".join(
+               f"MIN(CASE WHEN cw >= {q} * tw THEN val END) AS {name}"
+               for name, q in _WQ_LEVELS)}
+    FROM cum GROUP BY flag
+"""
+
+
+@register("percentile_weighted", oracle=_WEIGHTED_PCT_SQL)
+def percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles — each value counts with its weight (here:
+    price percentiles weighted by quantity, i.e. "the price at which
+    half the UNITS ship", not half the line items). No engine builtin
+    takes weights, so the rank statistic is built from its definition:
+    the smallest value whose cumulative weight reaches q·W (lower
+    weighted quantile, no interpolation — every emitted value is an
+    actual data value, deterministic on both engines).
+
+    Shape: pre-aggregate to distinct (group, value) with summed weights
+    (map-side combined — the cumsum window then works on |distinct
+    values| rows, not raw rows), one running-sum window per group, and
+    a conditional-min agg per level — all levels ride the same cumsum.
+    Exactness: weights are integral, so every sum is an exact double
+    regardless of accumulation order; q·W is one IEEE multiply on both
+    engines. At 100 TB swap the exact cumsum for the mergeable
+    quantile_histogram bins when values are dense; this exact form is
+    the calibration reference.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    by_val = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("val")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wflag = Window.partitionBy("flag")
+    cum = by_val.select(
+        "flag",
+        "val",
+        F.sum("w")
+        .over(wflag.orderBy("val").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(wflag).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        *[
+            F.min(F.when(F.col("cw") >= q * F.col("tw"), F.col("val"))).alias(name)
+            for name, q in _WQ_LEVELS
+        ]
     )
