@@ -116,3 +116,83 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(rolled, "append")
+
+
+_TWA_OUT_SCHEMA = (
+    "user_id bigint, twa_num decimal(38,6), dur_us_total bigint, twa double"
+)
+# state: (last_us, last_value_decimal_string, num_decimal_string, dur_us)
+_TWA_STATE_SCHEMA = "l bigint, lv string, num string, dur bigint"
+
+
+def _user_twa(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_us, lv, num_s, dur = state.get
+        last_v, num = Decimal(lv), Decimal(num_s)
+    else:
+        last_us, last_v, num, dur = None, None, Decimal(0), 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, v in zip(pdf["ts"], pdf["value_dec"]):
+            us = int(ts.value // 1000)  # ns → µs, exact
+            if last_us is not None:
+                dt = us - last_us
+                num += last_v * dt
+                dur += dt
+            last_us, last_v = us, Decimal(v)
+    state.update((last_us, str(last_v), str(num), dur))
+    if dur > 0:
+        q = (int(num) * 10**6) // dur  # floor(floor(num)·1e6/dur): the
+        # exact integer-division display formula time_weighted_avg uses
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "twa_num": [num.quantize(Decimal("0.000001"))],
+                "dur_us_total": [dur],
+                "twa": [q / 1_000_000],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {"user_id": [], "twa_num": [], "dur_us_total": [], "twa": []}
+        )
+
+
+from cpt_database_sync_spark.operators.analytics import _TWA_SQL  # noqa: E402
+
+
+@register("stream_time_weighted", oracle=_TWA_SQL)
+def stream_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING time-weighted average — the LOCF accumulator
+    (`time_weighted_avg`) maintained by per-user state instead of a
+    batch window: state carries (last event, Σ value·duration,
+    Σ duration); each arriving event closes the previous holding
+    interval and folds it in. This is the op a metering/billing
+    pipeline runs continuously — the batch twin re-sorts history every
+    run; the stream touches only the increment.
+
+    Exactness: the value is quantized Spark-side (the shared
+    value→DECIMAL(14,6) edge), the Python fold accumulates
+    decimal-string state (order-fixed by the (ts, event_id) sort inside
+    each batch), and the displayed average uses the same explicit-floor
+    integer division as the batch op — so the ORACLE IS THE BATCH
+    ORACLE, verbatim. Within-batch sorting makes the one-shot
+    availableNow run exactly equal to the batch result; a multi-batch
+    deployment needs per-user event-time ordering across batches (a
+    watermark-delayed sort, or idempotent out-of-order re-fold), which
+    is the documented deployment constraint of any LOCF stream.
+    State is O(1) per user — the state-store shape built for 100 M keys.
+    """
+    ev = events_stream(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(14,6)").cast("string")
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _user_twa,
+        outputStructType=_TWA_OUT_SCHEMA,
+        stateStructType=_TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(folded, "append")
