@@ -1107,3 +1107,50 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wsum",
         F.round(F.col("ewma_num") / F.col("wsum"), 9).alias("ewma"),
     )
+
+
+@register(
+    "distinct_users_sliding",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day)
+                AS BIGINT) AS n_users_7d
+    FROM days d
+    """,
+)
+def distinct_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day reach per day — the third member of the bitmap
+    serving trio: per-day exact (`distinct_users_bitmap`), all-time
+    running (`distinct_users_cumulative`), and this sliding window,
+    which COUNT(DISTINCT) can least afford (every day re-scans a week
+    of raw events; weekly-active-users over 100 TB re-reads ~2 TB per
+    dashboard day).
+
+    With per-(day, bucket) bitmaps the raw data is scanned ONCE; each
+    grid day then OR-merges its window's ≤7 bitmaps per bucket — a
+    |days × buckets|-row day-grid join, independent of corpus size, and
+    the counts are EXACT. A bucket absent from the whole window simply
+    contributes no row (empty bitmap), which is why the sliding variant
+    needs no carry-forward trick, unlike the cumulative one. The oracle
+    is the quadratic re-scan formulation.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    merged = (
+        days.alias("g")
+        .join(
+            per_bucket.alias("c"),
+            F.col("c.day").between(F.date_sub(F.col("g.day"), 6), F.col("g.day")),
+        )
+        .groupBy(F.col("g.day").alias("day"), "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("cnt"))
+    )
+    return merged.groupBy("day").agg(
+        F.sum("cnt").cast("bigint").alias("n_users_7d")
+    )
