@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
@@ -601,4 +601,99 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("rs_sum").cast("double") / F.lit(RESIZE_W * RESIZE_H), 6
         ).alias("mean_resized"),
+    )
+
+
+PHASH_W, PHASH_H = 9, 8  # 9x8 sample grid -> 8x8 = 64 gradient bits
+
+
+@register(
+    "multimodal_image_phash",
+    # symbolic oracle over the REAL decode + dHash: the Spark side packs
+    # gradient bits from pixels sampled off the decoded bytes; the oracle
+    # replays the identical grid + comparisons over the synthetic pattern.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n, 1 + n % 64 AS w, 1 + (n * 3) % 48 AS h FROM d
+    ),
+    bits AS (
+      SELECT doc_id,
+        CAST(u.i AS INT) AS k,
+        CASE WHEN ((((u.i % 8) + 1) * w // {PHASH_W}) * 31
+                   + ((u.i // 8) * h // {PHASH_H}) * 17 + n) % 256
+                > (((u.i % 8) * w // {PHASH_W}) * 31
+                   + ((u.i // 8) * h // {PHASH_H}) * 17 + n) % 256
+             THEN 1 ELSE 0 END AS b
+      FROM dims, UNNEST(range(64)) AS u(i)
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k >= 32
+                           THEN CAST(b AS BIGINT) << (k - 32) ELSE 0 END)
+                  AS BIGINT) AS ph_hi,
+             CAST(SUM(CASE WHEN k < 32
+                           THEN CAST(b AS BIGINT) << k ELSE 0 END)
+                  AS BIGINT) AS ph_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, ph_hi, ph_lo,
+           CAST(COUNT(*) OVER (PARTITION BY ph_hi, ph_lo) AS BIGINT)
+             AS n_same_hash
+    FROM hashes
+"""
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (dHash) on the REAL pixel path — the
+    image-dedup primitive: sample the decoded image to a 9×8 grid
+    (same floor-scaled nearest-neighbor indexing as
+    `multimodal_image_resize`), emit 64 horizontal-gradient bits, and
+    count how many corpus images share each hash. dHash survives
+    re-encoding and resizing, which is exactly why training-data
+    pipelines dedup images by it rather than by byte hash; near-dups
+    at Hamming ≤ t would band the two 32-bit halves into buckets —
+    the `dedup_minhash` LSH shape, reusable verbatim.
+
+    Map-only Arrow decode + hash, then ONE hash-keyed window for the
+    duplicate count (at 100 TB: a groupBy(hash) join instead, same
+    shuffle). The oracle replays the grid, the gradient comparisons,
+    and the bit packing symbolically — one flipped bit hash-fails.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    src = d.select("doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(PHASH_W)
+        ys = np.arange(PHASH_H)
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = decode_image(make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n))
+                arr = np.frombuffer(bytes(m["pixels"]), dtype=np.uint8).reshape(
+                    m["height"], m["width"]
+                )
+                grid = arr[np.ix_((ys * m["height"]) // PHASH_H,
+                                  (xs * m["width"]) // PHASH_W)].astype(np.int16)
+                bits = (grid[:, 1:] > grid[:, :-1]).flatten()  # row-major k=y*8+x
+                hi = int(sum(1 << (k - 32) for k in range(32, 64) if bits[k]))
+                lo = int(sum(1 << k for k in range(32) if bits[k]))
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "ph_hi": his, "ph_lo": los})
+
+    hashed = src.mapInPandas(
+        phash_batches, schema="doc_id bigint, ph_hi bigint, ph_lo bigint"
+    )
+    w = Window.partitionBy("ph_hi", "ph_lo")
+    return hashed.select(
+        "doc_id",
+        "ph_hi",
+        "ph_lo",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash"),
     )
