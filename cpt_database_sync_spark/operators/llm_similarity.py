@@ -944,3 +944,78 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH nn AS (
+      SELECT q_id, label FROM (
+        SELECT q.vec_id AS q_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine("q.embedding", "c.embedding")} DESC,
+                          c.vec_id
+               ) AS rn
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOPK}
+    ),
+    votes AS (
+      SELECT q_id, label, COUNT(*) AS n_votes
+      FROM nn GROUP BY q_id, label
+    )
+    SELECT q_id, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+    FROM votes
+    QUALIFY row_number() OVER (
+      PARTITION BY q_id ORDER BY n_votes DESC, label) = 1
+"""
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification — the eval loop a labeled
+    embedding corpus exists for (label the query by its {k} nearest
+    labeled neighbors). Reuses the exact top-k scoring (`sim_topk`
+    machinery: broadcast queries, per-vector norms, corpus streams
+    un-shuffled, WindowGroupLimit per-partition rank pushdown) and adds
+    the vote: per-(query, label) counts, then a deterministic argmax
+    (most votes, ties to the lexicographically first label — Spark's
+    and the oracle's tie-breaks are stated, not assumed).
+
+    At 100 TB the scoring side swaps for the IVF/LSH candidate path
+    (`sim_ann_ivf_indexed`) and the vote stays byte-identical — which
+    is why the vote is layered over the exact scorer here: it
+    calibrates the approximate paths' end-to-end label accuracy, not
+    just their neighbor recall.
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"),
+        "label",
+        F.col("e").alias("ce"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("cos", dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOPK
+    )
+    votes = nn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    pick = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select("q_id", F.col("label").alias("pred_label"),
+                F.col("n_votes").cast("long").alias("n_votes"))
+    )

@@ -281,3 +281,36 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q14_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@register("sql_tpch_q13", oracle=_Q13_SQL)
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the histogram of orders per
+    customer INCLUDING zero-order customers — the query shape that
+    forces an outer join before aggregation (an inner join silently
+    drops the most interesting bucket, c_count = 0).
+
+    Optimizer checkpoints: the join-side filter stays in the ON clause
+    (moving it to WHERE would turn the LEFT join into an inner one —
+    the classic outer-join bug this query exists to catch) and pushes
+    into the orders scan; COUNT(o_orderkey) — not COUNT(*) — makes the
+    no-match rows count 0. Two aggregations, both map-side combined;
+    the second input is |customers| rows. The spec's `comment NOT LIKE
+    '%special%requests%'` filter maps to an orderpriority predicate —
+    this dataset has no comment column; same join-filter shape.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
