@@ -154,10 +154,8 @@ def _user_twa(
                 "twa": [q / 1_000_000],
             }
         )
-    else:
-        yield pd.DataFrame(
-            {"user_id": [], "twa_num": [], "dur_us_total": [], "twa": []}
-        )
+    # dur == 0 (single event / all-same-ts user): the average is
+    # undefined -- emit nothing, matching the batch HAVING filter.
 
 
 from cpt_database_sync_spark.operators.analytics import _TWA_SQL  # noqa: E402
