@@ -840,3 +840,89 @@ def referential_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(
         F.broadcast(keep), li["l_orderkey"] == keep["o_orderkey"], "left_semi"
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# target language mixture for corpus_mix_weights (shares sum to 1)
+MIX_TARGET = {"en": 0.25, "de": 0.20, "es": 0.20, "fr": 0.20, "zh": 0.15}
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {share}" for lang, share in MIX_TARGET.items()
+)
+
+_MIX_SQL = f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(COUNT(*)) OVER () AS n_total
+      FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, n_docs,
+             LEAST(1.0, (CASE lang {_MIX_CASE} END) * n_total / n_docs) AS w
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.lang, COUNT(*) AS n_sampled
+      FROM documents d JOIN weighted ww ON d.lang = ww.lang
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+            < CAST(floor(ww.w * 16777216) AS BIGINT)
+      GROUP BY d.lang
+    )
+    SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+           round(w.w, 9) AS weight,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM weighted w LEFT JOIN kept k ON w.lang = k.lang
+"""
+
+
+@register("corpus_mix_weights", oracle=_MIX_SQL)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing — compute the per-language sampling
+    weight that moves the corpus toward a TARGET mixture, then apply it
+    deterministically: w = min(1, target_share·N / n_lang) (down-sample
+    only; an over-represented target is capped at keep-everything, the
+    honest no-upsampling policy). `stratified_sample` applies FIXED
+    rates; this computes them FROM the data — the step a pretraining
+    recipe reruns on every corpus refresh.
+
+    The keep decision is hash-gated exactly like every sampler here
+    (md5 nibbles of doc_id — reproducible, join-free at scale): keep
+    iff hash24 < floor(w·2²⁴), with w the product of one share literal
+    and two exact integer counts — the same IEEE double on both
+    engines, so the cut index is identical and the sample is EXACTLY
+    reproducible, not just statistically right. One corpus scan for
+    counts (5-row result broadcast back), one for the gate; at 100 TB
+    both ride the same cached scan and the gate is map-only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn(
+        "n_total", F.sum("n_docs").over(Window.partitionBy())
+    )
+    share = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(s))
+            for lang, s in MIX_TARGET.items()
+        ]
+    )
+    weighted = counts.select(
+        "lang",
+        "n_docs",
+        F.least(F.lit(1.0), share * F.col("n_total") / F.col("n_docs")).alias("w"),
+    )
+    h24 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    kept = (
+        docs.join(F.broadcast(weighted), "lang")
+        .filter(h24 < F.floor(F.col("w") * 16777216).cast("bigint"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        weighted.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("w", 9).alias("weight"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
