@@ -1141,7 +1141,8 @@ def distinct_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.bitmap_bucket_number("user_id").alias("bucket"),
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    # the day grid comes from the bitmap table, not a second raw scan
+    days = per_bucket.select("day").distinct()
     merged = (
         days.alias("g")
         .join(

@@ -714,3 +714,34 @@ def test_bloom_prefilter_broadcasts_lanes_and_combines_mapside(spark, sf_dir):
     plan = plan_string(join_bloom_prefilter(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, "both Bloom lanes should broadcast"
     assert "partial_bit_or" in plan, "lane build lost its map-side combine"
+
+
+def test_knn_broadcasts_queries_and_limits_ranks_early(spark, sf_dir):
+    """knn_classify must broadcast the query set (corpus un-shuffled
+    through scoring) and push the rank limit into per-partition top-k
+    before the exchange."""
+    from cpt_database_sync_spark.operators.llm_similarity import knn_classify
+
+    plan = plan_string(knn_classify(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, "queries must broadcast"
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown missing"
+
+
+def test_sliding_reach_grid_scan_is_ts_only(spark, sf_dir):
+    """distinct_users_sliding: the day-grid branch (written over the
+    bitmap table) is column-pruned by Catalyst into a ts-only scan —
+    cheaper than recomputing bitmaps. Assert that pruning holds (the
+    grid side must never widen back to a full-row corpus scan) and
+    that the tiny grid is the broadcast side."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import distinct_users_sliding
+
+    df = distinct_users_sliding(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan, "day grid should broadcast"
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 2, f"expected 2 scans, got {len(schemas)}"
+    assert any(s.split(":")[0] == "ts" and s.count(":") == 1 for s in schemas), (
+        f"grid scan must be pruned to ts only: {schemas}"
+    )
