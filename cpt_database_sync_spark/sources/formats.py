@@ -508,3 +508,74 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("max_d"),
         F.expr(_ZBOX).alias("scanned"),
     )
+
+
+_CORRUPT_SQL = """
+    WITH parsed AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT 'parsed' AS status, lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM parsed GROUP BY lang
+    UNION ALL
+    SELECT 'corrupt', CAST(NULL AS VARCHAR),
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+                AS BIGINT)
+"""
+
+
+@register("source_json_corrupt", oracle=_CORRUPT_SQL)
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant JSONL ingestion — real corpus drops always contain
+    broken lines (truncated uploads, interleaved logs), and the wrong
+    default is a job abort at line 40-billion. PERMISSIVE mode with a
+    ``_corrupt_record`` column turns each bad line into a quarantine ROW
+    instead: parsed rows flow on, corrupt ones are counted (and in
+    production, written to a quarantine sink for replay). This is the
+    file-format analogue of the reference's swallowed error flag
+    (`sync/JdbcRecordCursor.java` §2A#14) done right: errors become
+    data, not silence.
+
+    The fixture corrupts every 10th document (truncated JSON object, a
+    real failure shape); the oracle states exactly which rows must
+    survive and how many must quarantine — so the parser's line
+    accounting is value-checked, not just its happy path. Map-only
+    scan; the corrupt-line check costs nothing extra at 100 TB because
+    the parser must tokenize every line anyway.
+    """
+    out = _fmt_dir("documents_jsonl_corrupt")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # produce the JSONL text ourselves so corruption is deterministic:
+    # every 10th doc's object is truncated mid-string
+    line = F.to_json(F.struct("doc_id", "lang", "text"))
+    corrupted = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 0, F.substring(line, 1, 20)
+        ).otherwise(line).alias("value")
+    )
+    corrupted.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # one grouped aggregation classifies every line (a corrupt-only
+    # projection is disallowed by Spark -- and single-pass is the right
+    # plan anyway: status and lang are grouping expressions on one scan)
+    ok = F.col("_corrupt_record").isNull()
+    return (
+        read.groupBy(
+            F.when(ok, F.lit("parsed")).otherwise(F.lit("corrupt")).alias("status"),
+            F.when(ok, F.col("lang")).alias("lang"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
