@@ -1155,3 +1155,89 @@ def distinct_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("day").agg(
         F.sum("cnt").cast("bigint").alias("n_users_7d")
     )
+
+
+_RI_CUTOFF = "2024-01-15 00:00:00"
+
+
+def _timegrain_partial(spark: SparkSession, ev: DataFrame, view: str) -> DataFrame:
+    """Timegrain rollup with EXACT mergeable partials: counts + decimal
+    sums (not doubles — doubles don't re-merge bit-exactly)."""
+    ev.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT
+          CASE WHEN GROUPING(h) = 0 THEN 'hour'
+               WHEN GROUPING(d) = 0 THEN 'day'
+               ELSE 'week' END AS grain,
+          COALESCE(h, d, w) AS bucket_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DECIMAL(38,6)) AS sv
+        FROM (
+          SELECT date_trunc('hour', ts) AS h,
+                 date_trunc('day', ts)  AS d,
+                 date_trunc('week', ts) AS w,
+                 value
+          FROM {view}
+        )
+        GROUP BY GROUPING SETS ((h), (d), (w))
+    """)
+
+
+@register("rollup_incremental", oracle=_TIMEGRAIN_SQL)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate REFRESH — the maintenance op behind
+    `rollup_timegrain`'s serving story (TimescaleDB's refresh policy /
+    Druid's delta ingest): the materialized hour/day/week rollup of
+    history (events ≤ cutoff, persisted via `materialize_stamped`)
+    absorbs an increment (events > cutoff) by MERGING partials on
+    (grain, bucket) — buckets straddling the cutoff (the cutoff week)
+    simply receive contributions from both sides and re-merge.
+
+    Why it's exact: the materialized table stores the DECIMAL partial
+    sums, not their double projection — decimal partials re-aggregate
+    associatively, doubles don't. The final double conversion happens
+    once, after the merge, through the same sql_dsum output lane as the
+    batch rollup — so the ORACLE IS THE FULL REBUILD (rollup_timegrain's
+    SQL verbatim): merge-maintained must be indistinguishable from
+    recomputed, the contract of incremental aggregate maintenance.
+    Work scales with |increment| + |touched buckets|, never history.
+    """
+    import os  # noqa: PLC0415
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
+    from cpt_database_sync_spark.sources.tables import (  # noqa: PLC0415
+        materialize_stamped,
+    )
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+
+    def build(d: str) -> None:
+        _timegrain_partial(
+            spark, ev.filter(F.col("ts") <= _RI_CUTOFF), "_ri_hist"
+        ).write.mode("overwrite").parquet(d)
+
+    dim_dir = materialize_stamped(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(
+            scratch_dir(), "rollup_dim", os.path.basename(sf_dir.rstrip("/"))
+        ),
+        build,
+    )
+    hist = spark.read.parquet(dim_dir)
+    incr = _timegrain_partial(
+        spark, ev.filter(F.col("ts") > _RI_CUTOFF), "_ri_incr"
+    )
+    merged = (
+        hist.unionByName(incr)
+        .groupBy("grain", "bucket_start")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sv").alias("sv"),
+        )
+    )
+    return merged.select(
+        "grain",
+        "bucket_start",
+        "n_events",
+        F.col("sv").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
