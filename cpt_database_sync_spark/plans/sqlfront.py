@@ -314,3 +314,66 @@ def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q13_SQL)
+
+
+_ANSI_EXTRAS_SQL = """
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+        AS n_big,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+        AS n_final,
+      CAST(MAX(o_totalprice) FILTER (WHERE o_orderstatus <> 'F')
+           AS DOUBLE) AS max_open_price,
+      CAST(rank() OVER w AS BIGINT) AS prio_rank
+    FROM orders
+    GROUP BY o_orderpriority
+    WINDOW w AS (ORDER BY COUNT(*) DESC, o_orderpriority NULLS LAST)
+"""
+
+
+@register("sql_ansi_extras", oracle=_ANSI_EXTRAS_SQL)
+def sql_ansi_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI surface pack, one dialect-portable string (the sql_frontend
+    discipline): aggregate FILTER clauses (three conditional aggregates
+    on ONE pass — the portable spelling of `CASE WHEN` pivot lanes),
+    a named WINDOW clause over the aggregate's output, and explicit
+    NULLS ordering. FILTER compiles to the same partial+final hash agg
+    as the CASE form — no extra scan per condition, which is the whole
+    point at 100 TB; the window then runs over |groups| rows.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_EXTRAS_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+    FROM customer c,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice,
+             row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey)
+               AS rk
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 300
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — top-2 orders per customer written the
+    way a SQL user writes it (a correlated LIMIT subquery per row),
+    executed the way a distributed engine must: Catalyst decorrelates
+    the LATERAL into a ranked window over ONE orders shuffle — never a
+    per-customer re-scan (the literal reading would scan orders
+    |customers| times; DuckDB's executor makes the same rewrite). The
+    deterministic (price, orderkey) tie-break makes LIMIT 2 total.
+    This is the SQL-frontend twin of the DataFrame `window_rank`
+    top-k-per-group pattern, checking the decorrelation path produces
+    identical rows.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
