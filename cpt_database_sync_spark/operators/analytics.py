@@ -1241,3 +1241,112 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sv").cast("decimal(18,6)").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "sessionize_builtin",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_num
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_num
+    """,
+)
+def sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` — the same
+    semantics `sessionize` builds from lag + running sum, computed by
+    the engine's native merging session-window aggregate instead (one
+    shuffle, per-key in-sort window merging, no second window pass).
+    Two genuinely different algorithms, one oracle — the algorithm
+    cross-check discipline (`join_interval`, `join_asof_nearest`): if
+    Spark's session merging and the manual gap formulation ever
+    disagree on a boundary (the >-vs->= gap edge, an equal-ts tie),
+    this key hash-fails. Also the batch twin of `stream_session`'s
+    streaming session_window — same builtin, both paths checked.
+
+    Semantics note: session_window closes a session when the NEXT event
+    is >= gap after the previous one, i.e. a gap of exactly {gap} min
+    starts a new session — matching the manual op's strict > on
+    microseconds only because the fixture's timestamps are microsecond-
+    exact (a boundary hit at exactly the gap would distinguish them;
+    none exists in any fixture, which itself is asserted by parity).
+    """
+    ev = load(spark, sf_dir, "events")
+    grouped = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return grouped.select("user_id", "session_start", "session_end", "n_events")
+
+
+HOLDOUT_NIBBLE = 3  # md5 first nibble < 3 → holdout (~18.75% of users)
+
+
+@register(
+    "split_train_holdout",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                       AS INT) < {HOLDOUT_NIBBLE}
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN assign a ON e.user_id = a.user_id
+    GROUP BY a.split
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/holdout split — the leakage guard every eval
+    pipeline needs: splitting EVENTS at random puts the same user on
+    both sides and the model memorizes its way to a fake eval win, so
+    the split key is the USER (hash-gated md5 nibble, reproducible
+    without any stored assignment table). Output is the audit row per
+    split: event and user counts — the unit test asserts the disjoint-
+    users invariant directly.
+
+    The split expression evaluates inline on the fact's own key — at
+    100 TB this is a map-only predicate (no assignment join at all;
+    the join here mirrors the oracle's spelling). Deterministic: the
+    same user lands in the same split on every run, every engine, every
+    refresh — which is what makes held-out contamination checks
+    (`contamination_check`) meaningful across corpus versions.
+    """
+    ev = load(spark, sf_dir, "events")
+    nib = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = F.when(nib < HOLDOUT_NIBBLE, F.lit("holdout")).otherwise(
+        F.lit("train")
+    )
+    return (
+        ev.select(split.alias("split"), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -836,3 +836,32 @@ def test_zorder_prunes_2d_box_better_than_linear_sort(spark):
         f"z-layout scans {z_frac:.1%}, linear layout {lin_frac:.1%} — "
         "z-clustering should prune at least 2x better on a 2-D box"
     )
+
+
+def test_split_train_holdout_users_disjoint(spark, sf_dir):
+    """The leakage invariant: no user may appear in both splits, and
+    the per-split user counts must sum to the distinct-user total."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.analytics import HOLDOUT_NIBBLE
+    from cpt_database_sync_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    nib = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    assign = ev.select(
+        "user_id",
+        F.when(nib < HOLDOUT_NIBBLE, "holdout").otherwise("train").alias("split"),
+    ).distinct()
+    per_user = assign.groupBy("user_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_user.filter(F.col("n_splits") > 1).count() == 0, (
+        "a user appears in both splits — leakage"
+    )
+    totals = dict(
+        assign.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(totals.values()) == n_users
