@@ -579,3 +579,41 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "source_xml",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip — Spark 4's built-in XML source (the format
+    enterprise feeds still arrive in). One row element per record,
+    distributed writer/reader like every other lane here; read-back
+    uses the explicit schema (XML inference is an extra full pass AND
+    type-lossy — everything is text without it). The oracle compares
+    against the original parquet, so what's checked is the codec's
+    type fidelity across text serialization: int64 width, double
+    round-trip (Spark writes shortest-roundtrip decimal strings),
+    timestamp formatting — precisely where XML pipelines silently
+    corrupt. Completes the format matrix
+    {parquet, orc, csv, json, jsonl, xml, jdbc}.
+    """
+    out = _fmt_dir("orders_xml")
+    src = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    return (
+        spark.read.schema(_ORDERS_SCHEMA)
+        .format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
