@@ -926,3 +926,101 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
         )
     )
+
+
+COLLOC_MIN_COUNT = 10
+COLLOC_TOPK = 40
+
+_COLLOC_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, word, pos FROM (
+        SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+      ) WHERE word <> ''
+    ),
+    uni AS (
+      SELECT word, COUNT(*) AS c FROM toks GROUP BY word
+    ),
+    pairs AS (
+      SELECT word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM toks) AS t,
+             (SELECT COUNT(*) FROM pairs WHERE w2 IS NOT NULL) AS bt
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c_xy
+      FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2
+      HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pairs,
+           round(ln(CAST(c_xy AS DOUBLE) * t * t
+                    / (CAST(bt AS DOUBLE) * u1.c * u2.c)), 9) AS pmi
+    FROM big, tot
+    JOIN uni u1 ON u1.word = big.w1
+    JOIN uni u2 ON u2.word = big.w2
+    ORDER BY c_xy DESC, w1, w2
+    LIMIT {COLLOC_TOPK}
+"""
+
+
+@register("ngram_collocations", oracle=_COLLOC_SQL)
+def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations — the phrase detector (word2vec's
+    phrase-merge preprocessing, tokenizer-vocab candidates): bigrams
+    whose observed frequency beats the independence prediction,
+    PMI = ln(c_xy·T² / (B·c_x·c_y)), reported for the top-{K}
+    most frequent qualifying pairs.
+
+    One tokenize pass (posexplode) feeds bigrams (a lead() window over
+    the SAME doc-keyed sort — no position self-join, which is the
+    oracle's deliberately different formulation), unigram counts, and
+    the two totals; the PMI arithmetic runs on exact integer counts
+    whose products stay under 2⁵³, so the doubles entering ln() are
+    identical on both engines (the entropy_profile discipline, without
+    needing a decimal lane because there's exactly one ln per output
+    row). Top-K runs as TakeOrderedAndProject with a total tie-break.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.col("word") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("word").alias("w1"), F.lead("word").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("bt"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+    )
+    scored = (
+        big.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("n_pairs"),
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("t")
+                    * F.col("t")
+                    / (F.col("bt").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("n_pairs").desc(), "w1", "w2").limit(COLLOC_TOPK)
