@@ -745,3 +745,28 @@ def test_sliding_reach_grid_scan_is_ts_only(spark, sf_dir):
     assert any(s.split(":")[0] == "ts" and s.count(":") == 1 for s in schemas), (
         f"grid scan must be pruned to ts only: {schemas}"
     )
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE's runtime re-plan: a join whose build side only BECOMES tiny
+    after a selective filter (statistics can't see it pre-execution)
+    must be converted to a broadcast join once the shuffle's true size
+    is known. This is the 100 TB insurance policy the engine leans on
+    everywhere a static threshold would guess wrong."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "l_returnflag"
+    ).count()
+    joined.collect()  # AQE decides on materialized shuffle sizes
+    final = joined._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final, (
+        f"AQE did not convert the post-filter-tiny side to broadcast:\n{final[:1500]}"
+    )
