@@ -921,3 +921,87 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("s.nid")).alias("keep_id"),
         F.col("s.quality").alias("keep_quality"),
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT a_id, b_id, n_common, jaccard FROM pairs
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the PPJoin family)
+    — the third algorithm for the same answer as `dedup_ngram` (full
+    inverted-index join) and `dedup_minhash` (probabilistic banding):
+    sort every doc's shingles by one GLOBAL rarity order; a pair with
+    Jaccard ≥ t must share a token within each side's first
+    |s| − ⌈t·|s|⌉ + 1 tokens (J ≥ t ⟹ |y| ≥ t·|x| ⟹ overlap ≥ ⌈t·|x|⌉,
+    so the prefix cannot all miss), so ONLY prefixes enter the
+    inverted-index join. Candidates shrink from "pairs sharing any
+    shingle" to "pairs sharing a RARE shingle" — the frequent-token
+    quadratic blowup (this corpus's worst feature) never reaches the
+    join. Exact verification (array_intersect on the full sets) then
+    makes the result identical to the ground truth — same oracle text
+    as dedup_ngram, zero probabilistic slack, unlike minhash.
+
+    Shuffles: one on shingle for global frequencies, one on doc for the
+    ordered re-collect, one on prefix-shingle for candidates, one on
+    doc for verification — each materially smaller than the full
+    inverted index at scale. The unit test measures the candidate-set
+    reduction directly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sets = bounded_cache("dedup_prefix.sets", shingle_sets(docs))
+    e = sets.select("doc_id", F.explode("sh").alias("g"))
+    freq = e.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        e.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("g")))
+            ).alias("og")
+        )
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.expr(
+            f"slice(og, 1, size(og) - CAST(ceil({JACCARD_THRESHOLD} * size(og)) AS INT) + 1)"
+        ).alias("pref"),
+    ).select("doc_id", F.explode("pref").alias("p"))
+    prefix = prefix.select("doc_id", F.col("p.g").alias("g"))
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "a_id", "b_id", F.col("n_common").cast("long").alias("n_common"), "jaccard"
+    )

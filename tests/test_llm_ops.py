@@ -441,3 +441,58 @@ def test_ivf_pq_recall_vs_full_precision(spark, sf_dir):
     hits = exact.join(pq, ["q_id", "n_id"]).count()
     recall = hits / n_exact
     assert recall >= 0.8, f"PQ top-5 recall vs full precision = {recall:.2f}"
+
+
+def test_prefix_filter_shrinks_candidate_set(spark, sf_dir):
+    """The point of prefix filtering: the candidate pairs entering exact
+    verification must be a small fraction of the full inverted-index
+    candidates (pairs sharing ANY shingle), while the verified result
+    is identical to the ground truth (the parity oracle checks that)."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        JACCARD_THRESHOLD,
+        shingle_sets,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sets = shingle_sets(docs)
+    e = sets.select("doc_id", F.explode("sh").alias("g"))
+    full = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    freq = e.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        e.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "g"))).alias("og"))
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.expr(
+            f"slice(og, 1, size(og) - CAST(ceil({JACCARD_THRESHOLD} * size(og)) AS INT) + 1)"
+        ).alias("pref"),
+    ).select("doc_id", F.explode("pref").alias("p")).select(
+        "doc_id", F.col("p.g").alias("g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < full * 0.5, (
+        f"prefix filtering should halve the candidate set at least: {cand}/{full}"
+    )
