@@ -770,3 +770,39 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final, (
         f"AQE did not convert the post-filter-tiny side to broadcast:\n{final[:1500]}"
     )
+
+
+def test_parquet_aggregate_pushdown_serves_from_footers(spark, sf_dir):
+    """Un-grouped, un-filtered COUNT/MIN/MAX can be answered from
+    parquet footer statistics without reading a single data page —
+    the difference between touching 100 TB and touching its metadata.
+    The v2 datasource reports it as PushedAggregation in the scan."""
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown exists only in the v2 parquet reader
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        import os
+
+        from pyspark.sql import functions as F
+
+        # v2 path (required for aggregate pushdown): load by format/path
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("lo"),
+                F.max("o_orderkey").alias("hi"),
+            )
+        )
+        plan = plan_string(df)  # force planning while the conf is set
+        assert "PushedAggregation: [COUNT(*)" in plan or "PushedAggregation" in plan, (
+            f"footer-served aggregate missing from scan:\n{plan[:1200]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+        if prev_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
