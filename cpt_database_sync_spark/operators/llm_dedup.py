@@ -499,9 +499,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the edge input is ``dedup_minhash``'s verified pairs; here
     the exact shingle-Jaccard pairs keep the oracle deterministic.
     """
-    pairs = exact_jaccard_pairs(
-        load(spark, sf_dir, "documents"), JACCARD_THRESHOLD
-    ).select("a_id", "b_id")
+    pairs = bounded_cache(
+        "dedup.jaccard_pairs",
+        exact_jaccard_pairs(
+            load(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+        ).select("a_id", "b_id"),
+    )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -896,7 +899,10 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_col,
     )
 
-    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD).select("a_id", "b_id")
+    pairs = bounded_cache(
+        "dedup.jaccard_pairs",
+        exact_jaccard_pairs(docs, JACCARD_THRESHOLD).select("a_id", "b_id"),
+    )
     comp = connected_components(pairs)
     q = docs.select("doc_id", quality_col().alias("quality"))
     clustered = q.join(
