@@ -806,3 +806,53 @@ def test_parquet_aggregate_pushdown_serves_from_footers(spark, sf_dir):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling — the runtime complement to the manual
+    salting ops (join_skew_salted): when one join key dominates, AQE
+    splits the oversized shuffle partition into parallel sub-reads
+    instead of letting one reducer straggle. Thresholds are lowered to
+    make sf-scale data register as skewed; the executed plan marks the
+    converted join with skew=true."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.sources.tables import load
+
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle path
+        # the join feeds a re-aggregation, so splitting skew partitions
+        # costs an extra shuffle; AQE only takes that trade when forced
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        # many map tasks first: AQE splits a skewed reduce partition at
+        # mapper-output granularity, so a single-file (1-mapper) input
+        # leaves nothing to split
+        li = load(spark, sf_dir, "lineitem").repartition(8)
+        # 80% of rows collapse onto hot_key 0 — the skew shape
+        skewed = li.withColumn(
+            "hot_key",
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0)).otherwise(
+                F.col("l_orderkey") % 100
+            ),
+        )
+        dim = spark.range(0, 100).withColumnRenamed("id", "hot_key")
+        joined = skewed.join(dim, "hot_key").groupBy("l_returnflag").count()
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, (
+            f"AQE did not mark/split the skewed join:\n{final[:1500]}"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

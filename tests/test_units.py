@@ -865,3 +865,37 @@ def test_split_train_holdout_users_disjoint(spark, sf_dir):
     )
     n_users = ev.select("user_id").distinct().count()
     assert sum(totals.values()) == n_users
+
+
+def test_observation_metrics_ride_the_same_pass(spark, sf_dir):
+    """DataFrame.observe: data-quality metrics computed ON the existing
+    action's pass over the data — zero extra scan (dq_expectations as a
+    query re-runs rules; observe attaches them to production reads).
+    The observed values must equal a direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.sources.tables import load
+
+    obs = Observation("orders_dq")
+    o = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("sum_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    written = o.filter(F.col("o_orderkey") % 2 == 0).count()  # the real job
+    got = obs.get
+    direct = (
+        load(spark, sf_dir, "orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("sum_price"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["sum_price"] == direct["sum_price"]
+    assert got["max_date"] == direct["max_date"]
+    assert written <= got["n_rows"]
