@@ -759,17 +759,25 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    bucketed = ivl.select(
-        "user_id",
-        "valid_from",
-        "valid_to",
-        F.explode(
-            F.sequence(
-                F.date_trunc("day", "valid_from"),
-                F.date_trunc("day", "valid_to"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("bucket"),
+    from cpt_database_sync_spark.session import bounded_cache  # noqa: PLC0415
+
+    # both self-join sides read the SAME interval table: cache it so the
+    # SCD2 window chain runs once (at 100 TB the intervals are a persisted
+    # dimension -- scd2_intervals' output -- so this mirrors production)
+    bucketed = bounded_cache(
+        "join_interval.bucketed",
+        ivl.select(
+            "user_id",
+            "valid_from",
+            "valid_to",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", "valid_from"),
+                    F.date_trunc("day", "valid_to"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("bucket"),
+        ),
     )
     a = bucketed.select(
         F.col("user_id").alias("a_user"),
