@@ -454,3 +454,67 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.view_id").alias("view_id"),
         F.col("m.view_ts").alias("view_ts"),
     )
+
+
+ASOF_TOLERANCE_SEC = 3600
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT
+      p.user_id,
+      p.ts AS purchase_ts,
+      p.event_id AS purchase_id,
+      CASE WHEN epoch_us(p.ts) - epoch_us(v.ts)
+                <= CAST({ASOF_TOLERANCE_SEC} AS BIGINT) * 1000000
+           THEN v.event_id END AS view_id,
+      CASE WHEN epoch_us(p.ts) - epoch_us(v.ts)
+                <= CAST({ASOF_TOLERANCE_SEC} AS BIGINT) * 1000000
+           THEN v.ts END AS view_ts
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of join (pandas ``merge_asof(tolerance=…)``):
+    the latest prior view counts only within {tol} s — beyond that the
+    attribution window has closed and the match nulls out (stale
+    attribution is the classic over-crediting bug this bound exists
+    for). Same single-sort carry as `join_asof`; the tolerance is a
+    post-carry filter on the carried timestamp, costing nothing extra.
+    The streaming twin is `stream_join`'s interval condition — the
+    tolerance IS what makes as-of state watermark-evictable at 100 TB
+    (an unbounded lookback means unbounded state).
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = _asof_carry(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["view_id", "view_ts"],
+        direction="backward",
+        tolerance_sec=ASOF_TOLERANCE_SEC,
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_id",
+        "view_id",
+        "view_ts",
+    )
