@@ -377,3 +377,42 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_Q19_SQL = """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+      OR
+      (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+      OR
+      (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 25 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@register("sql_tpch_q19", oracle=_Q19_SQL)
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs predicate shape —
+    three disjunctive brand/size/quantity bands over a fact⋈dimension
+    join, reduced to one revenue row.
+
+    The optimizer checkpoints disjunction handling: the single-table
+    conjuncts COMMON to every branch can't be factored here (the
+    branches genuinely differ), but each side's derivable envelope CAN
+    — Catalyst pushes `p_brand IN (…)` into the part scan and the
+    l_quantity envelope into lineitem via constraint propagation, so
+    the join sees pre-filtered inputs even though the full predicate
+    only evaluates post-join. Part broadcasts; revenue rides the exact
+    decimal lane. (Adapted to this dataset's columns: the spec's
+    container/shipmode conjuncts have no counterpart here; the
+    disjunctive-pushdown shape is the point.)
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)

@@ -856,3 +856,17 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_pushes_disjunctive_envelopes_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs predicate: each side's derivable envelope must
+    reach its scan (the l_quantity OR-bands into lineitem, the
+    brand/size OR-bands into part) even though the cross-table
+    conjunction only evaluates post-join."""
+    from cpt_database_sync_spark.plans.sqlfront import sql_tpch_q19
+
+    df = sql_tpch_q19(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and "Or(" in pf, f"quantity bands not pushed:\n{pf}"
+    assert "p_brand" in pf and "p_size" in pf, f"part bands not pushed:\n{pf}"
+    assert "BroadcastHashJoin" in plan_string(df), "part should broadcast"
