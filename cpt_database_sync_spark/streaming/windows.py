@@ -681,3 +681,50 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return run_to_table(joined, "append", no_data_batches=True)
+
+
+@register(
+    "stream_distinct_users",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact daily reach — the bitmap lane
+    (`distinct_users_bitmap`) maintained continuously: the streaming
+    aggregation holds one roaring-style bitmap per (day window, 64-bit
+    bucket) in the state store, update mode emits a (day, bucket)
+    POPCOUNT row only when new users actually flip bits, and
+    ``foreachBatch`` MERGEs those deltas into the keyed serving table
+    (`serve_keyed_stream` — watermark-evicted state, delta-only sink
+    writes). The serving read re-aggregates bucket counts per day.
+
+    COUNT(DISTINCT) does not exist as a streaming aggregate (it cannot
+    incrementalize); the bitmap formulation is HOW exact streaming
+    distinct is done — O(users/2¹⁵) bitmap state per day, numbers
+    exact, and closed days leave the state store at the watermark.
+    The oracle is the batch COUNT(DISTINCT) over the same events.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+        )
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+            ).alias("cnt")
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "bucket",
+            "cnt",
+        )
+    )
+    back, _ = serve_keyed_stream(
+        agg, ["day", "bucket"], "stream_distinct_users", {"day": 16}
+    )
+    return back.groupBy("day").agg(F.sum("cnt").cast("long").alias("n_users"))
