@@ -899,3 +899,74 @@ def percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, q in _WQ_LEVELS
         ]
     )
+
+
+_TREND_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DECIMAL(20,6)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS sxx,
+             CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(30,6)) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 9)
+             AS slope,
+           round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                                         - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / n, 9) AS intercept
+    FROM m
+"""
+
+
+@register("trend_fit", oracle=_TREND_SQL)
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line over the daily rollup — "is this metric
+    drifting" as a closed-form fit (slope + intercept of daily value
+    against day number), the dashboard regression every metrics store
+    draws. Extends the exact-moment family: `agg_stats` does one
+    group's variance/corr, `corr_matrix` all pairs, this the regression
+    coefficients — same discipline throughout: rollup sums in the
+    decimal lane (exact, order-insensitive), moments as exact decimal
+    sums over |days|-sized data, ONE double conversion per moment
+    (magnitudes far under 2⁵³ ⇒ correctly rounded on both engines),
+    then identical IEEE arithmetic for the closed form. Two map-side-
+    combined aggregations, both rollup-sized; no window, no sort.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.sum(F.col("value").cast("decimal(14,6)")).cast("decimal(20,6)").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("decimal(28,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(30,6)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+    )
