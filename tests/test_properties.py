@@ -160,3 +160,45 @@ class TestPngCodecProperties:
         assert m["pixels"] == bytes(
             png_pixel(x, y, seed) for y in range(height) for x in range(width)
         )
+
+
+class TestPrefixFilterTheorem:
+    """Pure-python model of dedup_prefix_filter's candidate generation:
+    the prefix bound |s| − ⌈t·|s|⌉ + 1 must NEVER miss a pair with
+    Jaccard ≥ t (false negatives are silent data corruption at scale;
+    false positives are only wasted verification work)."""
+
+    @given(
+        sets=st.lists(
+            st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+            min_size=2,
+            max_size=8,
+        ),
+        t=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_prefix_candidates_superset_of_true_pairs(self, sets, t):
+        import math
+
+        # one GLOBAL rarity order, ties by token id (mirrors the operator)
+        freq: dict[int, int] = {}
+        for s in sets:
+            for g in s:
+                freq[g] = freq.get(g, 0) + 1
+        order = lambda g: (freq[g], g)  # noqa: E731
+
+        def prefix(s):
+            ordered = sorted(s, key=order)
+            plen = len(s) - math.ceil(t * len(s)) + 1
+            return set(ordered[:plen])
+
+        prefixes = [prefix(s) for s in sets]
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and inter / union >= t:
+                    assert prefixes[i] & prefixes[j], (
+                        f"prefix filter missed a true pair: "
+                        f"{sorted(sets[i])} ~ {sorted(sets[j])} at t={t}"
+                    )
