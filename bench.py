@@ -109,6 +109,10 @@ HEADLINE = [
     "zorder_layout",
     "sql_tpch_q14",
     "agg_mode_frequent",
+    "sql_tpch_q1",
+    "sql_tpch_q8",
+    "sql_tpch_q17",
+    "sql_tpch_q21",
 ]
 
 

@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "cpt_database_sync_spark.sources.sync",
     "cpt_database_sync_spark.sources.formats",
     "cpt_database_sync_spark.plans.sqlfront",
+    "cpt_database_sync_spark.plans.tpch",
     "cpt_database_sync_spark.operators.udf",
     "cpt_database_sync_spark.streaming.windows",
     "cpt_database_sync_spark.streaming.incremental",

@@ -870,3 +870,58 @@ def test_q19_pushes_disjunctive_envelopes_to_both_scans(spark, sf_dir):
     assert "l_quantity" in pf and "Or(" in pf, f"quantity bands not pushed:\n{pf}"
     assert "p_brand" in pf and "p_size" in pf, f"part bands not pushed:\n{pf}"
     assert "BroadcastHashJoin" in plan_string(df), "part should broadcast"
+
+
+def test_q6_pushes_all_three_predicates_and_prunes_schema(spark, sf_dir):
+    """Q6 is a pure scan-agg: its whole 100 TB cost is the pruned scan,
+    so all three range predicates must reach PushedFilters and the scan
+    must read exactly the four referenced columns."""
+    from cpt_database_sync_spark.plans.tpch import sql_tpch_q6
+
+    df = sql_tpch_q6(spark, sf_dir)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_quantity"):
+        assert col in pf, f"{col} predicate not pushed:\n{pf}"
+    cols = set(read_schema_columns(df))
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, (
+        f"scan reads more than the 4 referenced columns: {cols}"
+    )
+
+
+def test_q2_decorrelates_the_min_subquery(spark, sf_dir):
+    """The correlated per-part MIN must decorrelate into ONE grouped
+    aggregate joined back — never a nested-loop re-execution per part."""
+    from cpt_database_sync_spark.plans.tpch import sql_tpch_q2
+
+    plan = plan_string(sql_tpch_q2(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan, (
+        "correlated min subquery fell back to a nested loop"
+    )
+    assert "min(" in plan and "HashAggregate" in plan, (
+        "expected the decorrelated grouped-min aggregate in the plan"
+    )
+
+
+def test_q17_decorrelates_the_avg_subquery(spark, sf_dir):
+    """The per-part average must become a grouped agg joined on partkey
+    (one pass over the fact), not |rows| correlated re-scans."""
+    from cpt_database_sync_spark.plans.tpch import sql_tpch_q17
+
+    plan = plan_string(sql_tpch_q17(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, (
+        "expected the decorrelated per-part aggregate plus the outer sum"
+    )
+
+
+def test_q21_plans_semi_and_anti_joins_with_topk(spark, sf_dir):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti, both on l_orderkey
+    (reusing the orderkey partitioning), and the top-100 must be a
+    TakeOrderedAndProject, never a global sort."""
+    from cpt_database_sync_spark.plans.tpch import sql_tpch_q21
+
+    plan = plan_string(sql_tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS did not compile to a left-semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not compile to a left-anti join"
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-100 should be a per-partition heap"
