@@ -113,6 +113,10 @@ HEADLINE = [
     "sql_tpch_q8",
     "sql_tpch_q17",
     "sql_tpch_q21",
+    "stream_cdc_deletes",
+    "udf_cogrouped",
+    "agg_bitmap_overlap",
+    "text_containment",
 ]
 
 

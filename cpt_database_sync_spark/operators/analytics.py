@@ -1358,3 +1358,97 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "agg_bitmap_overlap",
+    oracle="""
+    WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM seg GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_both
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT
+      sa.event_type AS type_a,
+      sb.event_type AS type_b,
+      CAST(sa.n AS BIGINT) AS n_a,
+      CAST(sb.n AS BIGINT) AS n_b,
+      CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both,
+      CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.n_both, 0)) AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sa.event_type < sb.event_type
+    LEFT JOIN inter i ON i.ta = sa.event_type AND i.tb = sb.event_type
+    """,
+)
+def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix — |A∩B| and Jaccard for every
+    unordered segment pair — via BITMAPS and inclusion–exclusion, never
+    a user-level self-join. The third member of the bitmap serving
+    family: distinct_users_* answer reach (OR across time), this answers
+    OVERLAP (the AND the engine lacks a builtin for, recovered as
+    |A∩B| = |A| + |B| − |A∪B| with |A∪B| from ``bitmap_or_agg``).
+
+    Physics: the fact table is scanned ONCE into per-(segment, bucket)
+    bitmaps — after that every quantity is arithmetic on K×buckets tiny
+    rows. The oracle's formulation (DISTINCT pairs self-joined on
+    user_id) shuffles |users|·k̄² rows and re-scans per pair; the bitmap
+    form shuffles fixed-size bit vectors and re-aggregates, which is
+    why stored segment bitmaps are THE audience-overlap layout at 100 TB
+    (one pass to maintain, any pair answerable offline). The pair
+    expansion joins a 10-row pair list back to the bitmap table twice —
+    both broadcast equi-joins; Jaccard divides two exact BIGINTs in one
+    IEEE step.
+    """
+    from cpt_database_sync_spark.session import bounded_cache  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    seg = bounded_cache(
+        "agg_bitmap_overlap.seg",
+        ev.groupBy(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+        ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")),
+    )
+    sizes = seg.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n")
+    )
+    pairs = (
+        sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+        .join(
+            sizes.select(
+                F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # union popcount: stack BOTH segments' bucket bitmaps under the pair
+    # label, OR within bucket, popcount, sum across buckets
+    stacked = pairs.select("type_a", "type_b").join(
+        seg, F.col("type_a") == F.col("event_type")
+    ).select("type_a", "type_b", "bucket", "bm").unionByName(
+        pairs.select("type_a", "type_b")
+        .join(seg, F.col("type_b") == F.col("event_type"))
+        .select("type_a", "type_b", "bucket", "bm")
+    )
+    union_cnt = (
+        stacked.groupBy("type_a", "type_b", "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("u"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("u").alias("n_union"))
+    )
+    return (
+        pairs.join(union_cnt, ["type_a", "type_b"])
+        .withColumn("n_both", F.col("n_a") + F.col("n_b") - F.col("n_union"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_union")).alias("jaccard"),
+        )
+    )

@@ -128,10 +128,11 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-# Shared oracle CTE chain: exact word-shingle Jaccard pairs ≥ threshold.
-# Used by dedup_ngram (which surfaces the pairs) and dedup_clusters (which
-# runs connected components over them).
-_NGRAM_PAIR_CTES = f"""
+# Shared oracle CTE chains. _NGRAM_BASE_CTES derives per-doc shingle sets,
+# their sizes, and symmetric pair intersections (used directly by
+# text_containment); _NGRAM_PAIR_CTES adds the Jaccard-thresholded pairs
+# (dedup_ngram surfaces them, dedup_clusters runs connected components).
+_NGRAM_BASE_CTES = f"""
     s AS (
       SELECT doc_id,
              CASE WHEN len(w) >= {SHINGLE_K}
@@ -146,7 +147,10 @@ _NGRAM_PAIR_CTES = f"""
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
       FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ),
+    )
+"""
+
+_NGRAM_PAIR_CTES = f"""{_NGRAM_BASE_CTES},
     pairs AS (
       SELECT a_id, b_id, n_common,
              CAST(n_common AS DOUBLE) / CAST(la.n + lb.n - n_common AS DOUBLE) AS jaccard
@@ -1010,4 +1014,95 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified.select(
         "a_id", "b_id", F.col("n_common").cast("long").alias("n_common"), "jaccard"
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "text_containment",
+    oracle=f"""
+    WITH {_NGRAM_BASE_CTES},
+    directed AS (
+      SELECT a_id AS frag_id, b_id AS host_id, n_common FROM inter
+      UNION ALL
+      SELECT b_id AS frag_id, a_id AS host_id, n_common FROM inter
+    )
+    SELECT
+      d.frag_id,
+      d.host_id,
+      CAST(d.n_common AS BIGINT) AS n_common,
+      CAST(d.n_common AS DOUBLE) / sf.n AS containment,
+      CAST(d.n_common AS DOUBLE) / (sf.n + sh.n - d.n_common) AS jaccard
+    FROM directed d
+    JOIN sizes sf ON sf.doc_id = d.frag_id
+    JOIN sizes sh ON sh.doc_id = d.host_id
+    WHERE CAST(d.n_common AS DOUBLE) / sf.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED n-gram containment — C(frag→host) = |S(frag)∩S(host)| /
+    |S(frag)| ≥ 0.8 — the quote/inclusion detector Jaccard dedup is
+    blind to: a paragraph quoted inside a much longer document has
+    near-zero Jaccard (the union is dominated by the host) but
+    containment ≈ 1. Corpus pipelines run this to catch boilerplate
+    inclusion, template wrapping, and excerpt reposts that survive
+    symmetric dedup; the jaccard column rides along so consumers can
+    separate true fragments (high C, low J) from plain near-dups
+    (high C, high J — dedup_ngram's territory).
+
+    Physics: the symmetric intersection is computed ONCE over the
+    shares-a-shingle join (a<b, same candidate generation as
+    exact_jaccard_pairs — this is the exact small-corpus verifier; the
+    banded/prefix-filtered paths in this module bound candidates at
+    100 TB), then BOTH directions are derived by a union of column
+    renames — no second join, no second shuffle. Containment divides
+    two exact integers in one IEEE step, so the ≥0.8 cut is
+    bit-identical cross-engine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sets = shingle_sets(docs)
+    e = sets.select("doc_id", F.explode("sh").alias("g"))
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = inter.select(
+        F.col("a_id").alias("frag_id"),
+        F.col("b_id").alias("host_id"),
+        "n_common",
+    ).unionByName(
+        inter.select(
+            F.col("b_id").alias("frag_id"),
+            F.col("a_id").alias("host_id"),
+            "n_common",
+        )
+    )
+    return (
+        directed.join(
+            sizes.withColumnsRenamed({"doc_id": "frag_id", "n": "nf"}), "frag_id"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "host_id", "n": "nh"}), "host_id")
+        .withColumn(
+            "containment", F.col("n_common").cast("double") / F.col("nf")
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "frag_id",
+            "host_id",
+            "n_common",
+            "containment",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("nf") + F.col("nh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
     )

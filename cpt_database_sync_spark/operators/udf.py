@@ -299,3 +299,86 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         returned_lines,
         schema="l_orderkey bigint, l_linenumber int, discounted double",
     )
+
+
+_COGROUP_ORACLE = """
+    SELECT
+      p.event_id,
+      p.user_id,
+      CAST(p.value AS DOUBLE) AS purchase_value,
+      (SELECT c.value FROM events c
+       WHERE c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+       ORDER BY c.ts DESC, c.event_id DESC
+       LIMIT 1) AS last_click_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """
+
+
+@register("udf_cogrouped", oracle=_COGROUP_ORACLE)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF — ``a.groupBy(k).cogroup(b.groupBy(k))
+    .applyInPandas`` — the two-input lane of the UDF matrix: BOTH sides
+    shuffle on the key and each Python worker receives the key's two
+    pandas frames together. The canonical use is exactly this: a per-key
+    ``pd.merge_asof`` (purchases ⟵ most recent prior click per user),
+    the pandas spelling of operators/asof.py's union-trick as-of join.
+
+    Determinism contract: clicks sort by (ts, event_id) so merge_asof's
+    backward search resolves equal-timestamp ties to the max event_id —
+    the same total order the oracle's ORDER BY ts DESC, event_id DESC
+    LIMIT 1 picks. Users with no clicks get NULL (empty right frame);
+    click-only users contribute zero rows.
+
+    Scale: one shuffle per side keyed by user_id — the same exchange a
+    join would pay — then per-key work is pandas-local. Skewed keys are
+    the hazard (one key = one worker invocation); the JVM-side as-of in
+    operators/asof.py is the preferred form precisely because it has no
+    per-key materialization, but when per-key logic genuinely needs
+    pandas (model scoring, curve fitting), THIS is the shape. Citation:
+    the reference has no two-input operator at all — its one dataflow is
+    single-table (`sync/QueryBuilder.java:46-75`).
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def asof_merge(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+        if purch.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_value", "last_click_value"]
+            )
+        purch = purch.sort_values("ts", kind="mergesort")
+        clk = clk.sort_values(["ts", "event_id"], kind="mergesort")
+        merged = pd.merge_asof(
+            purch,
+            clk[["ts", "value"]].rename(columns={"value": "last_click_value"}),
+            on="ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "purchase_value": merged["value"],
+                "last_click_value": merged["last_click_value"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            schema=(
+                "event_id bigint, user_id bigint, "
+                "purchase_value double, last_click_value double"
+            ),
+        )
+    )

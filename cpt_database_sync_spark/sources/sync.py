@@ -268,6 +268,93 @@ def merge_statement(
     )
 
 
+def merge_cdc_statement(
+    target: str,
+    source: str,
+    columns: list[str],
+    key_columns: list[str],
+    op_column: str,
+    delete_op: str = "D",
+    quote: str = '"',
+) -> str:
+    """ANSI MERGE applying a full CDC batch — upserts AND tombstones — in
+    one set-based statement. ``op_column`` lives only in the staging
+    source; refined match clauses route each row:
+
+        WHEN MATCHED AND S.op = 'D'  THEN DELETE
+        WHEN MATCHED                 THEN UPDATE SET …
+        WHEN NOT MATCHED AND op <> 'D' THEN INSERT …
+
+    (first matching clause wins, so the unrefined UPDATE only sees
+    non-tombstones; a tombstone for a row the target never had is a
+    correct no-op — no clause fires). This is the delete arm the
+    reference's ON DUPLICATE KEY UPDATE loop cannot express at all
+    (`sync/JdbcPageSink.java:81-104` — its CDC story silently resurrects
+    deleted rows on the next full copy).
+    """
+    from cpt_database_sync_spark.sources.identifiers import quote_identifier
+
+    qt = quote_identifier(target, quote)
+    qs = quote_identifier(source, quote)
+    data_cols = [c for c in columns if c != op_column]
+    qcols = {c: quote_identifier(c, quote) for c in columns}
+    qop = quote_identifier(op_column, quote)
+    on = " AND ".join(f"T.{qcols[k]} = S.{qcols[k]}" for k in key_columns)
+    non_keys = [c for c in data_cols if c not in key_columns]
+    ins_cols = ", ".join(qcols[c] for c in data_cols)
+    ins_vals = ", ".join(f"S.{qcols[c]}" for c in data_cols)
+    update = ""
+    if non_keys:
+        sets = ", ".join(f"{qcols[c]} = S.{qcols[c]}" for c in non_keys)
+        update = f"WHEN MATCHED THEN UPDATE SET {sets} "
+    return (
+        f"MERGE INTO {qt} AS T USING {qs} AS S ON {on} "
+        f"WHEN MATCHED AND S.{qop} = '{delete_op}' THEN DELETE "
+        f"{update}"
+        f"WHEN NOT MATCHED AND S.{qop} <> '{delete_op}' "
+        f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def jdbc_cdc_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    url: str,
+    table: str,
+    key_columns: list[str],
+    op_column: str = "op",
+    props: dict | None = None,
+    varchar_lengths: dict[str, int] | None = None,
+    flavor: str = "ansi",
+) -> None:
+    """Apply one CDC (micro-)batch — upserts + deletes — to a JDBC
+    target: distributed append into a staging table (op column included),
+    ONE set-based merge_cdc_statement, drop staging. Same scale shape as
+    jdbc_upsert_batch: executors move the data, the driver sends exactly
+    one statement per batch."""
+    from cpt_database_sync_spark.sources.identifiers import (
+        fold_case,
+        quote_identifier,
+        stores_upper_case,
+    )
+
+    fold = stores_upper_case(spark, url)
+    staging = f"{table}_stage"
+    jdbc_sync_table(
+        spark, batch_df, url, staging, props=props,
+        varchar_lengths=varchar_lengths, flavor=flavor, fold=fold,
+    )
+    cols = [fold_case(c, fold) for c in batch_df.columns]
+    keys = [fold_case(k, fold) for k in key_columns]
+    sql = merge_cdc_statement(
+        fold_case(table, fold), fold_case(staging, fold), cols, keys,
+        fold_case(op_column, fold),
+    )
+    _execute_jdbc(
+        spark, url, [sql, f"DROP TABLE {quote_identifier(fold_case(staging, fold))}"]
+    )
+
+
 def jdbc_upsert_batch(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -261,3 +261,85 @@ def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(target)
     )
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "stream_cdc_deletes",
+    oracle="""
+    SELECT * FROM events
+    WHERE NOT (ts > TIMESTAMP '2024-01-10 00:00:00' AND event_type = 'error')
+    """,
+)
+def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC through the stream — upserts AND delete tombstones — into
+    a real JDBC target. ``stream_upsert`` closes the reference's
+    insert/update gap; this closes the delete half its ON DUPLICATE KEY
+    loop cannot express (`sync/JdbcPageSink.java:81-104`): a deletion at
+    the source survives only if the replication path carries tombstones,
+    otherwise the next sync resurrects the row.
+
+    Scenario: the replica is seeded with every event at-or-before a seed
+    cutoff, rows past the stream checkpoint corrupted (value = -1). The
+    CDC feed streams everything past the checkpoint, each row tagged
+    op = 'D' (event_type 'error' — the source purged them) or 'U'. Every
+    batch applies as ONE set-based MERGE with refined match clauses
+    (sources/sync.py merge_cdc_statement): corrupted overlap rows are
+    UPDATEd back or DELETEd, tail rows INSERTed unless tombstoned, and a
+    tombstone for a never-replicated row is a correct no-op. The
+    read-back must equal the source minus the purged set — deletes of
+    rows the target never had, deletes of rows it did have, and plain
+    upserts all verified by one identity oracle.
+
+    Scale: tombstones are data, not DDL — they ride the same staged
+    distributed write + one-statement merge as upserts, so the 100 TB
+    path has no per-row driver round-trips; checkpointed micro-batches
+    keep replays idempotent (re-deleting is a no-op, re-upserting
+    converges).
+    """
+    from cpt_database_sync_spark.sources.sync import (  # noqa: PLC0415
+        jdbc_cdc_batch,
+        jdbc_reader,
+        jdbc_sync_table,
+        scratch_dir,
+        sweep_scratch,
+    )
+    from cpt_database_sync_spark.streaming.windows import events_stream
+
+    sweep_scratch("stream_cdc_", spark)
+    workdir = tempfile.mkdtemp(prefix="stream_cdc_", dir=scratch_dir())
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    checkpoint = "2024-01-10 00:00:00"
+    seed_cut = "2024-01-20 00:00:00"
+
+    ev = load(spark, sf_dir, "events")
+    seed = ev.filter(F.col("ts") <= seed_cut).withColumn(
+        "value",
+        F.when(F.col("ts") > checkpoint, F.lit(-1.0)).otherwise(F.col("value")),
+    )
+    jdbc_sync_table(
+        spark, seed, url, "events_replica",
+        varchar_lengths=_EVENT_VARCHARS, flavor="ansi",
+    )
+
+    feed = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts") > checkpoint)
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_cdc_batch(
+            spark, batch_df, url, "events_replica", ["event_id"],
+            varchar_lengths={**_EVENT_VARCHARS, "op": 1},
+        )
+
+    q = incremental_sync_stream(spark, feed, write_batch, f"{workdir}/ckpt")
+    q.awaitTermination()
+
+    back = jdbc_reader(spark, url, "events_replica")
+    return back.toDF(*[c.lower() for c in back.columns]).select(*ev.columns)
