@@ -117,6 +117,9 @@ HEADLINE = [
     "udf_cogrouped",
     "agg_bitmap_overlap",
     "text_containment",
+    "url_normalize",
+    "data_skew_profile",
+    "sink_sorted_global",
 ]
 
 

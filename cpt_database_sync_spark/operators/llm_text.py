@@ -1024,3 +1024,102 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("n_pairs").desc(), "w1", "w2").limit(COLLOC_TOPK)
+
+
+@register(
+    "url_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+        || '.Example.COM'
+        || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        || '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+        || (CASE doc_id % 4
+              WHEN 0 THEN '?utm_source=feed&lang=' || lang || '&v=2'
+              WHEN 1 THEN '?v=2&lang=' || lang
+              WHEN 2 THEN '?lang=' || lang || '&utm_campaign=x&v=2'
+              ELSE '?lang=' || lang || '&v=2' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+        'https://'
+        || lower(regexp_replace(regexp_extract(url, '://([^/?#]+)', 1),
+                                ':[0-9]+$', ''))
+        || regexp_extract(url, '://[^/?#]+([^?#]*)', 1)
+        || '?'
+        || array_to_string(
+             list_sort(list_filter(string_split(
+               regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               p -> p NOT LIKE 'utm_%')), '&') AS url_canonical
+      FROM raw
+    )
+    SELECT url_canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS first_doc
+    FROM canon
+    GROUP BY url_canonical
+    """,
+)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the FIRST dedup a web-crawl corpus
+    runs, before any content hashing: the same page arrives under
+    scheme/host case variants, an explicit default port, tracking
+    parameters (utm_*), shuffled query-param order, and fragments.
+    Normalization = lowercase scheme+host, drop the default port, drop
+    the fragment, strip utm_* params, SORT the surviving params — after
+    which equal pages collide on one canonical key.
+
+    The fixture carries no URL column, so raw URLs are derived
+    DETERMINISTICALLY from (doc_id, source, lang) with all five noise
+    modes injected by doc_id residues — both engines construct the same
+    strings, and docs sharing (doc_id mod 100, lang) collapse to the
+    same canonical URL, so the dedup arm is genuinely exercised.
+
+    Physics: entirely JVM-side string work — ``parse_url`` (Spark's
+    java.net.URI lane: HOST already excludes the port), higher-order
+    filter + sort_array on the split query — map-only until the single
+    canonical-key groupBy; at 100 TB this is one shuffle of |distinct
+    canonical URLs| pre-aggregated rows. No Python ever touches a URL.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&lang="), F.col("lang"), F.lit("&v=2")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("?v=2&lang="), F.col("lang")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("?lang="), F.col("lang"), F.lit("&utm_campaign=x&v=2")))
+        .otherwise(F.concat(F.lit("?lang="), F.col("lang"), F.lit("&v=2"))),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    params = F.split(F.parse_url("url", F.lit("QUERY")), "&")
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.parse_url("url", F.lit("PATH")),
+        F.lit("?"),
+        F.array_join(
+            F.sort_array(F.filter(params, lambda p: ~p.startswith("utm_"))), "&"
+        ),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("url_canonical"))
+        .groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

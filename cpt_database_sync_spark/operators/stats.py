@@ -970,3 +970,58 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope"),
         F.round((sy - slope * sx) / n, 9).alias("intercept"),
     )
+
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "data_skew_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT SUM(cnt) AS n FROM c),
+    top AS (
+      SELECT l_suppkey, cnt FROM c
+      ORDER BY cnt DESC, l_suppkey LIMIT {SKEW_TOP_K}
+    )
+    SELECT
+      CAST(row_number() OVER w AS INT) AS rank,
+      l_suppkey,
+      CAST(cnt AS BIGINT) AS cnt,
+      CAST(cnt AS DOUBLE) / (SELECT n FROM t) AS share,
+      CAST(SUM(cnt) OVER w AS DOUBLE) / (SELECT n FROM t) AS cum_share
+    FROM top
+    WINDOW w AS (ORDER BY cnt DESC, l_suppkey)
+    """,
+)
+def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key diagnosis — the profiler run BEFORE the shuffle it
+    protects: top-K keys by row count with each key's share and the
+    cumulative share of the head. This is the measurement that decides
+    between a plain shuffle join, salting (join_skew_salted /
+    agg_skew_salted), and AQE's runtime skew split (the plan gate in
+    test_plans.py) — at 100 TB you profile a 0.1% sample or yesterday's
+    partition first; the operator is the same either way.
+
+    Physics: ONE map-side-combined count per key (shuffle carries
+    |distinct keys| partial rows), top-K as TakeOrderedAndProject
+    (per-partition heaps, never a global sort), the grand total as a
+    one-row broadcast, and the cumulative window runs over K rows on
+    one core. Shares divide exact BIGINTs as doubles — one correctly
+    rounded IEEE step each, so the ranking AND the ratios are
+    bit-identical cross-engine (tie-break on the key makes top-K total).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    top = counts.orderBy(F.desc("cnt"), "l_suppkey").limit(SKEW_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), "l_suppkey")
+    return top.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(w).alias("rank"),
+        "l_suppkey",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+        (F.sum("cnt").over(w).cast("double") / F.col("n")).alias("cum_share"),
+    )

@@ -617,3 +617,45 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "order")
         .load(out)
     )
+
+
+SORTED_SINK_FILES = 8
+
+
+@register(
+    "sink_sorted_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sink_sorted_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOTALLY-ORDERED sink: write lineitem globally sorted by
+    (l_shipdate, l_orderkey, l_linenumber) across N range-partitioned
+    files — the layout that makes a time-range query open only the files
+    whose [min, max] footer stats overlap the predicate. zorder_layout
+    interleaves MULTI-dimensional keys; this is the one-dimensional
+    workhorse every time-series table ships with.
+
+    Physics: ``repartitionByRange`` SAMPLES the sort key to pick N−1
+    balanced split points (one pass over a reservoir sample, not the
+    data), then each output file sorts locally — a total order without
+    any single-node global sort. File k's max ≤ file k+1's min
+    (asserted file-by-file from real footer boundaries in
+    tests/test_units.py), so parquet row-group pruning composes with
+    file pruning. The ties-broken key makes the file boundaries
+    deterministic GIVEN the sampled splits; content (the oracle's
+    concern) is an identity regardless. At 100 TB the same write runs
+    per day-partition, giving day-dir pruning above file pruning.
+    """
+    out = _fmt_dir("lineitem_sorted")
+    cols = ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"]
+    src = load(spark, sf_dir, "lineitem").select(*cols)
+    key = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    (
+        src.repartitionByRange(SORTED_SINK_FILES, *key)
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(*cols)

@@ -925,3 +925,33 @@ def test_q21_plans_semi_and_anti_joins_with_topk(spark, sf_dir):
     assert "LeftAnti" in plan, "NOT EXISTS did not compile to a left-anti join"
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan, "top-100 should be a per-partition heap"
+
+
+def test_sorted_sink_plans_range_partitioning(spark, sf_dir):
+    """The total-order write must partition by RANGE on the sort key —
+    a hash exchange would destroy cross-file ordering, a coalesce(1)
+    global sort would serialize on one core."""
+    from cpt_database_sync_spark.sources.formats import SORTED_SINK_FILES
+    from cpt_database_sync_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    key = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    staged = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .repartitionByRange(SORTED_SINK_FILES, *key)
+        .sortWithinPartitions(*key)
+    )
+    plan = plan_string(staged)
+    assert "rangepartitioning" in plan.lower(), (
+        f"expected a range exchange in the staged write plan:\n{plan}"
+    )
+    assert "Sort" in plan, "expected the within-partition sort"
+
+
+def test_skew_profile_topk_is_heap_not_global_sort(spark, sf_dir):
+    from cpt_database_sync_spark.operators.stats import data_skew_profile
+
+    plan = plan_string(data_skew_profile(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-K should be per-partition heaps"
+    assert "partial_count" in plan, "per-key counts should map-side combine"

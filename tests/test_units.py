@@ -899,3 +899,48 @@ def test_observation_metrics_ride_the_same_pass(spark, sf_dir):
     assert got["sum_price"] == direct["sum_price"]
     assert got["max_date"] == direct["max_date"]
     assert written <= got["n_rows"]
+
+
+def test_sorted_sink_files_cover_disjoint_key_ranges(spark, sf_dir):
+    """sink_sorted_global's contract is the LAYOUT, which the identity
+    oracle can't see: every output file must cover a key range disjoint
+    from every other's (that's what lets a range predicate open only the
+    files whose footer [min,max] overlap), and rows inside each file
+    must be sorted. Verified from the real parquet footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.sources.formats import (
+        _fmt_dir,
+        sink_sorted_global,
+    )
+
+    sink_sorted_global(spark, sf_dir).count()
+    files = sorted(glob.glob(_fmt_dir("lineitem_sorted") + "/part-*.parquet"))
+    assert len(files) >= 2, "need multiple files to test range disjointness"
+    bounds = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ix = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = min(
+            md.row_group(g).column(ix["l_shipdate"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(ix["l_shipdate"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        bounds.append((lo, hi, f))
+    bounds.sort()
+    for (_, hi_prev, f_prev), (lo_next, _, f_next) in zip(bounds, bounds[1:]):
+        assert hi_prev <= lo_next, (
+            f"file ranges overlap: {f_prev} max={hi_prev} vs {f_next} min={lo_next}"
+        )
+    # within-file order: each file's rows are sorted by the key
+    import pandas as pd
+
+    for f in files[:3]:
+        df = pq.read_table(f, columns=["l_shipdate", "l_orderkey"]).to_pandas()
+        key = list(zip(df["l_shipdate"], df["l_orderkey"]))
+        assert key == sorted(key), f"rows inside {f} are not sorted"
