@@ -120,6 +120,9 @@ HEADLINE = [
     "url_normalize",
     "data_skew_profile",
     "sink_sorted_global",
+    "stream_sessionize_stateful",
+    "join_partition_pruned",
+    "gapfill_interpolate",
 ]
 
 

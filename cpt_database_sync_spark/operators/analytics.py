@@ -1452,3 +1452,106 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both").cast("double") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+@register(
+    "gapfill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(min(day), max(day),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily GROUP BY user_id
+    ),
+    j AS (
+      SELECT c.user_id, c.day, d.v
+      FROM cal c LEFT JOIN daily d USING (user_id, day)
+    ),
+    brk AS (
+      SELECT user_id, day, v,
+        CAST(last_value(v IGNORE NULLS) OVER wb AS DOUBLE) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wb AS pd,
+        CAST(first_value(v IGNORE NULLS) OVER wf AS DOUBLE) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wf AS nd
+      FROM j
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                ELSE pv + (nv - pv)
+                     * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+           END AS value_interp,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM brk
+    """,
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation gap fill — gapfill_daily's LOCF sibling for
+    quantities that drift rather than hold (sensor readings, balances):
+    a missing day takes pv + (nv − pv) · (d − pd)/(nd − pd) between its
+    bracketing observations. Same densify-then-window physics (calendar
+    explode proportional to span, ONE user-keyed shuffle feeding both
+    frame directions over one sort); the backward frame carries the
+    last observed (value, day), the forward frame the next.
+
+    Exactness: daily sums stay decimal until ONE cast to double; the
+    day fractions are exact-integer divisions; the interpolation
+    expression tree is written IDENTICALLY on both engines, so every
+    IEEE step is the same operation on the same bits — deterministic
+    without any rounding tolerance. Observed days short-circuit to
+    their own value (the gap formula would hit 0/0 at d = pd = nd);
+    interior gaps always have both neighbors because the calendar spans
+    exactly [first, last] observed day.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    brk = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last(F.col("v"), ignorenulls=True).over(wb).cast("double").alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first(F.col("v"), ignorenulls=True).over(wf).cast("double").alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    return brk.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value_interp"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )

@@ -416,3 +416,28 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+_LIMIT_OFFSET_SQL = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+"""
+
+
+@register("sql_limit_offset", oracle=_LIMIT_OFFSET_SQL)
+def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination — ORDER BY … LIMIT k OFFSET n — through
+    the SQL front-end (one dialect-portable string, the sql_frontend
+    discipline). The engine must fetch the top n+k rows and drop the
+    first n; Spark plans TakeOrderedAndProject with an offset (per-
+    partition heaps of n+k, never a global sort), so page-depth cost
+    grows with n — the docstring's warning to users: deep pagination at
+    100 TB should switch to keyset pagination (WHERE (price, key) <
+    last-seen — an indexable/pushable predicate), this operator is the
+    bounded-depth report-page shape. The (price, key) tie-break makes
+    the page cut total, hence deterministic cross-engine.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LIMIT_OFFSET_SQL)

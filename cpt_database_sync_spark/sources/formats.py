@@ -659,3 +659,71 @@ def sink_sorted_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select(*cols)
+
+
+@register(
+    "join_partition_pruned",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS DOUBLE) AS revenue
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) >= 2000
+    GROUP BY EXTRACT(YEAR FROM o_orderdate)
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven cousin of
+    sink_partitioned's static pruning: the fact is laid out in year
+    partitions, the filter lives on a DIMENSION table (is_recent), and
+    the years to scan are only known after the dim filter runs. Spark
+    plants the dim's build side as a runtime subquery INSIDE the fact
+    scan's PartitionFilters (``dynamicpruning#``, gated in
+    tests/test_plans.py), so the join reads two year-directories instead
+    of seven — at 100 TB with day partitions and a "current campaign"
+    dim this is the difference between scanning 36 TB and 50 GB.
+
+    Both tables are materialized to parquet first (DPP needs real
+    file-source partitions on the probe side and a filterable build
+    side); the dim derives from the fact's own year spine, labeled
+    era = 'current' for year ≥ 2000. The dim filter is a COMPARISON
+    (era = 'current'), deliberately: Spark's PartitionPruning rule
+    gates on ``isLikelySelective``, which recognizes comparisons/IN/
+    LIKE but NOT a bare boolean column — `filter(col("is_recent"))`
+    silently never prunes (measured here; the gate would catch a
+    regression either way). The oracle collapses the join+label to the
+    equivalent single-table predicate.
+    """
+    fact_dir = _fmt_dir("orders_by_year")
+    dim_dir = _fmt_dir("year_dim")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(fact_dir)
+    (
+        orders.select("o_year")
+        .distinct()
+        .withColumn(
+            "era",
+            F.when(F.col("o_year") >= 2000, F.lit("current")).otherwise(
+                F.lit("archive")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("era") == "current")
+    return (
+        fact.join(dim, "o_year")
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

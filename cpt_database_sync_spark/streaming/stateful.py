@@ -194,3 +194,112 @@ def stream_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(folded, "append")
+
+
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+# state: the user's one OPEN session (start_us, last_us, n)
+_SESS_STATE_SCHEMA = "s bigint, l bigint, n bigint"
+
+
+def _session_closer(gap_us: int):
+    def close_sessions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s0, l0, n0 = state.get
+        else:
+            s0, l0, n0 = None, None, 0
+        out_s, out_e, out_n = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = int(ts.value // 1000)  # ns → µs, exact
+                if s0 is None:
+                    s0, l0, n0 = us, us, 1
+                elif us - l0 > gap_us:
+                    out_s.append(s0)
+                    out_e.append(l0)
+                    out_n.append(n0)
+                    s0, l0, n0 = us, us, 1
+                else:
+                    l0, n0 = us, n0 + 1
+        state.update((s0, l0, n0))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(out_s), dtype="int64"),
+                "session_start": pd.to_datetime(pd.Series(out_s), unit="us"),
+                "session_end": pd.to_datetime(pd.Series(out_e), unit="us"),
+                "n_events": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return close_sessions
+
+
+from cpt_database_sync_spark.operators.analytics import SESSION_GAP_MIN
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_num
+      FROM marked
+    ),
+    rolled AS (
+      SELECT user_id, sess_num,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(sess_num) OVER (PARTITION BY user_id) AS mx
+      FROM sessions
+      GROUP BY user_id, sess_num
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM rolled WHERE sess_num < mx
+    """,
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-DRIVEN session closing through custom state — the
+    applyInPandasWithState pattern production sessionizers actually
+    deploy: each user's state holds exactly ONE open session; an
+    arriving event either extends it or (idle gap exceeded) EMITS the
+    closed session and opens the next. Emission is driven purely by the
+    data, which gives the operator a property the window/timeout forms
+    lack: the output is identical under ANY chronological micro-batch
+    split (a session spanning a batch boundary just stays in state), so
+    the one-shot fixture run and a live deployment produce the same
+    rows — no complete-mode re-emission, no end-of-stream flush
+    dependency. The user's LAST session never gains a successor and is
+    deliberately never emitted (it is still open); the oracle is batch
+    sessionization (the `sessionize` CTE chain) minus each user's final
+    session.
+
+    Scale: state is one (start, last, n) triple per user — O(users),
+    watermark-evictable on an unbounded source by adding an
+    EventTimeTimeout that force-closes idle sessions; per-batch work is
+    linear in that batch's rows after the per-user sort. Same µs-exact
+    integer time arithmetic as the batch sessionize (> gap strictly),
+    so the session cuts are bit-identical.
+    """
+    ev = events_stream(spark, sf_dir).select("user_id", "event_id", "ts")
+    closed = ev.groupBy("user_id").applyInPandasWithState(
+        _session_closer(SESSION_GAP_MIN * 60 * 1_000_000),
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(closed, "append")

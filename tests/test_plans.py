@@ -955,3 +955,15 @@ def test_skew_profile_topk_is_heap_not_global_sort(spark, sf_dir):
     plan = plan_string(data_skew_profile(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "top-K should be per-partition heaps"
     assert "partial_count" in plan, "per-key counts should map-side combine"
+
+
+def test_partition_pruned_join_plans_dynamic_pruning(spark, sf_dir):
+    """The year filter lives on the dim side; the fact scan must carry a
+    dynamicpruning subquery in its PartitionFilters — without it the
+    join reads every year directory and DPP regressed."""
+    from cpt_database_sync_spark.sources.formats import join_partition_pruned
+
+    plan = plan_string(join_partition_pruned(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), (
+        f"expected runtime partition pruning on the fact scan:\n{plan}"
+    )
