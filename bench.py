@@ -123,6 +123,8 @@ HEADLINE = [
     "stream_sessionize_stateful",
     "join_partition_pruned",
     "gapfill_interpolate",
+    "join_size_estimate",
+    "drift_psi",
 ]
 
 

@@ -1025,3 +1025,204 @@ def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt").cast("double") / F.col("n")).alias("share"),
         (F.sum("cnt").over(w).cast("double") / F.col("n")).alias("cum_share"),
     )
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH ol AS (
+      SELECT 'orders_lineitem' AS join_name,
+             (SELECT COUNT(*) FROM orders) AS n_left,
+             (SELECT COUNT(*) FROM lineitem) AS n_right,
+             SUM(a.ca * b.cb) AS est_out_rows,
+             MAX(a.ca * b.cb) AS max_key_rows
+      FROM (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+      JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+        USING (k)
+    ),
+    ev AS (
+      SELECT 'events_self_user' AS join_name,
+             (SELECT COUNT(*) FROM events) AS n_left,
+             (SELECT COUNT(*) FROM events) AS n_right,
+             SUM(c * c) AS est_out_rows,
+             MAX(c * c) AS max_key_rows
+      FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+    ),
+    li AS (
+      SELECT 'lineitem_self_part' AS join_name,
+             (SELECT COUNT(*) FROM lineitem) AS n_left,
+             (SELECT COUNT(*) FROM lineitem) AS n_right,
+             SUM(c * c) AS est_out_rows,
+             MAX(c * c) AS max_key_rows
+      FROM (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+    )
+    SELECT join_name, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(est_out_rows AS BIGINT) AS est_out_rows,
+           CAST(max_key_rows AS BIGINT) AS max_key_rows
+    FROM (SELECT * FROM ol UNION ALL SELECT * FROM ev
+          UNION ALL SELECT * FROM li)
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic join-cardinality prediction — |A ⋈ B| = Σ_k cA(k)·cB(k)
+    computed from per-key histograms WITHOUT running the join. The
+    pre-flight check before any fact-to-fact or self-join: est_out_rows
+    says whether the join explodes (the two self-joins here are the
+    dedup-candidate and pair-counting shapes whose blowup this repo's
+    blocking/banding exists to avoid), and max_key_rows is the single
+    hottest key's output — the number that decides salting
+    (data_skew_profile's companion: that ranks input skew, this ranks
+    OUTPUT skew, and a modest input key can still dominate the output
+    since contributions square).
+
+    This is exactly the estimate a cost-based optimizer computes from
+    column histograms; materialized as an operator it costs one
+    map-side-combined count per side plus a |distinct keys| histogram
+    join — at 100 TB that is the difference between predicting a 10¹⁴-
+    row disaster and materializing it. Exact integer arithmetic end to
+    end (for equi-joins on these histograms the 'estimate' is exact,
+    asserted against the real join count in tests/test_units.py).
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def hist(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def estimate(name: str, ha: DataFrame, hb: DataFrame, nl, nr) -> DataFrame:
+        prod = ha.withColumnRenamed("c", "ca").join(
+            hb.withColumnRenamed("c", "cb"), "k"
+        )
+        return (
+            prod.agg(
+                F.sum(F.col("ca") * F.col("cb")).alias("est_out_rows"),
+                F.max(F.col("ca") * F.col("cb")).alias("max_key_rows"),
+            )
+            .withColumn("join_name", F.lit(name))
+            .withColumn("n_left", F.lit(nl).cast("bigint"))
+            .withColumn("n_right", F.lit(nr).cast("bigint"))
+            .select(
+                "join_name", "n_left", "n_right", "est_out_rows", "max_key_rows"
+            )
+        )
+
+    n_o, n_l, n_e = orders.count(), li.count(), ev.count()
+    h_ev = hist(ev, "user_id")
+    h_lp = hist(li, "l_partkey")
+    return (
+        estimate("orders_lineitem", hist(orders, "o_orderkey"),
+                 hist(li, "l_orderkey"), n_o, n_l)
+        .unionByName(estimate("events_self_user", h_ev, h_ev, n_e, n_e))
+        .unionByName(estimate("lineitem_self_part", h_lp, h_lp, n_l, n_l))
+    )
+
+
+PSI_BINS = 10
+PSI_BIN_WIDTH = 50  # calibrated for events.value ∈ [0, 500)
+PSI_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _psi_oracle() -> str:
+    """Build the PSI oracle from the same loop that builds the Spark
+    expressions — the symmetry IS the correctness argument: every
+    conditional count, smoothed share, and ln term is the same
+    expression tree on both engines."""
+    bin_expr = "CAST(least(floor(value / 50), 9) AS INT)"
+    cas = ",\n        ".join(
+        f"SUM(CASE WHEN ts < TIMESTAMP '{PSI_CUTOFF}'"
+        f" AND {bin_expr} = {i} THEN 1 ELSE 0 END) AS ca{i}"
+        for i in range(PSI_BINS)
+    )
+    cbs = ",\n        ".join(
+        f"SUM(CASE WHEN ts >= TIMESTAMP '{PSI_CUTOFF}'"
+        f" AND {bin_expr} = {i} THEN 1 ELSE 0 END) AS cb{i}"
+        for i in range(PSI_BINS)
+    )
+    terms = " + ".join(
+        f"((CAST(ca{i} + 1 AS DOUBLE) / CAST(na + {PSI_BINS} AS DOUBLE)"
+        f" - CAST(cb{i} + 1 AS DOUBLE) / CAST(nb + {PSI_BINS} AS DOUBLE))"
+        f" * ln((CAST(ca{i} + 1 AS DOUBLE) / CAST(na + {PSI_BINS} AS DOUBLE))"
+        f" / (CAST(cb{i} + 1 AS DOUBLE) / CAST(nb + {PSI_BINS} AS DOUBLE))))"
+        for i in range(PSI_BINS)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT event_type,
+        {cas},
+        {cbs},
+        SUM(CASE WHEN ts < TIMESTAMP '{PSI_CUTOFF}' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN ts >= TIMESTAMP '{PSI_CUTOFF}' THEN 1 ELSE 0 END) AS nb
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(na AS BIGINT) AS n_before,
+           CAST(nb AS BIGINT) AS n_after,
+           round({terms}, 9) AS psi
+    FROM counts
+    """
+
+
+@register("drift_psi", oracle=_psi_oracle())
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    value distribution, before vs after a cutoff, per event type —
+    PSI = Σ_bins (p_before − p_after)·ln(p_before/p_after). The number a
+    training-data pipeline watches per ingestion batch (rule of thumb:
+    <0.1 stable, >0.25 investigate) — snapshot_diff tells you WHICH rows
+    changed; this tells you whether the DISTRIBUTION moved.
+
+    Determinism engineering: (1) bins are PINNED calibration constants
+    (width 50 over [0,500)) — the production posture the histogram
+    family documents, and zero extra scans; (2) Laplace-smoothed shares
+    (c+1)/(n+B) keep empty bins finite and are exact-integer divisions —
+    one correctly-rounded IEEE step each; (3) the 10 terms are summed as
+    ONE explicit left-associated expression, not a float aggregation —
+    float addition isn't associative, so an agg-based sum would be
+    partition-order-dependent; a fixed expression tree pins the float
+    ops — but ln() itself differs by 1 ulp between the JVM's and
+    DuckDB's libm on some inputs (measured here), so psi carries the
+    round(9) contract anomaly_zscore established for transcendental
+    outputs; the inputs to every ln are still bit-identical. ONE aggregation
+    pass computes all 22 conditional counts map-side-combined; the
+    shuffle carries |event_types| rows. The oracle SQL is GENERATED from
+    the same loop as the Spark expressions — symmetry by construction.
+    """
+    from functools import reduce  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(9)).cast(
+        "int"
+    )
+    before = F.col("ts") < PSI_CUTOFF
+    after = F.col("ts") >= PSI_CUTOFF
+    aggs = []
+    for i in range(PSI_BINS):
+        aggs.append(
+            F.sum(F.when(before & (bin_col == i), 1).otherwise(0)).alias(f"ca{i}")
+        )
+        aggs.append(
+            F.sum(F.when(after & (bin_col == i), 1).otherwise(0)).alias(f"cb{i}")
+        )
+    aggs.append(F.sum(before.cast("int")).alias("na"))
+    aggs.append(F.sum(after.cast("int")).alias("nb"))
+    counts = ev.groupBy("event_type").agg(*aggs)
+
+    def share(c: str, n: str):
+        return (F.col(c) + 1).cast("double") / (F.col(n) + PSI_BINS).cast(
+            "double"
+        )
+
+    terms = [
+        (share(f"ca{i}", "na") - share(f"cb{i}", "nb"))
+        * F.log(share(f"ca{i}", "na") / share(f"cb{i}", "nb"))
+        for i in range(PSI_BINS)
+    ]
+    return counts.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_before"),
+        F.col("nb").cast("bigint").alias("n_after"),
+        F.round(reduce(lambda a, b: a + b, terms), 9).alias("psi"),
+    )

@@ -944,3 +944,22 @@ def test_sorted_sink_files_cover_disjoint_key_ranges(spark, sf_dir):
         df = pq.read_table(f, columns=["l_shipdate", "l_orderkey"]).to_pandas()
         key = list(zip(df["l_shipdate"], df["l_orderkey"]))
         assert key == sorted(key), f"rows inside {f} are not sorted"
+
+
+def test_join_size_estimate_is_exact_for_equijoins(spark, sf_dir):
+    """For an equi-join the histogram 'estimate' Σ ca·cb is not an
+    estimate at all — it must equal the materialized join's row count."""
+    from cpt_database_sync_spark.operators.stats import join_size_estimate
+    from cpt_database_sync_spark.sources.tables import load
+
+    est = {
+        r["join_name"]: r["est_out_rows"]
+        for r in join_size_estimate(spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert est["orders_lineitem"] == actual
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    actual_self = ev.alias("a").join(ev.alias("b"), "user_id").count()
+    assert est["events_self_user"] == actual_self
