@@ -125,6 +125,7 @@ HEADLINE = [
     "gapfill_interpolate",
     "join_size_estimate",
     "drift_psi",
+    "funnel_latency",
 ]
 
 

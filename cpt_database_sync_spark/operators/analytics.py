@@ -1555,3 +1555,80 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("v").isNull().cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "funnel_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             epoch_us(MIN(e.ts)) - epoch_us(MIN(f.fv)) AS lat_us
+      FROM firsts f
+      JOIN events e ON e.user_id = f.user_id
+                   AND e.event_type = 'purchase'
+                   AND e.ts >= f.fv
+      GROUP BY f.user_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(fv) AS BIGINT) FROM firsts) AS n_viewed,
+      CAST(COUNT(*) AS BIGINT) AS n_converted,
+      CAST(COUNT(*) AS DOUBLE)
+        / (SELECT COUNT(fv) FROM firsts) AS conv_rate,
+      quantile_cont(lat_us, 0.5) / 1e6 AS p50_latency_s,
+      quantile_cont(lat_us, 0.9) / 1e6 AS p90_latency_s
+    FROM conv
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert — the metric `funnel` (stage counts) doesn't
+    answer: among users whose first 'view' was eventually followed by a
+    'purchase', how LONG did conversion take (p50/p90)? Product teams
+    watch the latency shift, not just the rate.
+
+    Semantics: first view per user, then the first purchase AT-OR-AFTER
+    it (a purchase before any view is not a conversion); latency in
+    exact integer microseconds. Physics: one user-keyed aggregation for
+    first views, one purchase-filtered join back on the SAME key (the
+    shuffle is reused), and a single-row rollup — the percentile is the
+    exact order-statistic interpolation over |converted| integers
+    (agg_percentile's bit-parity precedent: F.percentile ≡
+    quantile_cont), divided by 1e6 AFTER interpolation so both engines
+    run the identical IEEE steps. At 100 TB the exact percentile over
+    per-user latencies is |users|-sized — fine; raw-event-sized inputs
+    would switch to the mergeable histogram family.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.min("fv"))
+            ).alias("lat_us")
+        )
+    )
+    viewed = firsts.agg(F.count("fv").alias("n_viewed"))
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("lat_us", 0.5).alias("p50_us"),
+        F.percentile("lat_us", 0.9).alias("p90_us"),
+    )
+    return stats.crossJoin(F.broadcast(viewed)).select(
+        F.col("n_viewed").cast("bigint").alias("n_viewed"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        (F.col("n_converted").cast("double") / F.col("n_viewed")).alias(
+            "conv_rate"
+        ),
+        (F.col("p50_us") / F.lit(1e6)).alias("p50_latency_s"),
+        (F.col("p90_us") / F.lit(1e6)).alias("p90_latency_s"),
+    )
