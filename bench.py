@@ -126,6 +126,8 @@ HEADLINE = [
     "join_size_estimate",
     "drift_psi",
     "funnel_latency",
+    "running_balance_clamped",
+    "udf_scalar_iter",
 ]
 
 

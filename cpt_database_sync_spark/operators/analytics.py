@@ -1632,3 +1632,61 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p50_us") / F.lit(1e6)).alias("p50_latency_s"),
         (F.col("p90_us") / F.lit(1e6)).alias("p90_latency_s"),
     )
+
+
+@register(
+    "running_balance_clamped",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CAST(CASE WHEN event_type = 'purchase' THEN -value
+                       WHEN event_type IN ('view', 'signup') THEN value
+                       ELSE 0 END AS DOUBLE) AS delta
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+                          list(delta ORDER BY ts, event_id)),
+             (acc, x) -> greatest(acc + x, CAST(0 AS DOUBLE))
+           ) AS final_balance
+    FROM deltas
+    GROUP BY user_id
+    """,
+)
+def running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance — credits accrue (view/signup) and spend
+    (purchase) but the balance NEVER goes below zero. This is the class
+    of computation window functions cannot express at all: the clamp
+    makes each step depend on the clamped PREVIOUS step (max(acc+x, 0)
+    is not associative, has no prefix-sum decomposition), so it must run
+    as an ordered per-key FOLD. Here the fold is a JVM-side higher-order
+    ``aggregate`` over the user's (ts, event_id)-sorted deltas — the
+    same expression DuckDB runs as list_reduce, so the oracle replays
+    the identical IEEE sequence (sequential order fixed ⇒ bit-equal
+    without any decimal lane).
+
+    Scale: one user-keyed shuffle; the per-user array is that user's
+    event count — fine for clickstream cardinalities (10³-ish rows/key).
+    For keys with millions of rows the same fold runs incrementally as
+    stateful streaming (stream_sessionize_stateful's shape: the clamped
+    balance is one state value, folding each micro-batch in order) —
+    the array form IS the batch/backfill path.
+    """
+    ev = load(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .when(F.col("event_type").isin("view", "signup"), F.col("value"))
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+    rows = ev.select("user_id", F.struct("ts", "event_id", delta.alias("d")).alias("r"))
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(r)), s -> s.d),"
+            " cast(0.0 as double),"
+            " (acc, x) -> greatest(acc + x, cast(0.0 as double)))"
+        ).alias("final_balance"),
+    )

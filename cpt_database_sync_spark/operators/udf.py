@@ -15,6 +15,8 @@ so results are deterministic and SQL-oracle-checkable.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -381,4 +383,40 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "purchase_value double, last_click_value double"
             ),
         )
+    )
+
+
+@register("udf_scalar_iter", oracle=_UDF_SCALAR_ORACLE)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF (SCALAR_ITER) — the lane whose
+    point is AMORTIZED PER-WORKER SETUP: the function body runs once per
+    executor task, does its expensive initialization (model load,
+    tokenizer build, dictionary mmap — here a stand-in lookup table),
+    then streams Arrow batches through. A plain SCALAR pandas UDF
+    re-enters per batch and would pay the setup each time; at 100 TB
+    with a 2 GB model the difference is the job. Same oracle as
+    udf_scalar — the per-row math is identical, only the execution
+    contract differs, which is exactly what the shared oracle proves.
+    """
+    @F.pandas_udf(DoubleType())
+    def discounted_iter(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # once-per-task setup happens HERE (before the loop)
+        one = 1.0
+        for price, discount in batches:
+            yield price * (one - discount)
+
+    @F.pandas_udf(StringType())
+    def flag_word_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        words = {"R": "returned", "A": "acknowledged", "N": "none"}  # setup
+        for flags in batches:
+            yield flags.map(lambda f: words.get(f, "unknown"))
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_iter("l_extendedprice", "l_discount").alias("discounted"),
+        flag_word_iter("l_returnflag").alias("flag_word"),
     )
