@@ -128,6 +128,8 @@ HEADLINE = [
     "funnel_latency",
     "running_balance_clamped",
     "udf_scalar_iter",
+    "kanonymity_check",
+    "attribution_linear",
 ]
 
 

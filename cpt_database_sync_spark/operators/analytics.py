@@ -1690,3 +1690,85 @@ def running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> greatest(acc + x, cast(0.0 as double)))"
         ).alias("final_balance"),
     )
+
+
+ATTRIB_WINDOW_DAYS = 7
+
+
+@register(
+    "attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT
+      p.event_id,
+      p.value,
+      CAST(COUNT(t.ts) AS BIGINT) AS n_touches,
+      CAST(COUNT(CASE WHEN t.event_type = 'view' THEN 1 END) AS BIGINT)
+        AS n_views,
+      CAST(COUNT(CASE WHEN t.event_type = 'click' THEN 1 END) AS BIGINT)
+        AS n_clicks,
+      CASE WHEN COUNT(t.ts) > 0
+           THEN p.value / COUNT(t.ts) END AS credit_per_touch
+    FROM purchases p
+    LEFT JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.ts <  p.ts
+     AND t.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+    GROUP BY p.event_id, p.value
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) marketing attribution: each purchase splits
+    its value evenly across the user's view/click touches in the
+    preceding {7}-day window. Emitted PER PURCHASE (touch counts by type
+    + credit-per-touch) rather than pre-aggregated — deliberately: the
+    per-purchase credit is ONE exact IEEE division, while summing
+    float credits across purchases is summation-order-dependent; a
+    consumer who wants channel totals re-aggregates at report scale
+    (or swaps in the decimal lane). Purchases with no touches surface
+    with NULL credit — the unattributable revenue a report must not
+    silently drop (hence LEFT join, the Q13 outer-join-before-agg
+    lesson).
+
+    Physics: a user-keyed join with a time-RANGE residual — the
+    bounded-lookback shape shared with join_asof_tolerance; both sides
+    shuffle once on user_id and the window condition filters in the
+    join. At 100 TB, day-bucket both sides (join_interval's grid) so
+    the range condition becomes an equi-join on (user, day-bucket)
+    with a ±1-bucket union.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    window_us = ATTRIB_WINDOW_DAYS * 86400 * 1_000_000
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (
+            F.unix_micros("t_ts")
+            >= F.unix_micros("ts") - F.lit(window_us)
+        ),
+        "left",
+    )
+    return joined.groupBy("event_id", "value").agg(
+        F.count("t_ts").alias("n_touches"),
+        F.count(F.when(F.col("t_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(F.col("t_type") == "click", 1)).alias("n_clicks"),
+        F.when(
+            F.count("t_ts") > 0, F.col("value") / F.count("t_ts")
+        ).alias("credit_per_touch"),
+    )

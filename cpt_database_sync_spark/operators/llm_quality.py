@@ -362,3 +362,58 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.size(F.split("nt", " ")).alias("n_tokens")
         )
     )
+
+
+K_ANON_THRESHOLD = 10
+
+
+@register(
+    "kanonymity_check",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(MIN(n) AS BIGINT) AS k_anonymity,
+      CAST(SUM(CASE WHEN n < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_violating_groups,
+      CAST(SUM(CASE WHEN n < {K_ANON_THRESHOLD} THEN n ELSE 0 END) AS DOUBLE)
+        / SUM(n) AS pct_rows_at_risk
+    FROM g
+    """,
+)
+def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs BEFORE shipping: if any (nationkey,
+    mktsegment) combination matches fewer than k individuals, those rows
+    are re-identifiable by joining public attributes, and the dataset's
+    k-anonymity level is that minimum group size. Reports the level, the
+    violating-group count, and the fraction of rows at risk — the
+    numbers that decide between suppression (drop rare groups, the
+    pii_scrub companion) and generalization (coarsen a column, e.g.
+    nationkey → regionkey, then re-run this check).
+
+    Physics: one map-side-combined count over the QI tuple, then a
+    one-row rollup over |groups| — the cheapest possible audit at any
+    scale; the at-risk fraction divides exact BIGINTs once. The QI
+    tuple is a parameter in production; the fixture pair is chosen so
+    both arms (safe and violating groups) are populated.
+    """
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    viol = F.col("n") < K_ANON_THRESHOLD
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.sum(viol.cast("int")).cast("bigint").alias("n_violating_groups"),
+        (
+            F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n")
+        ).alias("pct_rows_at_risk"),
+    )
