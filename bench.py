@@ -130,6 +130,7 @@ HEADLINE = [
     "udf_scalar_iter",
     "kanonymity_check",
     "attribution_linear",
+    "set_ops_all",
 ]
 
 

@@ -935,3 +935,53 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("revenue"),
     )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT s_nationkey AS nationkey FROM supplier)
+    SELECT 'intersect_all' AS op, nationkey
+    FROM (SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey
+    FROM (SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'union_all' AS op, nationkey
+    FROM (SELECT nationkey FROM cn UNION ALL SELECT nationkey FROM sn)
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — set_ops' ALL counterparts, which
+    are different operators, not a flag: INTERSECT ALL keeps
+    min(multiplicity) copies per value, EXCEPT ALL subtracts
+    multiplicities (a value with 30 customer rows and 4 supplier rows
+    survives 26 times), UNION ALL concatenates without the distinct
+    shuffle. The multiplicity arithmetic is what audits need (how many
+    MORE rows does A have than B per key) where the DISTINCT forms only
+    answer membership.
+
+    Physics: Spark plans intersectAll/exceptAll as a count-aggregate per
+    side + a generate/replicate of min/difference counts — one shuffle
+    per side on the value, never a row-by-row anti-join; UNION ALL is a
+    pure concatenation (zero shuffle — the reason it, not UNION, is the
+    default glue everywhere else in this repo).
+    """
+    cn = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sn = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tagged = [
+        cn.intersectAll(sn).select(
+            F.lit("intersect_all").alias("op"), "nationkey"
+        ),
+        cn.exceptAll(sn).select(F.lit("except_all").alias("op"), "nationkey"),
+        cn.union(sn).select(F.lit("union_all").alias("op"), "nationkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out

@@ -347,29 +347,54 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
+    # The click side carries DISTINCT column names (c_*): both sides
+    # descend from the same scan, and with identical names/attribute ids
+    # Spark's CoGroup planning collapsed the right-side projection to the
+    # key column alone at sf0.1 (worker frames arrived as ['user_id']) —
+    # renaming gives the right side its own attributes and is also the
+    # honest schema for a two-input operator.
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
+        F.col("event_id").alias("c_event_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
     )
 
     def asof_merge(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+        # Either side can arrive EMPTY — and an empty cogroup frame may
+        # carry no columns at all (observed at sf0.1: a purchase-only
+        # user's click frame has no 'ts' to sort on), so both degenerate
+        # branches run before any column access, with explicit dtypes.
         if purch.empty:
             return pd.DataFrame(
-                columns=["event_id", "user_id", "purchase_value", "last_click_value"]
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_value": pd.Series(dtype="float64"),
+                    "last_click_value": pd.Series(dtype="float64"),
+                }
             )
         purch = purch.sort_values("ts", kind="mergesort")
-        clk = clk.sort_values(["ts", "event_id"], kind="mergesort")
-        merged = pd.merge_asof(
-            purch,
-            clk[["ts", "value"]].rename(columns={"value": "last_click_value"}),
-            on="ts",
-            direction="backward",
-        )
+        if len(clk):
+            clk = clk.sort_values(["c_ts", "c_event_id"], kind="mergesort")
+            merged = pd.merge_asof(
+                purch,
+                clk[["c_ts", "c_value"]].rename(
+                    columns={"c_ts": "ts", "c_value": "last_click_value"}
+                ),
+                on="ts",
+                direction="backward",
+            )
+            last_click = merged["last_click_value"]
+        else:
+            merged = purch
+            last_click = pd.Series([float("nan")] * len(purch), dtype="float64")
         return pd.DataFrame(
             {
-                "event_id": merged["event_id"],
-                "user_id": merged["user_id"],
-                "purchase_value": merged["value"],
-                "last_click_value": merged["last_click_value"],
+                "event_id": merged["event_id"].to_numpy(),
+                "user_id": merged["user_id"].to_numpy(),
+                "purchase_value": merged["value"].to_numpy(),
+                "last_click_value": last_click.to_numpy(),
             }
         )
 
