@@ -6,7 +6,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 The headline set covers every engine subsystem: scan/filter/agg (the
 reference's lineage), joins/windows/top-k (relational closure), streaming
-windows, and the LLM-data ops. Each query is fully materialized via a
+windows, and the LLM-data ops. Deliberately EXCLUDED: embedded-Derby sinks
+(stream_upsert, stream_cdc_deletes — they measure Derby's single-threaded
+MERGE, not the engine), the quadratic exact verifiers (dedup_ngram,
+text_containment — ground truth for the banded/blocked paths, not a
+production shape), and the Python-UDF API demos (udf_* — they measure the
+Arrow transfer lane the docstrings already cost out). Each query is fully materialized via a
 count() action (no driver-side row transfer inflating the numbers).
 """
 
@@ -113,10 +118,7 @@ HEADLINE = [
     "sql_tpch_q8",
     "sql_tpch_q17",
     "sql_tpch_q21",
-    "stream_cdc_deletes",
-    "udf_cogrouped",
     "agg_bitmap_overlap",
-    "text_containment",
     "url_normalize",
     "data_skew_profile",
     "sink_sorted_global",
@@ -127,7 +129,6 @@ HEADLINE = [
     "drift_psi",
     "funnel_latency",
     "running_balance_clamped",
-    "udf_scalar_iter",
     "kanonymity_check",
     "attribution_linear",
     "set_ops_all",

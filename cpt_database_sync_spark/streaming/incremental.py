@@ -295,6 +295,12 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     path has no per-row driver round-trips; checkpointed micro-batches
     keep replays idempotent (re-deleting is a no-op, re-upserting
     converges).
+
+    Bench note: like stream_upsert, this op is deliberately NOT a
+    headline bench query — the embedded Derby target applies the MERGE
+    row-at-a-time single-threaded (~9 min for ~90k merged rows at
+    sf0.1), which measures Derby, not the engine; the distributed side
+    (staged write, one statement per batch) is the part that scales.
     """
     from cpt_database_sync_spark.sources.sync import (  # noqa: PLC0415
         jdbc_cdc_batch,

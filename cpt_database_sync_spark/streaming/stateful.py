@@ -303,3 +303,100 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(closed, "append")
+
+
+_ASOF_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, purchase_value double, "
+    "last_click_value double"
+)
+# state: the user's most recent click in (ts, event_id) order
+_ASOF_STATE_SCHEMA = "l_us bigint, l_eid bigint, lv double"
+
+
+def _asof_joiner(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        l_us, l_eid, lv = state.get
+    else:
+        l_us, l_eid, lv = None, None, None
+    out_id, out_pv, out_cv = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for eid, ts, role, val in zip(
+            pdf["event_id"], pdf["ts"], pdf["role"], pdf["value"]
+        ):
+            if role == "c":
+                l_us = int(ts.value // 1000)
+                l_eid = int(eid)
+                lv = float(val)
+            else:
+                out_id.append(int(eid))
+                out_pv.append(float(val))
+                out_cv.append(lv)
+    state.update((l_us, l_eid, lv))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.Series(out_id, dtype="int64"),
+            "user_id": pd.Series([key[0]] * len(out_id), dtype="int64"),
+            "purchase_value": pd.Series(out_pv, dtype="float64"),
+            "last_click_value": pd.Series(out_cv, dtype="float64"),
+        }
+    )
+
+
+@register(
+    "stream_join_asof",
+    oracle="""
+    SELECT
+      p.event_id,
+      p.user_id,
+      CAST(p.value AS DOUBLE) AS purchase_value,
+      (SELECT c.value FROM events c
+       WHERE c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND (c.ts < p.ts
+              OR (c.ts = p.ts AND c.event_id < p.event_id))
+       ORDER BY c.ts DESC, c.event_id DESC
+       LIMIT 1) AS last_click_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of join through custom state — the third member of
+    the as-of trio (JVM union-trick batch form in operators/asof.py,
+    pandas cogroup form in udf_cogrouped): each user's state carries
+    only their MOST RECENT click; an arriving purchase is enriched from
+    state and emitted immediately. This is how an online feature store
+    serves "last touchpoint" features: O(1) state per key, no window
+    retention, no rescan of click history — the stream-stream interval
+    join (stream_join) keeps a watermark-buffered RANGE of both sides,
+    the as-of state keeps exactly one row.
+
+    The event order is defined as (ts, event_id) — total, so equal-
+    timestamp click/purchase pairs resolve identically in the fold and
+    in the oracle (written with the explicit tuple comparison, not
+    ts-only ≤) — and under that order the output is identical for ANY
+    chronological micro-batch split: a click crossing a batch boundary
+    is exactly what the state carries (the stream_sessionize_stateful
+    batch-invariance argument).
+    """
+    ev = events_stream(spark, sf_dir)
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit("c"))
+        .otherwise(F.lit("p"))
+        .alias("role"),
+        "value",
+    )
+    joined = both.groupBy("user_id").applyInPandasWithState(
+        _asof_joiner,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(joined, "append")
