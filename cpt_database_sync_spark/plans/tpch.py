@@ -559,10 +559,13 @@ sql_tpch_q20 = _sql_query(
     multiplication (supplier_sum × n_suppliers > total_sum) in exact
     BIGINT arithmetic — no division, no float threshold, identical cut
     at every SF on both engines. Optimizer checkpoints: the region IN
-    collapses to a broadcast semi-join; the `red` CTE is computed once
-    at |suppliers| grouped rows; the supplier IN becomes a semi-join on
-    that tiny set; the two global scalars broadcast. The supplier table
-    is never scanned per subquery evaluation.""",
+    collapses to a broadcast semi-join; the supplier IN becomes a
+    semi-join on a |suppliers|-sized set; the two global scalars
+    broadcast. Honest plan note: Spark INLINES the `red` CTE, so its
+    three references each re-scan lineitem⋈part (verified: 3 scans, no
+    ReusedExchange) — the filters still push into every expansion; at
+    100 TB you materialize `red` once (bounded_cache / a temp table,
+    the q15 remark) and the three consumers read |suppliers| rows.""",
 )
 
 
