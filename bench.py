@@ -132,6 +132,8 @@ HEADLINE = [
     "kanonymity_check",
     "attribution_linear",
     "set_ops_all",
+    "grouping_surface",
+    "datetime_surface",
 ]
 
 

@@ -292,3 +292,48 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.col("l_quantity").cast("bigint").cast("string").try_cast("int").alias("qty_as_int"),
     )
+
+
+@register(
+    "datetime_surface",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(EXTRACT(YEAR FROM ts) AS INT)    AS y,
+      CAST(EXTRACT(QUARTER FROM ts) AS INT) AS q,
+      CAST(EXTRACT(WEEK FROM ts) AS INT)    AS iso_week,
+      CAST(EXTRACT(DOY FROM ts) AS INT)     AS doy,
+      CAST(EXTRACT(ISODOW FROM ts) AS INT)  AS iso_dow,
+      CAST(EXTRACT(HOUR FROM ts) AS INT)    AS hr,
+      CAST(EXTRACT(MINUTE FROM ts) AS INT)  AS mi,
+      CAST(date_trunc('day', ts) AS DATE)   AS day
+    FROM events WHERE event_id <= 500
+    """,
+)
+def datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime field-extraction matrix, ALIGNED across engines — the
+    alignment is the content, because the defaults disagree: DuckDB's
+    EXTRACT(DOW) is 0=Sunday while Spark's dayofweek()/EXTRACT(DOW) is
+    1=Sunday (measured; the classic cross-system off-by-one that
+    corrupts every day-of-week rollup moved between engines). The
+    portable target is ISO numbering (1=Monday…7=Sunday): Spark
+    computes ((dayofweek+5) mod 7)+1, the oracle uses DuckDB's ISODOW —
+    same numbers, both engines. weekofyear/WEEK are both ISO weeks;
+    YEAR/QUARTER/DOY/HOUR/MINUTE agree natively. A pipeline that pins
+    THIS op's contract can swap engines under its calendar features.
+
+    Physics: pure map-side projection (all JVM datetime intrinsics,
+    codegen'd); the only cost is the scan.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofyear("ts").alias("doy"),
+        (((F.dayofweek("ts") + 5) % 7) + 1).alias("iso_dow"),
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )

@@ -985,3 +985,40 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+_GROUPING_SQL = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INT) AS is_total_flag,
+      CAST(GROUPING(l_linestatus) AS INT) AS is_total_status,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("grouping_surface", oracle=_GROUPING_SQL)
+def grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flag surface — the disambiguation half of grouping
+    sets that `grouping_sets`/`rollup_cube` don't expose: a NULL group
+    key is ambiguous (was the data NULL, or is this row a subtotal?),
+    and GROUPING(col) = 1 is the only portable way to tell. Consumers
+    pivot on the flags to route subtotal rows; BI layers generate
+    exactly this shape. One dialect-portable string is query AND oracle
+    (the sql_frontend discipline) — per-column GROUPING() flags rather
+    than Spark's packed grouping_id(), whose bit order is
+    engine-specific.
+
+    Physics: identical to rollup_cube — ONE scan, one Expand (4 set
+    replicas), one partial+final hash agg; the flags are computed from
+    the expand's internal grouping id, costing nothing extra. Integral
+    quantities keep sum_qty exact in BIGINT on both engines.
+    """
+    from cpt_database_sync_spark.plans.sqlfront import register_views  # noqa: PLC0415
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SQL)
