@@ -134,6 +134,7 @@ HEADLINE = [
     "set_ops_all",
     "grouping_surface",
     "datetime_surface",
+    "stream_drift_psi",
 ]
 
 

@@ -1209,6 +1209,15 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs.append(F.sum(before.cast("int")).alias("na"))
     aggs.append(F.sum(after.cast("int")).alias("nb"))
     counts = ev.groupBy("event_type").agg(*aggs)
+    return psi_finalize(counts)
+
+
+def psi_finalize(counts: DataFrame) -> DataFrame:
+    """PSI from a per-type row of ca0..ca9/cb0..cb9/na/nb counts — the
+    shared finalizer for the batch (drift_psi) and stream-maintained
+    (stream_drift_psi) count paths; same fixed expression tree, same
+    round(9) ln contract."""
+    from functools import reduce  # noqa: PLC0415
 
     def share(c: str, n: str):
         return (F.col(c) + 1).cast("double") / (F.col(n) + PSI_BINS).cast(

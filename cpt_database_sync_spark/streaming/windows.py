@@ -728,3 +728,75 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, ["day", "bucket"], "stream_distinct_users", {"day": 16}
     )
     return back.groupBy("day").agg(F.sum("cnt").cast("long").alias("n_users"))
+
+
+def _psi_oracle_text() -> str:
+    from cpt_database_sync_spark.operators.stats import _psi_oracle  # noqa: PLC0415
+
+    return _psi_oracle()
+
+
+@register("stream_drift_psi", oracle=_psi_oracle_text())
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring maintained BY THE STREAM — drift_psi's serving
+    twin, the stream_quantile_histogram pattern applied to the PSI
+    counts: the per-(type, phase, bin) counters are a streaming
+    aggregation in UPDATE mode, each micro-batch MERGEs only changed
+    counters into the keyed serving table (state per group = 2×BINS+2
+    integers, watermark-bounded), and the PSI expression runs as a
+    batch read over that tiny table — so "has the distribution moved"
+    is answerable continuously without rescanning history. Counts are
+    integers, so the stream-maintained path is EXACTLY the batch path's
+    input and the shared finalizer (psi_finalize: fixed expression
+    tree, round(9) ln contract) gives bit-identical psi — one oracle
+    for both (the stream_time_weighted batch≡stream discipline).
+    """
+    return stream_drift_psi_impl(spark, sf_dir)
+
+
+def stream_drift_psi_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpt_database_sync_spark.operators.stats import (  # noqa: PLC0415
+        PSI_BINS,
+        PSI_BIN_WIDTH,
+        PSI_CUTOFF,
+        psi_finalize,
+    )
+
+    bin_col = F.least(
+        F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1)
+    ).cast("int")
+    phase = F.when(F.col("ts") < PSI_CUTOFF, F.lit("a")).otherwise(F.lit("b"))
+    ev = events_stream(spark, sf_dir)
+    counts_stream = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("ts", "event_type", bin_col.alias("bin"), phase.alias("phase"))
+        .groupBy("event_type", "phase", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist, _ = serve_keyed_stream(
+        counts_stream,
+        ["event_type", "phase", "bin"],
+        "stream_psi_",
+        varchar_lengths={"event_type": 40, "phase": 1},
+    )
+    aggs = []
+    for i in range(PSI_BINS):
+        aggs.append(
+            F.sum(
+                F.when((F.col("phase") == "a") & (F.col("bin") == i), F.col("cnt"))
+                .otherwise(0)
+            ).alias(f"ca{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("phase") == "b") & (F.col("bin") == i), F.col("cnt"))
+                .otherwise(0)
+            ).alias(f"cb{i}")
+        )
+    aggs.append(
+        F.sum(F.when(F.col("phase") == "a", F.col("cnt")).otherwise(0)).alias("na")
+    )
+    aggs.append(
+        F.sum(F.when(F.col("phase") == "b", F.col("cnt")).otherwise(0)).alias("nb")
+    )
+    return psi_finalize(hist.groupBy("event_type").agg(*aggs))
