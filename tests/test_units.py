@@ -963,3 +963,102 @@ def test_join_size_estimate_is_exact_for_equijoins(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("user_id", "event_id")
     actual_self = ev.alias("a").join(ev.alias("b"), "user_id").count()
     assert est["events_self_user"] == actual_self
+
+
+def test_clamped_fold_matches_python_reference(spark, sf_dir):
+    """running_balance_clamped's HOF fold against a plain-Python fold
+    over the same sorted deltas — a third, independent implementation of
+    the non-associative clamp (the algorithm-cross-check discipline)."""
+    from cpt_database_sync_spark.operators.analytics import (
+        running_balance_clamped,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    got = {
+        r["user_id"]: r["final_balance"]
+        for r in running_balance_clamped(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, evs in by_user.items():
+        bal = 0.0
+        for r in sorted(evs, key=lambda r: (r["ts"], r["event_id"])):
+            if r["event_type"] == "purchase":
+                d = -r["value"]
+            elif r["event_type"] in ("view", "signup"):
+                d = r["value"]
+            else:
+                d = 0.0
+            bal = max(bal + d, 0.0)
+        assert got[uid] == bal, f"user {uid}: {got[uid]} != {bal}"
+
+
+def test_stateful_sessionizer_invariant_under_batch_splits(spark, sf_dir):
+    """The stream_sessionize_stateful docstring claims output identical
+    under ANY chronological micro-batch split. Prove it: split events
+    into 3 time-ordered files, stream them with maxFilesPerTrigger=1
+    (three micro-batches, state carried across), and compare against the
+    single-batch run of the registered query."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.analytics import SESSION_GAP_MIN
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _SESS_OUT_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        _session_closer,
+        stream_sessionize_stateful,
+    )
+    from cpt_database_sync_spark.streaming.windows import run_to_table
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sweep_scratch("sess_split_")
+    workdir = os.path.join(scratch_dir(), "sess_split_src")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+        # one chronological landing file per batch
+    files_dir = os.path.join(scratch_dir(), "sess_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    import glob
+    import shutil
+
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        shutil.copy(src, f"{files_dir}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    closed = stream.groupBy("user_id").applyInPandasWithState(
+        _session_closer(SESSION_GAP_MIN * 60 * 1_000_000),
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    multi = {tuple(r) for r in run_to_table(closed, "append").collect()}
+    single = {
+        tuple(r) for r in stream_sessionize_stateful(spark, sf_dir).collect()
+    }
+    assert multi == single, (
+        f"batch-split changed the output: only-multi={multi - single} "
+        f"only-single={single - multi}"
+    )
