@@ -135,6 +135,7 @@ HEADLINE = [
     "grouping_surface",
     "datetime_surface",
     "stream_drift_psi",
+    "export_manifest",
 ]
 
 

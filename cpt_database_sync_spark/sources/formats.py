@@ -727,3 +727,61 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+MANIFEST_SHARDS = 8
+
+
+@register(
+    "export_manifest",
+    oracle=f"""
+    SELECT
+      CAST(doc_id % {MANIFEST_SHARDS} AS BIGINT) AS shard,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_hash
+    FROM documents
+    GROUP BY doc_id % {MANIFEST_SHARDS}
+    """,
+)
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release manifest — the reproducibility receipt shipped WITH a
+    training-data export: per shard, the row count, size, and an
+    ORDER-CANONICAL content hash (md5 of the doc_id-sorted per-doc
+    hashes). Two exports are the same dataset iff manifests match —
+    regardless of task scheduling, file count, or row order inside
+    files, which is exactly what raw output-file checksums CANNOT give
+    on a distributed writer (file bytes depend on partitioning). The
+    consumer re-derives the manifest after download; file_lineage
+    answers "which file did this row come from", this answers "is the
+    release byte-equivalent".
+
+    Physics: per-doc md5 is map-side; each shard's canonical hash needs
+    its docs' hashes IN ORDER — collect_list + sort_array per shard
+    (shard sizes are |docs|/shards; at 100 TB shard finer or tree-hash:
+    hash runs of 10⁶ docs, then hash the run hashes — same canonical
+    property, bounded memory). One shuffle on the shard key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (F.col("doc_id") % MANIFEST_SHARDS).alias("shard"),
+            "doc_id",
+            "n_chars",
+            F.md5("text").alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("n_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("doc_id", "h"))),
+                        lambda s: s["h"],
+                    ),
+                    "",
+                )
+            ).alias("content_hash"),
+        )
+    )
