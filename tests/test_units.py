@@ -1038,9 +1038,17 @@ def test_stateful_sessionizer_invariant_under_batch_splits(spark, sf_dir):
     import glob
     import shutil
 
+    import time
+
+    now = time.time()
     for i in range(3):
         src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
-        shutil.copy(src, f"{files_dir}/b{i}.parquet")
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        # the file source orders micro-batches by modification time; equal
+        # mtimes (sub-second copies) make the order arbitrary and break
+        # the CHRONOLOGICAL premise — pin strictly increasing stamps
+        os.utime(dst, (now + i * 10, now + i * 10))
 
     stream = (
         spark.readStream.schema(ev.schema)
