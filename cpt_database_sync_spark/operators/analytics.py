@@ -953,7 +953,15 @@ _TWA_SQL = """
       FROM held GROUP BY user_id
       HAVING SUM(dur_us) > 0
     )
-    SELECT user_id, twa_num, dur_us_total,
+    SELECT user_id,
+           -- twa_num emitted as its canonical fixed-scale string: both
+           -- engines print DECIMAL(38,6) as sign + digits + '.' + exactly
+           -- six fractional digits, so the comparison lane is a plain
+           -- string with no decimal-canonicalization surface left
+           -- (CORRECTNESS_r07 recorded a hash-only fail on this column
+           -- that no direct value diff could reproduce).
+           CAST(twa_num AS VARCHAR) AS twa_num,
+           dur_us_total,
            CAST((CAST(floor(twa_num) AS HUGEINT) * 1000000 // dur_us_total)
                 AS DOUBLE) / 1000000 AS twa
     FROM agg
@@ -1003,7 +1011,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "user_id",
-        "twa_num",
+        F.col("twa_num").cast("string").alias("twa_num"),
         "dur_us_total",
         (
             F.expr(
