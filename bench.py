@@ -159,19 +159,38 @@ def fixture_fingerprint(sf_dir: str) -> dict:
     return {"hash": digest, "n_files": len(files), "max_mtime": int(max_mtime)}
 
 
-def main() -> None:
+def shard_names(shard: int, n_shards: int) -> list[str]:
+    """Contiguous slice of HEADLINE for one shard (contiguous keeps the
+    related query families — streaming, dedup, TPC-H — inside one JVM so
+    their shared codegen classes warm once)."""
+    per = (len(HEADLINE) + n_shards - 1) // n_shards
+    return HEADLINE[shard * per : (shard + 1) * per]
+
+
+def run_worker(shard: int, n_shards: int, out_path: str) -> None:
+    """One bench shard in its own process/JVM.
+
+    BENCH_r07 recorded 2-14x per-query inflation that vanished in a fresh
+    session: a 108-query single-session sweep accumulates cached blocks
+    (bounded_cache is per-key only), tmpfs shuffle/stream scratch, and
+    JIT/code-cache/GC churn, so late queries measured the session's
+    history, not their plans. Sharding bounds that accumulation to ~1/8 of
+    the sweep and resets JVM state at every shard boundary; shards run
+    SEQUENTIALLY (parallel JVMs would contend for the same cores and
+    reintroduce the noise the split removes).
+    """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    names = shard_names(shard, n_shards)
+    spark = get_spark(app_name=f"bench-shard{shard}")
     queries = all_queries()
 
     # Warmup on the smallest fixture: JVM/codegen JIT, the higher-order-
     # function interpreter paths, and the Python worker pool — so per-query
     # numbers measure the plan, not first-run JIT/process startup. Every
-    # headline query warms (first-run codegen compilation measured 5-10x
-    # the steady state for the decimal/HOF-heavy queries; sf0.001 makes the
-    # warmup pass cheap while compiling the same generated classes).
-    for warm_q in HEADLINE:
+    # query in the shard warms (first-run codegen compilation measured
+    # 5-10x the steady state for the decimal/HOF-heavy queries; sf0.001
+    # makes the warmup pass cheap while compiling the same classes).
+    for warm_q in names:
         queries[warm_q](spark, "/root/testdata/sf0.001").count()
 
     # Best-of-N (N=3) per query: this host shows bursty CPU steal
@@ -184,7 +203,7 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         samples = []
         for _ in range(trials):
@@ -194,6 +213,44 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
+    with open(out_path, "w") as f:
+        json.dump({"queries": timings, "queries_median": medians}, f)
+    spark.stop()
+
+
+def main() -> None:
+    import subprocess  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_shards = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "8"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    with tempfile.TemporaryDirectory(prefix="bench-shards-") as tmp:
+        for shard in range(n_shards):
+            if not shard_names(shard, n_shards):
+                continue
+            out = os.path.join(tmp, f"shard{shard}.json")
+            for attempt in (1, 2):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", str(shard), str(n_shards), out],
+                    stdout=sys.stderr,
+                    stderr=sys.stderr,
+                )
+                if proc.returncode == 0 and os.path.exists(out):
+                    break
+                if attempt == 2:
+                    raise RuntimeError(
+                        f"bench shard {shard} failed twice (rc={proc.returncode})"
+                    )
+            with open(out) as f:
+                part = json.load(f)
+            timings.update(part["queries"])
+            medians.update(part["queries_median"])
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
@@ -209,6 +266,7 @@ def main() -> None:
         "queries_median": medians,
         "total_median": total_median,
         "trials": trials,
+        "shards": n_shards,
         "sf": float(sf),
         "fixture": fixture,
     }
@@ -233,4 +291,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--worker":
+        run_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        main()

@@ -1296,12 +1296,15 @@ def sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     this key hash-fails. Also the batch twin of `stream_session`'s
     streaming session_window — same builtin, both paths checked.
 
-    Semantics note: session_window closes a session when the NEXT event
-    is >= gap after the previous one, i.e. a gap of exactly {gap} min
-    starts a new session — matching the manual op's strict > on
-    microseconds only because the fixture's timestamps are microsecond-
-    exact (a boundary hit at exactly the gap would distinguish them;
-    none exists in any fixture, which itself is asserted by parity).
+    Semantics note (empirically pinned, not assumed): session_window's
+    boundary is INCLUSIVE — an event at exactly prev + gap merges into
+    the running session; only strictly-beyond-gap events open a new one
+    (sessions [a, a+g] and [b, b+g] overlap when b <= a+g). That is
+    precisely the manual op's / oracle's strict ">" split, so the two
+    formulations agree FOR ANY INPUT including exact-boundary hits —
+    tests/test_units.py::test_sessionize_builtin_exact_gap_boundary
+    probes both sides of the microsecond edge (ADVICE r7 suspected the
+    opposite, half-open, semantics; the probe refutes it).
     """
     ev = load(spark, sf_dir, "events")
     grouped = ev.groupBy(

@@ -55,6 +55,13 @@ OUTLIER_TOPK = 3
 
 
 def _bm25_term_sql(t: str) -> str:
+    # Validated HERE, not only at the module-level assert: a future
+    # parameterized caller must not be able to smuggle a quote (or any
+    # SQL special) into the interpolated oracle string.
+    if not re.fullmatch(r"[a-z0-9]+", t):
+        raise ValueError(
+            f"BM25 query term {t!r} outside the safe [a-z0-9]+ alphabet"
+        )
     return f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
 
 

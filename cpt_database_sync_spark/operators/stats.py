@@ -262,6 +262,17 @@ HIST_BINS = 100
 HIST_QS = (0.5, 0.95, 0.99)
 
 
+def hist_empty_result(spark):
+    """Typed empty frame matching the quantile-histogram output schema —
+    returned when the input has no non-NULL values (lo/hi are undefined,
+    so there is no histogram domain; the oracle's CDF walk is likewise
+    empty). Shared by the batch and streaming variants."""
+    fields = "event_type STRING, n BIGINT, " + ", ".join(
+        f"est_p{int(q * 100)} DOUBLE" for q in HIST_QS
+    )
+    return spark.createDataFrame([], fields)
+
+
 def hist_bin_col(lo: float, hi: float):
     """Bin index for a fixed-[lo, hi] histogram of ``value``, shared by
     the batch and streaming variants. Degenerate-span guard: when every
@@ -332,6 +343,8 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").cast("double"), F.max("value").cast("double")
         ).collect()[0]
     )
+    if lo is None:  # every value NULL (or table empty): no domain to bin
+        return hist_empty_result(spark)
     lo, hi = float(lo), float(hi)
     span = hi - lo
     hist = (

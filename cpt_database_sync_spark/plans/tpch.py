@@ -373,7 +373,7 @@ sql_tpch_q11 = _sql_query(
     Optimizer checkpoints: the scalar subquery runs ONCE (a broadcast
     scalar, not per group); both aggregations share the same
     filter+join pipeline, and the threshold comparison stays in EXACT
-    decimal arithmetic (sum × 0.01 widens scale, never rounds) so the
+    decimal arithmetic (sum × 0.002 widens scale, never rounds) so the
     cut is bit-identical cross-engine — a double threshold here could
     flip borderline groups between engines. At 100 TB the two passes
     over the filtered fact are the honest cost; a single-pass variant

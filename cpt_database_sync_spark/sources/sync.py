@@ -294,6 +294,11 @@ def merge_cdc_statement(
     """
     from cpt_database_sync_spark.sources.identifiers import quote_identifier
 
+    # delete_op is a VALUE (not an identifier), interpolated into the
+    # statement as a string literal — escape embedded quotes the SQL way
+    # so a caller-supplied marker can neither break the statement nor
+    # inject (ADVICE r7, sync.py:312).
+    delete_op = delete_op.replace("'", "''")
     qt = quote_identifier(target, quote)
     qs = quote_identifier(source, quote)
     data_cols = [c for c in columns if c != op_column]

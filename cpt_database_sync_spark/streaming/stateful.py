@@ -119,7 +119,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TWA_OUT_SCHEMA = (
-    "user_id bigint, twa_num decimal(38,6), dur_us_total bigint, twa double"
+    "user_id bigint, twa_num string, dur_us_total bigint, twa double"
 )
 # state: (last_us, last_value_decimal_string, num_decimal_string, dur_us)
 _TWA_STATE_SCHEMA = "l bigint, lv string, num string, dur bigint"
@@ -149,7 +149,10 @@ def _user_twa(
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "twa_num": [num.quantize(Decimal("0.000001"))],
+                # canonical fixed-scale string — same lane as the batch
+                # op (quantize to 6 dp pins exponent -6, so str() is
+                # always plain sign+digits+'.'+6 digits, no E-notation)
+                "twa_num": [str(num.quantize(Decimal("0.000001")))],
                 "dur_us_total": [dur],
                 "twa": [q / 1_000_000],
             }
@@ -176,11 +179,16 @@ def stream_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-string state (order-fixed by the (ts, event_id) sort inside
     each batch), and the displayed average uses the same explicit-floor
     integer division as the batch op — so the ORACLE IS THE BATCH
-    ORACLE, verbatim. Within-batch sorting makes the one-shot
-    availableNow run exactly equal to the batch result; a multi-batch
-    deployment needs per-user event-time ordering across batches (a
-    watermark-delayed sort, or idempotent out-of-order re-fold), which
-    is the documented deployment constraint of any LOCF stream.
+    ORACLE, verbatim. The emitted row is the user's CUMULATIVE
+    accumulator, so it is served through the keyed MERGE pattern
+    (``serve_keyed_stream`` on user_id, update mode): each micro-batch
+    upserts the refreshed rows and the serving table always holds
+    exactly one current row per user — under any chronological
+    micro-batch split, not just the one-shot availableNow run (append
+    mode re-emitted cumulative rows per batch — ADVICE r7). A
+    multi-batch deployment still needs per-user event-time ordering
+    across batches (watermark-delayed sort or idempotent re-fold), the
+    documented constraint of any LOCF stream.
     State is O(1) per user — the state-store shape built for 100 M keys.
     """
     ev = events_stream(spark, sf_dir).withColumn(
@@ -190,10 +198,17 @@ def stream_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _user_twa,
         outputStructType=_TWA_OUT_SCHEMA,
         stateStructType=_TWA_STATE_SCHEMA,
-        outputMode="append",
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_table(folded, "append")
+    from cpt_database_sync_spark.streaming.windows import (  # noqa: PLC0415
+        serve_keyed_stream,
+    )
+
+    served, _ = serve_keyed_stream(
+        folded, ["user_id"], "stream_twa_", varchar_lengths={"twa_num": 48}
+    )
+    return served
 
 
 _SESS_OUT_SCHEMA = (

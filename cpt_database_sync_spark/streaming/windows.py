@@ -560,6 +560,7 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         HIST_BINS,
         HIST_QS,
         hist_bin_col,
+        hist_empty_result,
     )
     from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
 
@@ -568,6 +569,8 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").cast("double"), F.max("value").cast("double"))
         .collect()[0]
     )
+    if lo is None:  # every value NULL (or table empty): no domain to bin
+        return hist_empty_result(spark)
     lo, hi = float(lo), float(hi)
     span = hi - lo
     ev = events_stream(spark, sf_dir)

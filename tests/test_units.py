@@ -1070,3 +1070,185 @@ def test_stateful_sessionizer_invariant_under_batch_splits(spark, sf_dir):
         f"batch-split changed the output: only-multi={multi - single} "
         f"only-single={single - multi}"
     )
+
+
+class TestQuantileHistogramDegenerate:
+    """ADVICE r7: the histogram pair must survive a zero-span domain
+    (every value identical → all rows bin 0, estimates collapse to lo)
+    and an all-NULL value column (no domain at all → typed empty result,
+    matching the oracle's empty CDF walk)."""
+
+    def _write_events(self, tmp_path, values) -> str:
+        import pandas as pd
+
+        d = tmp_path / "deg"
+        d.mkdir(exist_ok=True)
+        n = len(values)
+        pd.DataFrame(
+            {
+                "event_id": range(1, n + 1),
+                "ts": pd.to_datetime(["2024-01-01 00:00:00"] * n),
+                "user_id": [i % 3 for i in range(n)],
+                "event_type": ["click" if i % 2 else "view" for i in range(n)],
+                "value": values,
+                "props": ["{}"] * n,
+            }
+        ).to_parquet(str(d / "events.parquet"))
+        return str(d)
+
+    def _oracle_rows(self, sf_dir):
+        import duckdb
+
+        from cpt_database_sync_spark.operators.stats import _hist_oracle
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        res = con.execute(_hist_oracle())
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        con.close()
+        return cols, rows
+
+    def test_zero_span_matches_oracle(self, spark, tmp_path):
+        from cpt_database_sync_spark.operators.stats import quantile_histogram
+        from tests.parity import compare
+
+        d = self._write_events(tmp_path, [5.0] * 8)
+        sdf = quantile_histogram(spark, d)
+        ora_cols, ora_rows = self._oracle_rows(d)
+        problems = compare(
+            sdf.columns, [tuple(r) for r in sdf.collect()], ora_cols, ora_rows
+        )
+        assert not problems, problems
+        for r in sdf.collect():
+            assert r.est_p50 == r.est_p95 == r.est_p99 == 5.0
+
+    def test_all_null_values_yield_typed_empty(self, spark, tmp_path):
+        from cpt_database_sync_spark.operators.stats import quantile_histogram
+        from cpt_database_sync_spark.streaming.windows import (
+            stream_quantile_histogram,
+        )
+
+        d = self._write_events(tmp_path, [None] * 6)
+        _, ora_rows = self._oracle_rows(d)
+        assert ora_rows == []
+        for fn in (quantile_histogram, stream_quantile_histogram):
+            sdf = fn(spark, d)
+            assert sdf.columns == ["event_type", "n", "est_p50", "est_p95", "est_p99"]
+            assert sdf.count() == 0
+
+
+def test_sessionize_builtin_exact_gap_boundary(spark, tmp_path):
+    """A follow-up event at EXACTLY the session gap stays in the same
+    session; one microsecond beyond the gap starts a new one — i.e.
+    session_window's inclusive boundary IS the manual op's / oracle's
+    strict > split. Probes both sides of the microsecond edge (ADVICE r7
+    suspected half-open semantics; this test refutes it and pins the
+    agreement for any input, not just fixture data)."""
+    import pandas as pd
+
+    from cpt_database_sync_spark.operators.analytics import (
+        SESSION_GAP_MIN,
+        sessionize_builtin,
+    )
+
+    gap_s = SESSION_GAP_MIN * 60
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [
+        # user 1: second event exactly gap after the first → ONE session
+        (1, 1, base),
+        (2, 1, base + pd.Timedelta(seconds=gap_s)),
+        # user 2: second event gap + 1µs after the first → TWO sessions
+        (3, 2, base),
+        (4, 2, base + pd.Timedelta(seconds=gap_s, microseconds=1)),
+    ]
+    d = tmp_path / "boundary"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[2] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": ["click"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(str(d / "events.parquet"))
+    out = {
+        (r.user_id, r.n_events)
+        for r in sessionize_builtin(spark, str(d)).collect()
+    }
+    assert out == {(1, 2), (2, 1)}, out
+
+
+def test_stream_time_weighted_invariant_under_batch_splits(spark, sf_dir):
+    """The TWA stream serves CUMULATIVE per-user rows through the keyed
+    MERGE sink, so a multi-batch chronological split must produce the
+    same serving table as the one-shot run (append mode re-emitted one
+    cumulative row per batch — ADVICE r7; the upsert keeps exactly one
+    current row per user)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _TWA_OUT_SCHEMA,
+        _TWA_STATE_SCHEMA,
+        _user_twa,
+        stream_time_weighted,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+
+    sweep_scratch("twa_split_")
+    workdir = os.path.join(scratch_dir(), "twa_split_src")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.col("value").cast("decimal(14,6)").cast("string").alias("value_dec"),
+    )
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "twa_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))  # pin batch order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _user_twa,
+        outputStructType=_TWA_OUT_SCHEMA,
+        stateStructType=_TWA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, progresses = serve_keyed_stream(
+        folded, ["user_id"], "twa_split_serve_", varchar_lengths={"twa_num": 48}
+    )
+    multi = {tuple(r) for r in served.collect()}
+    assert sum(p["numInputRows"] for p in progresses if p) > 0
+    single = {tuple(r) for r in stream_time_weighted(spark, sf_dir).collect()}
+    assert multi == single, (
+        f"batch-split changed the serving table: only-multi={multi - single} "
+        f"only-single={single - multi}"
+    )
