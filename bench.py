@@ -136,6 +136,7 @@ HEADLINE = [
     "datetime_surface",
     "stream_drift_psi",
     "export_manifest",
+    "dedup_substring",
 ]
 
 

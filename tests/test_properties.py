@@ -202,3 +202,136 @@ class TestPrefixFilterTheorem:
                         f"prefix filter missed a true pair: "
                         f"{sorted(sets[i])} ~ {sorted(sets[j])} at t={t}"
                     )
+
+
+class TestSubstringDedupCover:
+    """dedup_substring's window-cover formulation: a position is flagged
+    iff some cross-doc-repeated K-window covers it. The ground truth it
+    must reproduce EXACTLY (not just superset): a position belongs to a
+    flagged region iff some substring of length ≥ K containing it also
+    occurs in another document. False negatives are silent contamination
+    (a repeated span survives excision); false positives excise unique
+    text."""
+
+    K = 4  # small K keeps the brute force tractable per example
+
+    def _model_spans(self, docs):
+        """The operator's algorithm, in pure python: repeated K-windows →
+        covered positions → maximal runs."""
+        K = self.K
+        wins: dict[tuple, set] = {}
+        for d, toks in enumerate(docs):
+            for i in range(len(toks) - K + 1):
+                wins.setdefault(tuple(toks[i : i + K]), set()).add(d)
+        out = {}
+        for d, toks in enumerate(docs):
+            flagged = sorted(
+                i
+                for i in range(len(toks) - K + 1)
+                if len(wins[tuple(toks[i : i + K])]) >= 2
+            )
+            spans, run = [], None
+            for i in flagged:
+                if run and i == run[1] + 1:
+                    run[1] = i
+                else:
+                    if run:
+                        spans.append((run[0], run[1] + K - 1))
+                    run = [i, i]
+            if run:
+                spans.append((run[0], run[1] + K - 1))
+            out[d] = spans
+        return out
+
+    def _truth_positions(self, docs):
+        """Independent ground truth by brute force: every substring of
+        length ≥ K of every doc, tested for occurrence in ANY other doc;
+        flagged positions are the union of matching substrings' spans."""
+        K = self.K
+        out = {}
+        for d, toks in enumerate(docs):
+            flagged = set()
+            others = [tuple(o) for e, o in enumerate(docs) if e != d]
+            for i in range(len(toks)):
+                for j in range(i + K, len(toks) + 1):
+                    sub = tuple(toks[i:j])
+                    found = any(
+                        o[p : p + len(sub)] == sub
+                        for o in others
+                        for p in range(len(o) - len(sub) + 1)
+                    )
+                    if found:
+                        flagged.update(range(i, j))
+            out[d] = flagged
+        return out
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=5), min_size=0, max_size=14
+            ),
+            min_size=2,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_window_cover_equals_brute_force(self, docs):
+        docs = [[f"w{t}" for t in d] for d in docs]
+        spans = self._model_spans(docs)
+        truth = self._truth_positions(docs)
+        for d in range(len(docs)):
+            covered = set()
+            for s, e in spans[d]:
+                covered.update(range(s, e + 1))
+            assert covered == truth[d], (
+                f"doc {d}: model={sorted(covered)} truth={sorted(truth[d])} "
+                f"docs={docs}"
+            )
+
+    def test_model_matches_spark_operator(self, spark, tmp_path):
+        """Pin model ≡ operator on a planted corpus: a 15-token shared
+        span, an exactly-K span, a (K-1) span that must NOT fire, and
+        doc-edge spans."""
+        import pandas as pd
+
+        from cpt_database_sync_spark.operators import llm_dedup
+        from cpt_database_sync_spark.operators.llm_dedup import dedup_substring
+
+        K = llm_dedup.SUBSTRING_SPAN_TOKENS  # operator's K (12)
+        shared15 = [f"s{i}" for i in range(15)]
+        shared12 = [f"t{i}" for i in range(K)]
+        shared11 = [f"u{i}" for i in range(K - 1)]
+        docs = [
+            shared15 + ["a1", "a2"] + shared11,                 # doc 0
+            ["b1"] + shared15 + ["b2"],                         # doc 1: 15-span mid
+            shared12,                                           # doc 2: exact-K doc
+            ["c1", "c2"] + shared12,                            # doc 3: K at end
+            ["d1"] + shared11 + ["d2", "d3", "d4"],             # doc 4: 11 < K
+        ]
+        d = tmp_path / "planted"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": range(len(docs)),
+                "text": [" ".join(t) for t in docs],
+                "lang": ["en"] * len(docs),
+                "quality": [1.0] * len(docs),
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        got = {
+            (r.doc_id, r.start_tok, r.end_tok, r.span_text)
+            for r in dedup_substring(spark, str(d)).collect()
+        }
+        # model output (1-based positions like the operator)
+        model = self._model_spans.__func__(
+            type("S", (), {"K": K})(), docs
+        )
+        want = {
+            (did, s + 1, e + 1, " ".join(docs[did][s : e + 1]))
+            for did, spans in model.items()
+            for s, e in spans
+        }
+        assert got == want, f"only-got={got - want} only-want={want - got}"

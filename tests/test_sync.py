@@ -123,7 +123,14 @@ def test_run_to_table_empty_source_and_scratch_cleanup(spark, sf_dir):
     assert out.count() == 0
     assert out.columns == ["k", "sv"]
 
-    # a normal run must leave nothing behind in the scratch root
+    # a normal run must leave nothing NEW behind in the scratch root
+    # (compare against a pre-run snapshot: a concurrent bench/driver
+    # process or a stale dir from a killed run is not THIS run's leak)
+    roots = ("/dev/shm/spark-graft-ckpt", "/tmp/spark-graft-ckpt")
+    before = {
+        root: set(os.listdir(root)) if os.path.isdir(root) else set()
+        for root in roots
+    }
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -132,9 +139,10 @@ def test_run_to_table_empty_source_and_scratch_cleanup(spark, sf_dir):
     )
     res = run_to_table(agg, "complete")
     assert res.count() > 0
-    for root in ("/dev/shm/spark-graft-ckpt", "/tmp/spark-graft-ckpt"):
+    for root in roots:
         if os.path.isdir(root):
-            assert os.listdir(root) == [], f"leaked scratch in {root}"
+            leaked = set(os.listdir(root)) - before[root]
+            assert leaked == set(), f"leaked scratch in {root}: {leaked}"
 
 
 def test_merge_into_semantics(spark, sf_dir):

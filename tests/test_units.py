@@ -1252,3 +1252,47 @@ def test_stream_time_weighted_invariant_under_batch_splits(spark, sf_dir):
         f"batch-split changed the serving table: only-multi={multi - single} "
         f"only-single={single - multi}"
     )
+
+
+def test_bm25_term_sql_rejects_unsafe_terms():
+    """Terms are interpolated into oracle SQL — anything outside the safe
+    [a-z0-9]+ alphabet must raise at the interpolation site (ADVICE r7),
+    not produce a broken/injectable statement."""
+    import pytest
+
+    from cpt_database_sync_spark.operators.llm_retrieval import _bm25_term_sql
+
+    assert "term = 'join'" in _bm25_term_sql("join")
+    for bad in ("o'brien", "a b", "x;--", "", "Upper", "café"):
+        with pytest.raises(ValueError):
+            _bm25_term_sql(bad)
+
+
+def test_ivf_index_readback_schema_and_reuse(spark, sf_dir):
+    """The persisted IVF index reads back with c_id as BIGINT (explicit
+    schema — inference would narrow the partition column to int and lean
+    on an implicit join-key cast) and a repeat call REUSES the on-disk
+    index instead of rewriting it (materialize_stamped)."""
+    import os
+
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        _ivf_parts,
+        _materialize_index,
+        sim_ann_ivf_indexed,
+    )
+
+    df = sim_ann_ivf_indexed(spark, sf_dir)
+    assign, _ = _ivf_parts(spark, sf_dir)
+    out = _materialize_index(sf_dir, "ivf_index", lambda: assign)
+    stamp = os.path.join(out, "_SRC_STAMP")
+    mtime_before = os.path.getmtime(stamp) if os.path.exists(stamp) else None
+    df2 = sim_ann_ivf_indexed(spark, sf_dir)
+    if mtime_before is not None:
+        assert os.path.getmtime(stamp) == mtime_before, "index rewritten on reuse"
+    idx = (
+        spark.read.schema("n_id bigint, ce_vec array<double>, cn double, c_id bigint")
+        .option("basePath", out)
+        .parquet(out)
+    )
+    assert dict(idx.dtypes)["c_id"] == "bigint"
+    assert df.count() == df2.count() > 0
