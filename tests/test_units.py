@@ -1296,3 +1296,70 @@ def test_ivf_index_readback_schema_and_reuse(spark, sf_dir):
     )
     assert dict(idx.dtypes)["c_id"] == "bigint"
     assert df.count() == df2.count() > 0
+
+
+def test_streaming_soak_state_bounded_over_200_batches(spark):
+    """Continuous-trigger soak (VERDICT r7 #6): 200+ micro-batches of a
+    deterministic rate-micro-batch source through a watermarked windowed
+    aggregation, observing the state store the WHOLE run — converts the
+    one-shot bounded-state gate into a steady-state observation. Event
+    time advances 5 min per batch, so the 1-hour windows close steadily
+    under the 10-min watermark: state must oscillate around
+    (active windows × keys), never grow with batch count."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    ckpt = "/dev/shm/soak-test-ckpt" if os.path.isdir("/dev/shm") else "/tmp/soak-test-ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n_keys = 50
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 200)
+        .option("numPartitions", 2)
+        .option("advanceMillisPerBatch", 300000)  # 5 min event time / batch
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % n_keys).alias("user_id"),
+        )
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: df.count())
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    seen: dict[int, tuple] = {}
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 240:
+            p = q.lastProgress
+            if p and p["stateOperators"]:
+                so = p["stateOperators"][0]
+                seen[p["batchId"]] = (so["numRowsTotal"], so["numRowsRemoved"])
+            if p and p["batchId"] >= 200:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    bids = sorted(seen)
+    assert bids and bids[-1] >= 200, f"soak too slow: reached batch {bids[-1] if bids else None}"
+    totals = [seen[b][0] for b in bids]
+    # bound: at most 3 windows can be un-evicted at once (1 h span +
+    # 10 min watermark, advancing 5 min/batch) × n_keys, with headroom
+    assert max(totals) <= 3 * n_keys, f"state grew past bound: max={max(totals)}"
+    # steady state, not monotone growth: the late tail obeys the same bound
+    late = [seen[b][0] for b in bids if b >= 150]
+    assert late and max(late) <= 3 * n_keys
+    # and the watermark genuinely evicts throughout the run
+    assert sum(seen[b][1] for b in bids) > 0, "no state eviction observed"
