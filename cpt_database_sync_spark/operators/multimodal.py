@@ -10,9 +10,11 @@ Arrow-batched ``mapInPandas`` stages.
 
 Decoding is REAL where stdlib can carry it: ``decode_image_meta`` parses
 PNG/JPEG/GIF container headers directly, and ``decode_image`` fully
-decodes PNG pixels (zlib inflate + scanline unfiltering) with PIL as the
-fast path when installed — only non-PNG pixel decoding without a codec
-library raises NotImplementedError. ``multimodal_meta`` additionally
+decodes PNG (zlib inflate + scanline unfiltering), GIF (LZW + palette,
+incl. interlacing) and baseline JPEG (huffman + dequant + IDCT,
+``jpegcodec.py``) pixels, with PIL as the fast path when installed —
+only exotic payloads (progressive JPEG, WebP, …) without a codec
+library raise NotImplementedError. ``multimodal_meta`` additionally
 keeps a clearly-marked deterministic fake decoder to exercise the
 plumbing against arbitrary (non-image) payloads; schema, binary
 handling, batch iteration, and partition parallelism are oracle-tested
@@ -186,11 +188,149 @@ def decode_png_pixels(payload: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1 growing to 12 bits, CLEAR resets the
+    table, EOI terminates. Returns the palette-index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = nbits = pos = 0
+
+    def read_code(width: int) -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def fresh_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[len(table) + 2] = prev + entry[:1]
+        elif code == len(table) + 2:  # the KwKwK case
+            entry = prev + prev[:1]
+            table[code] = entry
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        # grow code width when the NEXT index would overflow it (12 max)
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif_pixels(payload: bytes) -> dict:
+    """First-frame GIF pixel decode in pure stdlib: logical screen
+    descriptor + color table + LZW-compressed index stream → row-major
+    RGB bytes. Handles local color tables and 4-pass interlacing; frames
+    smaller than the logical screen are composited onto the background
+    color (animation disposal/overlay beyond frame 1 is out of scope for
+    a training-data still-image pipeline)."""
+    import struct  # noqa: PLC0415
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    bg_index = payload[11]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[i : i + 3 * n]
+        i += 3 * n
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+        fpacked = payload[i + 9]
+        i += 10
+        ct = gct
+        if fpacked & 0x80:  # local color table
+            n = 2 << (fpacked & 0x07)
+            ct = payload[i : i + 3 * n]
+            i += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = payload[i]
+        i += 1
+        data = bytearray()
+        while payload[i] != 0:
+            ln = payload[i]
+            data += payload[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = _gif_lzw_decode(min_code_size, bytes(data))
+        if len(idx) < fw * fh:
+            raise ValueError("GIF LZW stream shorter than frame")
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinterlaced = bytearray(fw * fh)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, fh, step):
+                    deinterlaced[y * fw : (y + 1) * fw] = idx[src : src + fw]
+                    src += fw
+            idx = deinterlaced
+        bg = ct[3 * bg_index : 3 * bg_index + 3] if gct is not None else b"\0\0\0"
+        out = bytearray(bg * (sw * sh))
+        for y in range(fh):
+            row = y * fw
+            o = ((top + y) * sw + left) * 3
+            for x in range(fw):
+                p = idx[row + x] * 3
+                out[o : o + 3] = ct[p : p + 3]
+                o += 3
+        return {
+            "width": sw,
+            "height": sh,
+            "channels": 3,
+            "fmt": "gif",
+            "pixels": bytes(out),
+        }
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image(payload: bytes) -> dict:
     """Full pixel decode: PIL when installed (any format), else the pure
-    stdlib PNG decoder — so the pixel path is REAL in this sandbox too.
-    Only non-PNG payloads without a codec library raise. Returns
-    width/height/channels/fmt plus row-major ``pixels`` bytes."""
+    stdlib decoders — PNG (zlib + scanline unfiltering), GIF (LZW), and
+    baseline JPEG (huffman + dequant + IDCT) — so the pixel path is REAL
+    in this sandbox for the three dominant container formats. Only
+    exotic payloads (progressive JPEG, WebP, …) without a codec library
+    raise. Returns width/height/channels/fmt plus row-major ``pixels``
+    bytes."""
     pil = _probe_pil()
     if pil is not None:
         import io  # noqa: PLC0415
@@ -205,9 +345,17 @@ def decode_image(payload: bytes) -> dict:
             }
     if payload[:8] == _PNG_MAGIC:
         return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from cpt_database_sync_spark.operators.jpegcodec import (  # noqa: PLC0415
+            decode_jpeg_pixels,
+        )
+
+        return decode_jpeg_pixels(payload)
     raise NotImplementedError(
-        "non-PNG pixel decoding needs PIL/libjpeg (not installed); "
-        "decode_image_meta works codec-less"
+        "pixel decoding for this container needs PIL/libjpeg "
+        "(not installed); decode_image_meta works codec-less"
     )
 
 

@@ -1363,3 +1363,96 @@ def test_streaming_soak_state_bounded_over_200_batches(spark):
     assert late and max(late) <= 3 * n_keys
     # and the watermark genuinely evicts throughout the run
     assert sum(seen[b][1] for b in bids) > 0, "no state eviction observed"
+
+
+class TestJpegGifStdlibDecode:
+    """Roundtrip tests for the pure-stdlib GIF (LZW) and baseline JPEG
+    decoders (VERDICT r7 #2/#7 — previously the honest raises). Encoders
+    are minimal spec-shaped writers in tests/jpeg_gif_ref.py; pixel-exact
+    parity with a foreign libjpeg is NOT the contract (builds differ by
+    ±1 LSB), reconstruction error vs the known source image is."""
+
+    def _rng(self):
+        import numpy as np
+
+        return np.random.default_rng(20260814)
+
+    def test_jpeg_gray_roundtrip(self):
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
+        from tests.jpeg_gif_ref import encode_jpeg_gray
+
+        img = self._rng().integers(0, 256, size=(24, 16), dtype=np.uint8)
+        payload = encode_jpeg_gray(img)
+        d = decode_jpeg_pixels(payload)
+        assert (d["width"], d["height"], d["channels"], d["fmt"]) == (16, 24, 1, "jpeg")
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(24, 16)
+        err = np.abs(got.astype(int) - img.astype(int)).max()
+        assert err <= 2, f"max reconstruction error {err}"
+
+    def test_jpeg_color_420_roundtrip_with_restarts(self):
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
+        from tests.jpeg_gif_ref import encode_jpeg_color_420
+
+        # luma varies per pixel; chroma constant per 2x2 so box-downsample
+        # + replication-upsample is lossless and the bound stays tight
+        rng = self._rng()
+        ylum = rng.integers(40, 216, size=(32, 32), dtype=np.uint8)
+        rgb = np.stack([ylum, ylum, ylum], axis=-1).astype(np.uint8)
+        cast = rng.integers(-20, 20, size=(16, 16, 3))
+        rgb = np.clip(
+            rgb.astype(int) + np.repeat(np.repeat(cast, 2, 0), 2, 1), 0, 255
+        ).astype(np.uint8)
+        payload = encode_jpeg_color_420(rgb, dri=3)
+        d = decode_jpeg_pixels(payload)
+        assert (d["width"], d["height"], d["channels"]) == (32, 32, 3)
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(32, 32, 3).astype(int)
+        err = np.abs(got - rgb.astype(int)).max()
+        assert err <= 6, f"max reconstruction error {err}"  # RGB<->YCbCr + DCT rounding
+
+    def test_jpeg_progressive_raises(self):
+        import pytest
+
+        from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
+        from tests.jpeg_gif_ref import encode_jpeg_gray
+
+        payload = bytearray(encode_jpeg_gray(self._rng().integers(0, 255, (8, 8)).astype("uint8")))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_pixels(bytes(payload))
+
+    def test_gif_roundtrip_plain_and_interlaced(self):
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.multimodal import decode_gif_pixels
+        from tests.jpeg_gif_ref import encode_gif
+
+        rng = self._rng()
+        palette = bytes(rng.integers(0, 256, size=48, dtype=np.uint8))  # 16 colors
+        idx = rng.integers(0, 16, size=(13, 21), dtype=np.uint8)
+        want = np.zeros((13, 21, 3), dtype=np.uint8)
+        for y in range(13):
+            for x in range(21):
+                p = idx[y, x] * 3
+                want[y, x] = tuple(palette[p : p + 3])
+        for interlace in (False, True):
+            d = decode_gif_pixels(encode_gif(idx, palette, interlace=interlace))
+            assert (d["width"], d["height"], d["channels"], d["fmt"]) == (21, 13, 3, "gif")
+            got = np.frombuffer(d["pixels"], np.uint8).reshape(13, 21, 3)
+            assert (got == want).all(), f"interlace={interlace}"
+
+    def test_decode_image_dispatches_all_formats(self):
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.multimodal import decode_image
+        from tests.jpeg_gif_ref import encode_gif, encode_jpeg_gray
+
+        g = decode_image(encode_jpeg_gray(self._rng().integers(0, 255, (8, 8)).astype("uint8")))
+        assert g["fmt"] == "jpeg" and len(g["pixels"]) == 64
+        palette = bytes(range(12))
+        d = decode_image(encode_gif(np.zeros((4, 4), dtype=np.uint8), palette))
+        assert d["fmt"] == "gif" and len(d["pixels"]) == 4 * 4 * 3
