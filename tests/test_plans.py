@@ -967,3 +967,22 @@ def test_partition_pruned_join_plans_dynamic_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), (
         f"expected runtime partition pruning on the fact scan:\n{plan}"
     )
+
+
+def test_dedup_substring_plan_shape(spark, sf_dir):
+    """dedup_substring's scale contract: linear passes only — no
+    cartesian/nested-loop pair join anywhere (the all-pairs trap every
+    near-dup operator in this module avoids), the repeated-window filter
+    reaches the probe side as a BROADCAST of the (tiny) repeated-key
+    set, and the window-frequency aggregation is map-side combined so
+    the win-keyed exchange carries partials, not one row per window
+    occurrence."""
+    from cpt_database_sync_spark.operators.llm_dedup import dedup_substring
+
+    plan = plan_string(dedup_substring(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "repeated-window set must broadcast"
+    assert "partial_min" in plan and "partial_max" in plan, (
+        "window-frequency agg is not map-side combined"
+    )
