@@ -160,12 +160,29 @@ def fixture_fingerprint(sf_dir: str) -> dict:
     return {"hash": digest, "n_files": len(files), "max_mtime": int(max_mtime)}
 
 
+def _sharding_order() -> list[str]:
+    """HEADLINE reordered so the streaming / JDBC-sink queries are
+    QUARANTINED at the tail (their own shards): a micro-batch query
+    leaves checkpoint dirs, state-store instances and an embedded-Derby
+    engine in the JVM, and pure-compute queries sharing that shard
+    measured 1.7x their isolated time (r8: sql_tpch_q5 1.42 s sharded
+    vs 0.83 s isolated). Within each group the original order holds."""
+    noisy = [
+        q
+        for q in HEADLINE
+        if q.startswith("stream_")
+        or q in ("merge_upsert", "cdc_compact", "snapshot_diff", "merge_scd2")
+    ]
+    return [q for q in HEADLINE if q not in noisy] + noisy
+
+
 def shard_names(shard: int, n_shards: int) -> list[str]:
-    """Contiguous slice of HEADLINE for one shard (contiguous keeps the
-    related query families — streaming, dedup, TPC-H — inside one JVM so
-    their shared codegen classes warm once)."""
-    per = (len(HEADLINE) + n_shards - 1) // n_shards
-    return HEADLINE[shard * per : (shard + 1) * per]
+    """Contiguous slice of the sharding order for one shard (contiguous
+    keeps the related query families — dedup, TPC-H, streaming — inside
+    one JVM so their shared codegen classes warm once)."""
+    order = _sharding_order()
+    per = (len(order) + n_shards - 1) // n_shards
+    return order[shard * per : (shard + 1) * per]
 
 
 def run_worker(shard: int, n_shards: int, out_path: str) -> None:
