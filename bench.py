@@ -137,6 +137,7 @@ HEADLINE = [
     "stream_drift_psi",
     "export_manifest",
     "dedup_substring",
+    "dedup_substring_excise",
 ]
 
 

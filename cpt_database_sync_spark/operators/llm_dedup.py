@@ -1242,3 +1242,122 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_text"),
         )
     )
+
+
+_EXCISE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(t[CAST(u.i AS INT):CAST(u.i + {SUBSTRING_SPAN_TOKENS} - 1 AS INT)], ' ') AS win
+      FROM toks, UNNEST(range(1, len(t) - {SUBSTRING_SPAN_TOKENS} + 2)) AS u(i)
+      WHERE len(t) >= {SUBSTRING_SPAN_TOKENS}
+    ),
+    rep AS (
+      SELECT win, MIN(doc_id) AS d0 FROM w
+      GROUP BY win HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hit AS (
+      SELECT DISTINCT w.doc_id, CAST(w.pos + u.k AS BIGINT) AS i
+      FROM w JOIN rep USING (win),
+           UNNEST(range({SUBSTRING_SPAN_TOKENS})) AS u(k)
+      WHERE w.doc_id <> rep.d0
+    ),
+    tokpos AS (
+      SELECT doc_id, CAST(u.i + 1 AS BIGINT) AS i,
+             t[CAST(u.i + 1 AS INT)] AS tok
+      FROM toks, UNNEST(range(len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id,
+             array_to_string(list(tp.tok ORDER BY tp.i), ' ') AS cleaned_text
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hit h WHERE h.doc_id = tp.doc_id AND h.i = tp.i
+      )
+      GROUP BY tp.doc_id
+    ),
+    removed AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM hit
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           COALESCE(k.cleaned_text, '') AS cleaned_text
+    FROM documents d
+    LEFT JOIN removed r USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@register("dedup_substring_excise", oracle=_EXCISE_SQL)
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCISION half of substring dedup (Lee et al. keep-one-copy):
+    every occurrence of a cross-doc repeated ≥K-token span is REMOVED
+    except the canonical copy in the lowest-doc_id owner — the cleaned
+    corpus a training pipeline actually feeds the tokenizer, where
+    `dedup_substring` is the audit view of what got cut.
+
+    Same linear window-cover physics as the detector, plus: each
+    repeated window carries its min-doc owner out of the SAME min/max
+    aggregation (zero extra cost); non-owner occurrences explode into
+    per-token positions (≤ K rows per hit window) and the doc's kept
+    tokens re-assemble with an index-aware ``filter`` HOF — map-only,
+    no per-token shuffle; the output manifest is one row per document
+    (n_removed = 0 rows prove a doc passed through untouched, so the
+    excision is auditable without diffing the corpus). Token-joined
+    text normalizes whitespace — by design: this feeds the tokenizer,
+    which is whitespace-insensitive, and it keeps the transform
+    idempotent.
+    """
+    K = SUBSTRING_SPAN_TOKENS
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    toks = bounded_cache("dedup_substring_excise.toks", toks)
+    w = toks.filter(F.size("t") >= K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {K} + 1),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                f" concat_ws(' ', slice(t, i, {K})) AS win))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.pos", "x.win")
+    rep = (
+        w.groupBy("win")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("win", "d0")
+    )
+    hit = (
+        w.join(rep, "win")
+        .filter(F.col("doc_id") != F.col("d0"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {K} - 1)")
+            ).alias("i"),
+        )
+        .distinct()
+    )
+    removed = hit.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("rm"),
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+    )
+    return (
+        toks.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', filter(t,"
+                " (x, i) -> rm IS NULL"
+                " OR NOT array_contains(rm, CAST(i + 1 AS BIGINT))))"
+            ).alias("cleaned_text"),
+        )
+    )

@@ -335,3 +335,44 @@ class TestSubstringDedupCover:
             for s, e in spans
         }
         assert got == want, f"only-got={got - want} only-want={want - got}"
+
+
+def test_substring_excise_keeps_canonical_copy(spark, tmp_path):
+    """Keep-one-copy semantics: the lowest-doc_id owner of a repeated
+    span keeps it verbatim; every other occurrence is excised; sub-K
+    overlaps and unique text pass through untouched (modulo whitespace
+    normalization, which is the op's documented contract)."""
+    import pandas as pd
+
+    from cpt_database_sync_spark.operators import llm_dedup
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        dedup_substring_excise,
+    )
+
+    K = llm_dedup.SUBSTRING_SPAN_TOKENS
+    shared = [f"s{i}" for i in range(K + 3)]          # 15-token span
+    sub_k = [f"u{i}" for i in range(K - 1)]           # 11 tokens: no-op
+    docs = [
+        ["a1"] + shared + ["a2"],     # doc 0: canonical owner (min id)
+        ["b1", "b2"] + shared,        # doc 1: copy -> excised
+        sub_k + ["c1"],               # doc 2: sub-K repeat untouched
+        ["d1"] + sub_k,               # doc 3: sub-K repeat untouched
+    ]
+    d = tmp_path / "excise"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(t) for t in docs],
+            "lang": ["en"] * len(docs),
+            "quality": [1.0] * len(docs),
+        }
+    ).to_parquet(str(d / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in dedup_substring_excise(spark, str(d)).collect()
+    }
+    assert got[0] == (0, " ".join(docs[0])), "canonical copy must survive"
+    assert got[1] == (len(shared), "b1 b2"), "non-owner copy must be excised"
+    assert got[2] == (0, " ".join(docs[2]))
+    assert got[3] == (0, " ".join(docs[3]))
