@@ -101,6 +101,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decimal cast happens Spark-side (same value→DECIMAL(14,6) edge the
     other streaming aggregates use) so the Python accumulator sums exact
     decimal strings — order-independent and bit-equal to the SQL oracle.
+    Like ``stream_time_weighted``, each emitted row is the user's
+    CUMULATIVE accumulator, so it serves through the keyed MERGE sink in
+    update mode — one current row per user under ANY chronological
+    micro-batch split (append mode re-emitted cumulative rows per batch:
+    the same hazard ADVICE r7 flagged on the TWA stream).
     """
     ev = events_stream(spark, sf_dir).withColumn(
         "value_dec", F.col("value").cast("decimal(14,6)").cast("string")
@@ -111,11 +116,16 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             _user_rollup,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
-            outputMode="append",
+            outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_table(rolled, "append")
+    from cpt_database_sync_spark.streaming.windows import (  # noqa: PLC0415
+        serve_keyed_stream,
+    )
+
+    served, _ = serve_keyed_stream(rolled, ["user_id"], "stream_stateful_")
+    return served
 
 
 _TWA_OUT_SCHEMA = (

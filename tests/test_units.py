@@ -1456,3 +1456,70 @@ class TestJpegGifStdlibDecode:
         palette = bytes(range(12))
         d = decode_image(encode_gif(np.zeros((4, 4), dtype=np.uint8), palette))
         assert d["fmt"] == "gif" and len(d["pixels"]) == 4 * 4 * 3
+
+
+def test_stream_stateful_invariant_under_batch_splits(spark, sf_dir):
+    """stream_stateful serves CUMULATIVE per-user rollups through the
+    keyed MERGE sink (same hazard class as the TWA stream): a 3-batch
+    chronological split must produce the same serving table as the
+    one-shot run."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _user_rollup,
+        stream_stateful,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+
+    sweep_scratch("rollup_split_")
+    workdir = os.path.join(scratch_dir(), "rollup_split_src")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.col("value").cast("decimal(14,6)").cast("string").alias("value_dec"),
+    )
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "rollup_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    rolled = stream.groupBy("user_id").applyInPandasWithState(
+        _user_rollup,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, _ = serve_keyed_stream(rolled, ["user_id"], "rollup_split_serve_")
+    multi = {tuple(r) for r in served.collect()}
+    single = {tuple(r) for r in stream_stateful(spark, sf_dir).collect()}
+    assert multi == single, (
+        f"batch-split changed the serving table: only-multi={multi - single} "
+        f"only-single={single - multi}"
+    )
