@@ -1523,3 +1523,84 @@ def test_stream_stateful_invariant_under_batch_splits(spark, sf_dir):
         f"batch-split changed the serving table: only-multi={multi - single} "
         f"only-single={single - multi}"
     )
+
+
+def test_rocksdb_state_store_provider_agrees_with_default(spark):
+    """The 100 TB state lane: Spark's bundled RocksDB state store (what a
+    large deployment runs — state spills off-heap/disk instead of the
+    HDFS-backed in-memory map) must produce byte-identical aggregation
+    results to the default provider on the same deterministic source,
+    and its progress must prove RocksDB actually carried the state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def run(provider: str | None, tag: str):
+        ckpt = f"/tmp/rocks-agree-{tag}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            stream = (
+                spark.readStream.format("rate-micro-batch")
+                .option("rowsPerBatch", 100)
+                .option("numPartitions", 2)
+                .option("advanceMillisPerBatch", 60000)
+                .load()
+                .select(
+                    F.col("timestamp").alias("ts"),
+                    (F.col("value") % 10).alias("k"),
+                    (F.col("value") % 7).alias("v"),
+                )
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour"), "k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+                .select(F.col("window.start").alias("w"), "k", "n", "sv")
+            )
+            state = {}
+
+            def sink(df, bid):
+                for r in df.collect():
+                    state[(r.w, r.k)] = (r.n, r.sv)
+
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            progress = q.lastProgress
+            q.stop()
+            return state, progress
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", prev
+                    )
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    rocks_cls = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    default_state, _ = run(None, "default")
+    rocks_state, rocks_progress = run(rocks_cls, "rocksdb")
+    assert default_state and rocks_state == default_state
+    metrics = rocks_progress["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in metrics), (
+        f"no RocksDB metrics in progress: {sorted(metrics)[:5]}"
+    )
