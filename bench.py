@@ -138,6 +138,7 @@ HEADLINE = [
     "export_manifest",
     "dedup_substring",
     "dedup_substring_excise",
+    "multimodal_decode_errors",
 ]
 
 

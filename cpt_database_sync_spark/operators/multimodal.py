@@ -845,3 +845,78 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ph_lo",
         F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash"),
     )
+
+
+@register(
+    "multimodal_decode_errors",
+    oracle="""
+    SELECT
+      doc_id,
+      doc_id % 4 IN (0, 3) AS ok,
+      CASE doc_id % 4 WHEN 1 THEN 'corrupt'
+                      WHEN 2 THEN 'unsupported' END AS err_kind,
+      CASE WHEN doc_id % 4 IN (0, 3)
+           THEN CAST(1 + octet_length(encode(text)) % 64 AS INT) END AS width,
+      CASE WHEN doc_id % 4 IN (0, 3)
+           THEN CAST(1 + (octet_length(encode(text)) * 3) % 48 AS INT) END AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE media decode — the corrupt-input discipline
+    (``source_json_corrupt``) applied to the binary lane: at 100 TB a
+    media corpus ALWAYS contains truncated and mislabeled payloads, and
+    one bad byte string must quarantine a ROW, never kill the job. The
+    fixture plants a deterministic mix (doc_id mod 4): valid PNGs,
+    PNG-magic payloads truncated mid-IDAT ('corrupt'), and non-image
+    bytes ('unsupported'); the executor-side decode wraps
+    ``decode_image`` per payload and classifies failures by container
+    evidence (PNG magic present ⇒ corrupt, else unsupported) — the
+    classification is a deterministic function of the payload, NOT of
+    which exception class a particular truncation point raises, so the
+    oracle is closed-form SQL over doc_id. Successful rows carry real
+    decoded dimensions (the decoder genuinely ran); failed rows carry
+    the quarantine columns a re-drive pipeline filters on. Map-only
+    Arrow batches, same scale shape as the strict decoder."""
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    src = d.select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+    )
+
+    def decode_permissive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "ok": [], "err_kind": [], "width": [], "height": []
+        }
+        for pdf in batches:
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                n = int(n)
+                lane = doc_id % 4
+                if lane == 1:
+                    png = make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n)
+                    payload = png[: max(12, len(png) // 2)]  # mid-stream cut
+                elif lane == 2:
+                    payload = b"NOTANIMAGE" + bytes([n % 256]) * 16
+                else:
+                    payload = make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n)
+                try:
+                    m = decode_image(payload)
+                    ok, kind, w, h = True, None, m["width"], m["height"]
+                except Exception:
+                    ok, w, h = False, None, None
+                    kind = (
+                        "corrupt"
+                        if payload[:8] == _PNG_MAGIC
+                        else "unsupported"
+                    )
+                out["doc_id"].append(doc_id)
+                out["ok"].append(ok)
+                out["err_kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+        yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        decode_permissive,
+        schema="doc_id bigint, ok boolean, err_kind string, width int, height int",
+    )
