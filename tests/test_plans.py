@@ -986,3 +986,21 @@ def test_dedup_substring_plan_shape(spark, sf_dir):
     assert "partial_min" in plan and "partial_max" in plan, (
         "window-frequency agg is not map-side combined"
     )
+
+
+def test_dedup_substring_excise_plan_shape(spark, sf_dir):
+    """Same linear-pass contract as the detector, plus the kept-token
+    reassembly must be a map-only HOF projection (no per-token shuffle:
+    the only exchanges are the window-key agg and the per-doc position
+    collect)."""
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        dedup_substring_excise,
+    )
+
+    plan = plan_string(dedup_substring_excise(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "filter(" in plan and "concat_ws" in plan, (
+        "kept-token reassembly should be the index-aware filter HOF"
+    )
