@@ -72,6 +72,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> bool:
+        if self.nbits == 0:
+            self.acc = 0  # drop dead high bits: keeps acc a small int
         d = self.data
         if self.pos >= len(d):
             return False
