@@ -106,12 +106,16 @@ class _BitReader:
 
     def align_to_marker(self) -> int | None:
         """Discard partial byte, consume an RSTn marker if present;
-        returns the marker byte or None."""
+        returns the marker byte or None. 0xFF fill bytes before the
+        marker (T.81 B.1.1.2) are skipped."""
         self.acc = 0
         self.nbits = 0
         d = self.data
         while self.pos + 1 < len(d) and d[self.pos] == 0xFF:
             m = d[self.pos + 1]
+            if m == 0xFF:  # fill byte: the marker starts at the LAST 0xFF
+                self.pos += 1
+                continue
             if 0xD0 <= m <= 0xD7:
                 self.pos += 2
                 return m
@@ -156,6 +160,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while payload[i + 1] == 0xFF:  # fill bytes before the marker
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD8:
             i += 2
@@ -213,10 +219,21 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[3]):
+                # a scan covering a component subset means a multi-scan
+                # sequential file: decoding only the first scan would
+                # silently return a partial image
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG (scan covers a component subset)"
+                )
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in frame[3] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame[3] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
                 scan.append(
                     {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
                 )
@@ -230,6 +247,13 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     _, h, w, _ = frame
+    if len(scan) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit in raster order over the component's own
+        # block grid, and the frame's sampling factors do not shape the
+        # scan (a grayscale SOF may legally declare 0x22; libjpeg/PIL
+        # decode it as plain 8x8 raster, and so do we).
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -1345,9 +1345,30 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    removed = hit.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("i")).alias("rm"),
-        F.count(F.lit(1)).cast("long").alias("n_removed"),
+    # Removed positions compress into merged [s, e] INTERVALS (the same
+    # lag/run-id island pass the detector uses): each interval spans a
+    # ≥K-token excision, so the per-token membership test walks
+    # |removed|/K intervals instead of |removed| positions — for a
+    # boilerplate-heavy doc with half its tokens excised this is the
+    # difference between O(T·R) and O(T·R/K) in the reassembly HOF, and
+    # the island window rides the doc_id clustering the hit aggregation
+    # already shuffled into place.
+    wlag = Window.partitionBy("doc_id").orderBy("i")
+    runs = hit.withColumn(
+        "brk",
+        F.when(F.lag("i").over(wlag) == F.col("i") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ivs = runs.groupBy("doc_id", "run_id").agg(
+        F.min("i").alias("s"), F.max("i").alias("e")
+    )
+    removed = ivs.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("rm_ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
     )
     return (
         toks.join(removed, "doc_id", "left")
@@ -1356,8 +1377,9 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
             F.expr(
                 "concat_ws(' ', filter(t,"
-                " (x, i) -> rm IS NULL"
-                " OR NOT array_contains(rm, CAST(i + 1 AS BIGINT))))"
+                " (x, i) -> rm_ivs IS NULL OR NOT exists(rm_ivs,"
+                " iv -> CAST(i + 1 AS BIGINT) >= iv.s"
+                " AND CAST(i + 1 AS BIGINT) <= iv.e)))"
             ).alias("cleaned_text"),
         )
     )

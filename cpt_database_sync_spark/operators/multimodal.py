@@ -304,21 +304,34 @@ def decode_gif_pixels(payload: bytes) -> dict:
                     deinterlaced[y * fw : (y + 1) * fw] = idx[src : src + fw]
                     src += fw
             idx = deinterlaced
-        bg = ct[3 * bg_index : 3 * bg_index + 3] if gct is not None else b"\0\0\0"
-        out = bytearray(bg * (sw * sh))
-        for y in range(fh):
-            row = y * fw
-            o = ((top + y) * sw + left) * 3
-            for x in range(fw):
-                p = idx[row + x] * 3
-                out[o : o + 3] = ct[p : p + 3]
-                o += 3
+        import numpy as np  # noqa: PLC0415
+
+        # background index refers to the GLOBAL color table (the logical
+        # screen descriptor's), never a frame-local one; an out-of-range
+        # index (legal-but-meaningless in the wild) falls back to black
+        # instead of silently producing a short pixel buffer
+        if gct is not None and 3 * bg_index + 3 <= len(gct):
+            bg = gct[3 * bg_index : 3 * bg_index + 3]
+        else:
+            bg = b"\0\0\0"
+        # vectorized palette lookup + composite (this runs on executors
+        # inside the Arrow decode lane; a per-pixel Python loop was ~100x
+        # slower on large frames). Out-of-range pixel indices raise — a
+        # corrupt stream, same contract as the LZW decoder.
+        pal = np.frombuffer(bytes(ct), np.uint8)
+        pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
+        idx_arr = np.frombuffer(bytes(idx[: fw * fh]), np.uint8).reshape(fh, fw)
+        if int(idx_arr.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF pixel index outside color table")
+        screen = np.empty((sh, sw, 3), np.uint8)
+        screen[:] = np.frombuffer(bg, np.uint8)
+        screen[top : top + fh, left : left + fw] = pal[idx_arr]
         return {
             "width": sw,
             "height": sh,
             "channels": 3,
             "fmt": "gif",
-            "pixels": bytes(out),
+            "pixels": screen.tobytes(),
         }
     raise ValueError("GIF contains no image frame")
 

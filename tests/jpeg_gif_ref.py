@@ -218,20 +218,35 @@ def encode_jpeg_color_420(rgb: np.ndarray, dri: int = 0) -> bytes:
 # ----------------------------------------------------------------- GIF
 
 
-def encode_gif(indices: np.ndarray, palette: bytes, interlace: bool = False) -> bytes:
+def encode_gif(
+    indices: np.ndarray,
+    palette: bytes,
+    interlace: bool = False,
+    screen: tuple | None = None,
+    offset: tuple = (0, 0),
+    local_palette: bytes | None = None,
+    bg_index: int = 0,
+) -> bytes:
     """Minimal GIF89a writer: global color table + one frame, LZW stream
     written as literal codes with a CLEAR whenever the table would force
-    a width change (valid per spec, trivially correct)."""
+    a width change (valid per spec, trivially correct). ``screen`` larger
+    than the frame plus ``offset``/``local_palette``/``bg_index`` express
+    the background-compositing cases the decoder regression-tests pin."""
     h, w = indices.shape
+    sw, sh = screen if screen else (w, h)
+    left, top = offset
     npal = len(palette) // 3
     depth = max(2, (npal - 1).bit_length())
     pal = palette + b"\x00" * (3 * ((1 << depth) - npal))
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (depth - 1), bg_index, 0])
     out += pal
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
-    out += bytes([0x40 if interlace else 0x00])
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+    lct_flag = 0x80 if local_palette is not None else 0x00
+    out += bytes([lct_flag | (0x40 if interlace else 0x00) | ((depth - 1) if local_palette is not None else 0)])
+    if local_palette is not None:
+        out += local_palette + b"\x00" * (3 * (1 << depth) - len(local_palette))
     min_code = depth
     clear, eoi = 1 << depth, (1 << depth) + 1
     width = depth + 1

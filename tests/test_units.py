@@ -1606,3 +1606,65 @@ def test_rocksdb_state_store_provider_agrees_with_default(spark):
     assert any("rocksdb" in k.lower() for k in metrics), (
         f"no RocksDB metrics in progress: {sorted(metrics)[:5]}"
     )
+
+
+class TestDecodeRegressionPins:
+    """Pins for the three decoder bugs the r8 diff review confirmed."""
+
+    def test_jpeg_gray_with_nontrivial_sampling_decodes_raster(self):
+        """T.81 A.2.2: a single-component scan is non-interleaved — a
+        grayscale SOF legally declaring 2x2 sampling must decode exactly
+        like the 1x1 one (raster 8x8 blocks), not desync the huffman
+        stream into a 'corrupt' ValueError."""
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
+        from tests.jpeg_gif_ref import encode_jpeg_gray
+
+        img = np.random.default_rng(7).integers(0, 256, (24, 16), dtype=np.uint8)
+        payload = bytearray(encode_jpeg_gray(img))
+        i = payload.index(b"\xff\xc0")
+        assert payload[i + 11] == 0x11  # component sampling byte
+        ref = decode_jpeg_pixels(bytes(payload))
+        payload[i + 11] = 0x22
+        got = decode_jpeg_pixels(bytes(payload))
+        assert got["pixels"] == ref["pixels"]
+        assert (got["width"], got["height"]) == (16, 24)
+
+    def test_gif_out_of_range_background_index_full_buffer(self):
+        """bg_index past the color table must not shrink the pixel
+        buffer (previously returned len 12 for a 4x4 screen); it falls
+        back to black."""
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.multimodal import decode_gif_pixels
+        from tests.jpeg_gif_ref import encode_gif
+
+        idx = np.zeros((2, 2), dtype=np.uint8)
+        payload = encode_gif(
+            idx, bytes(range(12)), screen=(4, 4), bg_index=200
+        )
+        d = decode_gif_pixels(payload)
+        assert len(d["pixels"]) == 4 * 4 * 3
+        # uncovered screen area is black fallback
+        assert d["pixels"][-3:] == b"\x00\x00\x00"
+
+    def test_gif_background_uses_global_not_local_table(self):
+        """The logical-screen background index addresses the GLOBAL
+        color table even when the frame carries a local one."""
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.multimodal import decode_gif_pixels
+        from tests.jpeg_gif_ref import encode_gif
+
+        gct = bytes([0, 0, 0, 10, 10, 10, 20, 20, 20, 255, 255, 255])
+        lct = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+        idx = np.full((2, 2), 1, dtype=np.uint8)  # frame pixels = LCT[1]
+        payload = encode_gif(
+            idx, gct, screen=(4, 4), offset=(1, 1),
+            local_palette=lct, bg_index=3,
+        )
+        d = decode_gif_pixels(payload)
+        px = np.frombuffer(d["pixels"], np.uint8).reshape(4, 4, 3)
+        assert tuple(px[0, 0]) == (255, 255, 255), "background must be GCT[3]"
+        assert tuple(px[1, 1]) == (2, 2, 2), "frame pixels use the local table"
