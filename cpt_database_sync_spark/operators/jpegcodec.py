@@ -160,8 +160,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker expected")
-        while payload[i + 1] == 0xFF:  # fill bytes before the marker
-            i += 1
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1  # fill bytes before the marker (B.1.1.2)
+        if i + 4 > len(payload):
+            raise ValueError("truncated JPEG header")
         marker = payload[i + 1]
         if marker == 0xD8:
             i += 2

@@ -1108,6 +1108,25 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def consecutive_runs(df, ord_col: str):
+    """Island detection shared by the substring detector and excisor:
+    adds ``run_id`` grouping consecutive integer values of ``ord_col``
+    within each doc (lag-equality break flags folded by a running sum —
+    the scd2_intervals pattern). Runs on the doc_id clustering its
+    callers' upstream aggregation already shuffled into place."""
+    w = Window.partitionBy("doc_id").orderBy(ord_col)
+    return df.withColumn(
+        "brk",
+        F.when(
+            F.lag(ord_col).over(w) == F.col(ord_col) - 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 SUBSTRING_SPAN_TOKENS = 12  # minimum repeated-span length, in tokens
 
 _SUBSTRING_SQL = f"""
@@ -1213,17 +1232,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win")
     )
     hit = w.join(rep, "win").select("doc_id", "pos")
-    wlag = Window.partitionBy("doc_id").orderBy("pos")
-    runs = hit.withColumn(
-        "brk",
-        F.when(F.lag("pos").over(wlag) == F.col("pos") - 1, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    ).withColumn(
-        "run_id",
-        F.sum("brk").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = runs.groupBy("doc_id", "run_id").agg(
+    spans = consecutive_runs(hit, "pos").groupBy("doc_id", "run_id").agg(
         F.min("pos").alias("start_tok"),
         (F.max("pos") + K - 1).alias("end_tok"),
     )
@@ -1353,17 +1362,7 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # difference between O(T·R) and O(T·R/K) in the reassembly HOF, and
     # the island window rides the doc_id clustering the hit aggregation
     # already shuffled into place.
-    wlag = Window.partitionBy("doc_id").orderBy("i")
-    runs = hit.withColumn(
-        "brk",
-        F.when(F.lag("i").over(wlag) == F.col("i") - 1, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    ).withColumn(
-        "run_id",
-        F.sum("brk").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    ivs = runs.groupBy("doc_id", "run_id").agg(
+    ivs = consecutive_runs(hit, "i").groupBy("doc_id", "run_id").agg(
         F.min("i").alias("s"), F.max("i").alias("e")
     )
     removed = ivs.groupBy("doc_id").agg(

@@ -325,7 +325,15 @@ def decode_gif_pixels(payload: bytes) -> dict:
             raise ValueError("GIF pixel index outside color table")
         screen = np.empty((sh, sw, 3), np.uint8)
         screen[:] = np.frombuffer(bg, np.uint8)
-        screen[top : top + fh, left : left + fw] = pal[idx_arr]
+        # clip frames extending past the logical screen (wild GIFs from
+        # buggy encoders declare this; PIL clips, so the pure path must
+        # match rather than raise a numpy broadcast error)
+        fh_c = min(fh, sh - top)
+        fw_c = min(fw, sw - left)
+        if fh_c > 0 and fw_c > 0:
+            screen[top : top + fh_c, left : left + fw_c] = pal[
+                idx_arr[:fh_c, :fw_c]
+            ]
         return {
             "width": sw,
             "height": sh,

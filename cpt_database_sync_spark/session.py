@@ -99,7 +99,7 @@ def get_spark(
 # (it recomputes), just slower, and 16 comfortably covers every
 # harness's working set.
 _BOUNDED_CACHES: dict = {}  # insertion/recency-ordered (dict is ordered)
-_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_CACHE_CAP", "16"))
+_CACHE_CAP = max(1, int(os.environ.get("SPARK_GRAFT_CACHE_CAP", "16")))
 
 
 def _same_plan(a, b) -> bool:

@@ -235,6 +235,12 @@ def encode_gif(
     h, w = indices.shape
     sw, sh = screen if screen else (w, h)
     left, top = offset
+    # depth / size fields / LZW min-code all derive from the GLOBAL
+    # palette; a differently-sized local table would be written with the
+    # wrong declared size and padding
+    assert local_palette is None or len(local_palette) == len(palette), (
+        "local_palette must have the same entry count as palette"
+    )
     npal = len(palette) // 3
     depth = max(2, (npal - 1).bit_length())
     pal = palette + b"\x00" * (3 * ((1 << depth) - npal))
