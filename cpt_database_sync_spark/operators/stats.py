@@ -346,14 +346,23 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     if lo is None:  # every value NULL (or table empty): no domain to bin
         return hist_empty_result(spark)
     lo, hi = float(lo), float(hi)
-    span = hi - lo
     hist = (
         ev.select("event_type", hist_bin_col(lo, hi).alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return hist_quantile_finalize(hist, lo, hi)
+
+
+def hist_quantile_finalize(hist, lo: float, hi: float):
+    """CDF walk + p50/p95/p99 extraction over a (event_type, bin, cnt)
+    histogram — shared by ``quantile_histogram`` and its streaming twin
+    (the ``psi_finalize`` discipline: one finalizer, two maintainers, so
+    a quantile-edge fix cannot silently apply to only one variant).
+    Estimates are bin-edge arithmetic on exact integer counts."""
     from pyspark.sql import Window  # noqa: PLC0415
 
+    span = hi - lo
     w_cum = Window.partitionBy("event_type").orderBy("bin")
     w_all = Window.partitionBy("event_type")
     cdf = hist.select(
@@ -371,6 +380,7 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"est_p{int(q * 100)}")
         )
     return cdf.groupBy("event_type").agg(*aggs)
+
 
 
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")

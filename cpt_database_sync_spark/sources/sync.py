@@ -251,7 +251,15 @@ def merge_statement(
     qt = quote_identifier(target, quote)
     qs = quote_identifier(source, quote)
     qcols = {c: quote_identifier(c, quote) for c in columns}
-    on = " AND ".join(f"T.{qcols[k]} = S.{qcols[k]}" for k in key_columns)
+    # null-safe key match: plain equality never matches NULL keys, so a
+    # NULL-keyed group (e.g. a groupBy key that can be NULL upstream)
+    # would INSERT a fresh duplicate row every micro-batch instead of
+    # updating its one serving row (r8 review)
+    on = " AND ".join(
+        f"(T.{qcols[k]} = S.{qcols[k]}"
+        f" OR (T.{qcols[k]} IS NULL AND S.{qcols[k]} IS NULL))"
+        for k in key_columns
+    )
     non_keys = [c for c in columns if c not in key_columns]
     ins_cols = ", ".join(qcols[c] for c in columns)
     ins_vals = ", ".join(f"S.{qcols[c]}" for c in columns)
@@ -304,7 +312,11 @@ def merge_cdc_statement(
     data_cols = [c for c in columns if c != op_column]
     qcols = {c: quote_identifier(c, quote) for c in columns}
     qop = quote_identifier(op_column, quote)
-    on = " AND ".join(f"T.{qcols[k]} = S.{qcols[k]}" for k in key_columns)
+    on = " AND ".join(
+        f"(T.{qcols[k]} = S.{qcols[k]}"
+        f" OR (T.{qcols[k]} IS NULL AND S.{qcols[k]} IS NULL))"
+        for k in key_columns
+    )
     non_keys = [c for c in data_cols if c not in key_columns]
     ins_cols = ", ".join(qcols[c] for c in data_cols)
     ins_vals = ", ".join(f"S.{qcols[c]}" for c in data_cols)
@@ -316,7 +328,10 @@ def merge_cdc_statement(
         f"MERGE INTO {qt} AS T USING {qs} AS S ON {on} "
         f"WHEN MATCHED AND S.{qop} = '{delete_op}' THEN DELETE "
         f"{update}"
-        f"WHEN NOT MATCHED AND S.{qop} <> '{delete_op}' "
+        # op IS NULL reads as upsert: <> alone evaluates to NULL for a
+        # NULL marker, silently discarding the row's INSERT arm while
+        # the UPDATE arm (no op guard) still applied it (r8 review)
+        f"WHEN NOT MATCHED AND (S.{qop} <> '{delete_op}' OR S.{qop} IS NULL) "
         f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
@@ -331,19 +346,22 @@ def jdbc_cdc_batch(
     props: dict | None = None,
     varchar_lengths: dict[str, int] | None = None,
     flavor: str = "ansi",
+    fold: bool | None = None,
 ) -> None:
     """Apply one CDC (micro-)batch — upserts + deletes — to a JDBC
     target: distributed append into a staging table (op column included),
     ONE set-based merge_cdc_statement, drop staging. Same scale shape as
     jdbc_upsert_batch: executors move the data, the driver sends exactly
-    one statement per batch."""
+    one statement per batch; ``fold`` lets per-batch callers probe the
+    target's identifier folding once per stream."""
     from cpt_database_sync_spark.sources.identifiers import (
         fold_case,
         quote_identifier,
         stores_upper_case,
     )
 
-    fold = stores_upper_case(spark, url)
+    if fold is None:
+        fold = stores_upper_case(spark, url)
     staging = f"{table}_stage"
     jdbc_sync_table(
         spark, batch_df, url, staging, props=props,
@@ -369,6 +387,7 @@ def jdbc_upsert_batch(
     props: dict | None = None,
     varchar_lengths: dict[str, int] | None = None,
     flavor: str = "ansi",
+    fold: bool | None = None,
 ) -> None:
     """Upsert one (micro-)batch into a JDBC target: distributed append
     into a staging table, one set-based MERGE, drop staging.
@@ -377,7 +396,10 @@ def jdbc_upsert_batch(
     INSERT … ON DUPLICATE KEY UPDATE loop (`sync/JdbcPageSink.java:81-104`)
     at cluster scale: executors write the staging rows in parallel
     (batchsize-batched), and the target's engine applies the merge
-    set-wise instead of row-at-a-time through the driver.
+    set-wise instead of row-at-a-time through the driver. ``fold`` lets
+    a per-batch caller (serve_keyed_stream) probe the target's
+    identifier folding ONCE instead of opening a metadata connection
+    every micro-batch.
     """
     from cpt_database_sync_spark.sources.identifiers import (
         fold_case,
@@ -385,7 +407,8 @@ def jdbc_upsert_batch(
         stores_upper_case,
     )
 
-    fold = stores_upper_case(spark, url)
+    if fold is None:
+        fold = stores_upper_case(spark, url)
     staging = f"{table}_stage"
     jdbc_sync_table(
         spark, batch_df, url, staging, props=props,
@@ -433,10 +456,11 @@ def sync_database(
         return dict(pool.map(copy_one, list_tables(spark, sf_dir)))
 
 
-_ALL_FIXTURE_TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+from cpt_database_sync_spark.sources.tables import ALL_TABLES as _ALL_FIXTURE_TABLES
+
+# (was a hand-maintained copy of the same list — sync_database copies
+# list_tables() == tables.ALL_TABLES, so the oracle must enumerate the
+# identical set or a table added in one place silently diverges)
 
 _SYNC_DB_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
@@ -697,14 +721,21 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fingerprint(df: DataFrame) -> DataFrame:
+        # per-field NULL sentinel: concat_ws SKIPS nulls, so without it a
+        # value shifting between adjacent nullable fields (value=5,
+        # props=NULL vs value=NULL, props='5') fingerprints identically
+        # and mangled rows audit as 'match' (r8 review)
+        def canon(c: str):
+            return F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+
         payload = F.sha2(
             F.concat_ws(
                 "\x1f",
-                F.col("ts").cast("string"),
-                F.col("user_id").cast("string"),
-                "event_type",
-                F.col("value").cast("string"),
-                "props",
+                canon("ts"),
+                canon("user_id"),
+                canon("event_type"),
+                canon("value"),
+                canon("props"),
             ),
             256,
         )

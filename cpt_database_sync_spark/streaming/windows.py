@@ -340,18 +340,26 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication under a watermark: first occurrence per
     (user, event_type, day). Selecting only the key columns makes the
     streamed output equal batch DISTINCT — deterministic and
-    oracle-checkable. dropDuplicates state is bounded by the watermark on
-    a real unbounded source."""
+    oracle-checkable. Uses ``dropDuplicatesWithinWatermark``: the plain
+    variant with a non-event-time subset builds NO eviction predicate
+    (day is an Alias over date_trunc and carries no event-time metadata),
+    so its state would grow with key-space history despite the watermark
+    (r8 review); the Within variant evicts a key one watermark-delay
+    after last sight, so the delay must cover the KEY's lifetime — 25
+    hours here, a day-grain key's duplicates all arrive while its day
+    (plus late-arrival slack) is live. Contrast stream_dedup_delivery:
+    event_id-grain replays arrive within minutes, so its delay is 10
+    minutes and its state horizon correspondingly tiny."""
     ev = events_stream(spark, sf_dir)
     keys = (
-        ev.withWatermark("ts", "10 minutes")
+        ev.withWatermark("ts", "25 hours")
         .select(
             "user_id",
             "event_type",
             F.date_trunc("day", "ts").alias("day"),
             F.col("ts"),
         )
-        .dropDuplicates(["user_id", "event_type", "day"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
         .select("user_id", "event_type", "day")
     )
     return run_to_table(keys, "append")
@@ -367,15 +375,21 @@ def stream_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     any row lost, doubled, or mixed between copies breaks identity.
 
     State is one entry per key within the watermark horizon — bounded on
-    an unbounded source; at 100 TB the dedup state shards across the
-    state store by key exactly like the aggregation stores.
+    an unbounded source BECAUSE this uses ``dropDuplicatesWithinWatermark``:
+    plain ``dropDuplicates`` with a non-event-time subset builds no
+    eviction predicate at all (the watermark silently does nothing and
+    state grows with key-space history — r8 review). The Within variant's
+    contract matches at-least-once delivery exactly: replays arrive
+    within the delivery window, i.e. the watermark delay. At 100 TB the
+    dedup state shards across the state store by key exactly like the
+    aggregation stores.
     """
     a = events_stream(spark, sf_dir)
     b = events_stream(spark, sf_dir)
     deduped = (
         a.unionByName(b)
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     return run_to_table(deduped, "append")
 
@@ -424,18 +438,27 @@ def serve_keyed_stream(
     ckpt_dir = f"{scratch_root}/{os.path.basename(workdir)}/ckpt"
     created = False
 
+    # probe the target's identifier folding ONCE for the stream's
+    # lifetime — the URL is fixed, so re-reading DatabaseMetaData every
+    # micro-batch was a pure per-batch driver round-trip (r8 review)
+    from cpt_database_sync_spark.sources.identifiers import (  # noqa: PLC0415
+        stores_upper_case,
+    )
+
+    fold = stores_upper_case(spark, url)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal created
         if not created:
             # empty CREATE once; every batch thereafter is a pure MERGE
             jdbc_sync_table(
                 spark, batch_df.limit(0), url, table,
-                varchar_lengths=varchar_lengths, flavor="ansi",
+                varchar_lengths=varchar_lengths, flavor="ansi", fold=fold,
             )
             created = True
         jdbc_upsert_batch(
             spark, batch_df, url, table, key_cols,
-            varchar_lengths=varchar_lengths, flavor="ansi",
+            varchar_lengths=varchar_lengths, flavor="ansi", fold=fold,
         )
 
     writer = (
@@ -450,10 +473,17 @@ def serve_keyed_stream(
         q = writer.start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    q.awaitTermination()
-    progresses = list(q.recentProgress)
-    q.stop()
-    shutil.rmtree(f"{scratch_root}/{os.path.basename(workdir)}", ignore_errors=True)
+    try:
+        q.awaitTermination()
+        progresses = list(q.recentProgress)
+    finally:
+        # a failed query must not leak its mkdtemp-named tmpfs checkpoint
+        # (nothing sweeps these by prefix — the run_to_table hardening,
+        # applied to this path too)
+        q.stop()
+        shutil.rmtree(
+            f"{scratch_root}/{os.path.basename(workdir)}", ignore_errors=True
+        )
     if not created:
         # zero micro-batches: the serving table was never created
         return stream_df.sparkSession.createDataFrame([], stream_df.schema), progresses
@@ -557,10 +587,9 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_histogram`` (same oracle).
     """
     from cpt_database_sync_spark.operators.stats import (  # noqa: PLC0415
-        HIST_BINS,
-        HIST_QS,
         hist_bin_col,
         hist_empty_result,
+        hist_quantile_finalize,
     )
     from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
 
@@ -572,7 +601,6 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     if lo is None:  # every value NULL (or table empty): no domain to bin
         return hist_empty_result(spark)
     lo, hi = float(lo), float(hi)
-    span = hi - lo
     ev = events_stream(spark, sf_dir)
     hist_stream = (
         ev.withWatermark("ts", "10 minutes")
@@ -587,23 +615,7 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_qhist_",
         varchar_lengths={"event_type": 40},
     )
-    w_cum = Window.partitionBy("event_type").orderBy("bin")
-    w_all = Window.partitionBy("event_type")
-    cdf = hist.select(
-        "event_type",
-        "bin",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    aggs = [F.max("n").cast("bigint").alias("n")]
-    for q in HIST_QS:
-        bin_q = F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin")))
-        aggs.append(
-            (F.lit(lo) + (bin_q + 1) * span / HIST_BINS)
-            .cast("double")
-            .alias(f"est_p{int(q * 100)}")
-        )
-    return cdf.groupBy("event_type").agg(*aggs)
+    return hist_quantile_finalize(hist, lo, hi)
 
 
 @register(

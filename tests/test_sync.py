@@ -213,3 +213,70 @@ def test_stream_checkpoint_processes_only_new_files(spark, sf_dir):
     run_once()
     assert spark.read.parquet(out).count() == 130
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_jdbc_merge_null_key_upserts_one_row(spark):
+    """NULL-safe MERGE keys (r8 review): a NULL-keyed group must hold
+    exactly ONE serving row across repeated upsert batches — plain
+    equality never matches NULL, which inserted a fresh duplicate per
+    micro-batch."""
+    import os
+
+    from cpt_database_sync_spark.sources.sync import (
+        jdbc_reader,
+        jdbc_sync_table,
+        jdbc_upsert_batch,
+        sweep_scratch,
+    )
+
+    sweep_scratch("nullkey_", spark)
+    workdir = os.path.join(scratch_dir(), "nullkey_db")
+    shutil.rmtree(workdir, ignore_errors=True)
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    df1 = spark.createDataFrame(
+        [(None, 1.0), (7, 2.0)], "k INT, v DOUBLE"
+    )
+    jdbc_sync_table(spark, df1.limit(0), url, "serving", flavor="ansi")
+    jdbc_upsert_batch(spark, df1, url, "serving", ["k"], flavor="ansi")
+    df2 = spark.createDataFrame(
+        [(None, 9.0), (7, 8.0)], "k INT, v DOUBLE"
+    )
+    jdbc_upsert_batch(spark, df2, url, "serving", ["k"], flavor="ansi")
+    back = {
+        r[0]: r[1]
+        for r in jdbc_reader(spark, url, "serving").collect()
+    }
+    assert back == {None: 9.0, 7: 8.0}, back
+
+
+def test_jdbc_cdc_null_op_row_inserts(spark):
+    """NULL op marker reads as upsert on BOTH arms (r8 review): the
+    INSERT arm's `op <> 'D'` alone evaluates to NULL for a NULL marker,
+    silently discarding new-key rows while existing keys still updated.
+    Drives merge_cdc_statement directly over SQL (Spark's JDBC writer
+    cannot ship NULL strings into Derby VARCHAR, which is a writer
+    limitation, not a MERGE one)."""
+    import os
+
+    from cpt_database_sync_spark.sources.sync import (
+        _execute_jdbc,
+        jdbc_reader,
+        merge_cdc_statement,
+        sweep_scratch,
+    )
+
+    sweep_scratch("nullop_", spark)
+    workdir = os.path.join(scratch_dir(), "nullop_db")
+    shutil.rmtree(workdir, ignore_errors=True)
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    _execute_jdbc(spark, url, [
+        'CREATE TABLE "T" ("K" INT, "V" DOUBLE)',
+        'INSERT INTO "T" VALUES (1, 10.0), (3, 30.0)',
+        'CREATE TABLE "S" ("K" INT, "V" DOUBLE, "OP" VARCHAR(4))',
+        "INSERT INTO \"S\" VALUES (1, 11.0, NULL), (2, 20.0, NULL), (3, 33.0, 'D')",
+    ])
+    sql = merge_cdc_statement("T", "S", ["K", "V", "OP"], ["K"], "OP")
+    _execute_jdbc(spark, url, [sql])
+    back = {r[0]: r[1] for r in jdbc_reader(spark, url, "T").collect()}
+    # NULL-op rows upsert on both arms; 'D' deletes
+    assert back == {1: 11.0, 2: 20.0}, back
