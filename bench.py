@@ -238,6 +238,52 @@ def run_worker(shard: int, n_shards: int, out_path: str) -> None:
     spark.stop()
 
 
+LINE_BUDGET = 1900  # chars; the driver keeps only the last ~2000 of stdout
+
+
+def headline_line(
+    timings: dict[str, float],
+    total: float,
+    total_median: float,
+    trials: int,
+    sf: float,
+    fixture_hash: str,
+) -> str:
+    """The ONE printed JSON line, guaranteed ≤ LINE_BUDGET chars.
+
+    The driver snapshots only the LAST ~2000 chars of stdout and parses
+    the JSON line out of that tail: r5 and r7 printed the full per-query
+    dict (~2.8 KB once the headline grew past ~100 queries), the line's
+    HEAD fell off the tail window, and the driver recorded parsed=null —
+    those rounds have no machine-readable bench at all. Emit per-query
+    timings slowest-first and stop adding entries before the line
+    overflows; the complete map lives in BENCH_DETAIL.json either way
+    (``n_queries`` vs ``len(queries)`` shows how many were elided).
+    """
+    base = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "total_median": total_median,
+        "trials": trials,
+        "sf": sf,
+        "fixture": fixture_hash,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(base, separators=(",", ":"))
+    kept: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(json.dumps({k: v}, separators=(",", ":"))) + 1
+        if len(line) + cost > LINE_BUDGET:
+            break
+        kept[k] = v
+        base["queries"] = kept
+        line = json.dumps(base, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     import subprocess  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -296,17 +342,7 @@ def main() -> None:
     ) as f:
         json.dump(detail, f, indent=1)
     print(
-        json.dumps(
-            {
-                "value": total,
-                "queries": timings,
-                "total_median": total_median,
-                "trials": trials,
-                "sf": float(sf),
-                "fixture": fixture["hash"],
-            },
-            separators=(",", ":"),
-        )
+        headline_line(timings, total, total_median, trials, float(sf), fixture["hash"])
     )
 
 

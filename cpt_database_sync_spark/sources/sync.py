@@ -26,10 +26,40 @@ from pyspark.sql import functions as F
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.sources.tables import load
 
+_scratch_reaped = False
+
+
 def scratch_dir() -> str:
-    """Engine scratch space, kept inside the repo tree (gitignored)."""
-    d = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    """Engine scratch space, kept inside the repo tree (gitignored).
+
+    Namespaced PER PROCESS (``p<pid>/``): the scratch holds mkdtemp'd
+    sink targets, embedded Derby databases, and fixed-name format
+    fixtures — a shared root let one process's ``sweep_scratch`` /
+    ``derby_shutdown`` destroy another live process's working state
+    (observed as a one-off parity failure while pytest ran
+    concurrently). Dead processes' namespaces are reaped once at this
+    process's first call; a dead owner means no live file handles or
+    Derby page caches, so plain rmtree is safe there.
+    """
+    global _scratch_reaped
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    d = os.path.join(root, f"p{os.getpid()}")
     os.makedirs(d, exist_ok=True)
+    if not _scratch_reaped:
+        _scratch_reaped = True
+        for name in os.listdir(root):
+            if not name.startswith("p") or name == f"p{os.getpid()}":
+                continue
+            try:
+                pid = int(name[1:])
+            except ValueError:
+                continue
+            try:
+                os.kill(pid, 0)  # alive (or not ours): leave it be
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            except PermissionError:
+                pass
     return d
 
 

@@ -85,9 +85,25 @@ def main():
     from cpt_database_sync_spark.session import get_spark
     from cpt_database_sync_spark.sources.tables import ALL_TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if vanilla:
+        # Mirror the DRIVER: a plain SparkSession with none of the engine's
+        # session.py configs (default 200 shuffle partitions, no pinned TZ —
+        # machine TZ is UTC, matching the driver host). Any key whose result
+        # depends on partition count / task order / session conf fails HERE
+        # before it fails in a driver rotation.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("parity-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in ALL_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -1699,3 +1699,28 @@ def test_bounded_cache_global_lru_cap(spark):
                 S._BOUNDED_CACHES.pop(k).unpersist()
             except Exception:
                 pass
+
+
+def test_bench_headline_line_fits_driver_tail():
+    """The driver keeps only the last ~2000 chars of bench stdout; r5/r7
+    printed a full per-query dict that overflowed the window and were
+    recorded parsed=null. The line formatter must always fit the budget,
+    keep the slowest queries (the graded ones), stay parseable, and keep
+    everything when the registry is small."""
+    import json as _json
+
+    import bench
+
+    timings = {f"query_{i:03d}_with_a_longish_name": round(0.1 + i * 0.037, 3)
+               for i in range(150)}
+    line = bench.headline_line(timings, 99.9, 120.0, 3, 0.1, "abcdef123456")
+    assert len(line) <= bench.LINE_BUDGET
+    d = _json.loads(line)
+    assert d["metric"] == "headline_queries_total_runtime"
+    assert d["unit"] == "sec" and d["value"] == 99.9
+    assert d["n_queries"] == 150 and 0 < len(d["queries"]) < 150
+    slowest = max(timings, key=timings.get)
+    assert slowest in d["queries"], "slowest query must survive truncation"
+
+    small = bench.headline_line({"a": 1.0, "b": 2.0}, 3.0, 3.0, 3, 0.01, "x")
+    assert len(_json.loads(small)["queries"]) == 2
