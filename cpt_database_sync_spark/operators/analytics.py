@@ -1637,7 +1637,9 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(viewed)).select(
         F.col("n_viewed").cast("bigint").alias("n_viewed"),
         F.col("n_converted").cast("bigint").alias("n_converted"),
-        (F.col("n_converted").cast("double") / F.col("n_viewed")).alias(
+        # try_divide: zero viewers (empty input) must yield NULL like the
+        # oracle's x/0, not an ANSI DIVIDE_BY_ZERO abort
+        F.try_divide(F.col("n_converted").cast("double"), F.col("n_viewed")).alias(
             "conv_rate"
         ),
         (F.col("p50_us") / F.lit(1e6)).alias("p50_latency_s"),

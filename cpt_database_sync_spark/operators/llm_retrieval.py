@@ -139,6 +139,10 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(BM25_QUERY_TERMS))
         ],
     ).collect()[0]
+    if not stats["n"] or stats["avgdl"] is None:
+        # empty corpus: no documents, no scores — and no avgdl to fold
+        # into the literal scoring expression
+        return spark.createDataFrame([], "doc_id bigint, score double, rn int")
     n, avgdl = float(stats["n"]), float(stats["avgdl"])
     score = None
     for i in range(len(BM25_QUERY_TERMS)):

@@ -309,6 +309,11 @@ def _ivf_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
         .collect()  # NLIST rows — scalar-sized driver literal, like kmeans
     )
+    if not cent_rows:
+        # empty corpus: no centroids exist, so there is no index and no
+        # result — callers return the empty top-k frame (an empty literal
+        # array would type as array<void> and fail analysis)
+        return None, None
     ranks = _ivf_cell_ranks(cent_rows)
     assign = emb.select(
         F.col("vec_id").alias("n_id"),
@@ -348,6 +353,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells' files (partition pruning), no corpus shuffle ever.
     """
     assign, probes = _ivf_parts(spark, sf_dir)
+    if assign is None:
+        return _empty_topk(spark)
     scored = (
         F.broadcast(probes)
         .join(assign, "c_id")
@@ -355,6 +362,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", dot(F.col("qe"), F.col("ce_vec")) / (F.col("qn") * F.col("cn")))
     )
     return _ivf_topk(scored)
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """The empty-corpus result of every IVF variant: the top-k schema
+    with zero rows (matches the oracles, which also yield nothing)."""
+    return spark.createDataFrame([], "q_id bigint, n_id bigint, rn int, sim double")
 
 
 def _ivf_topk(scored: DataFrame) -> DataFrame:
@@ -406,6 +419,8 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lean on an implicit join-key cast).
     """
     assign, probes = _ivf_parts(spark, sf_dir)
+    if assign is None:
+        return _empty_topk(spark)
     out = _materialize_index(sf_dir, "ivf_index", lambda: assign)
     idx = (
         spark.read.schema("n_id bigint, ce_vec array<double>, cn double, c_id bigint")
@@ -507,6 +522,8 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpt_database_sync_spark.sources.sync import scratch_dir  # noqa: PLC0415
 
     assign, probes = _ivf_parts(spark, sf_dir)
+    if assign is None:
+        return _empty_topk(spark)
     lims_dir = os.path.join(
         scratch_dir(), "ivf_pq_lims", os.path.basename(sf_dir.rstrip("/"))
     )
@@ -752,6 +769,9 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
         .collect()
     )
+    if not cent_rows:
+        # empty corpus: no seed centroids, nothing to cluster
+        return spark.createDataFrame([], "vec_id bigint, cid bigint")
 
     def centroid_literal(rows) -> Column:
         return F.array(

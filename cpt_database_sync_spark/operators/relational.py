@@ -515,11 +515,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (grouping sets): per-(flag,status), per-flag, and
-    grand totals in one pass (Expand operator, single shuffle)."""
+    grand totals in one pass (Expand operator, single shuffle).
+
+    ANSI edge: on EMPTY input SQL's ROLLUP still yields the () grouping
+    set — one global row with COUNT 0 — but Spark's rollup yields zero
+    rows (verified against Spark 4.1). The isEmpty probe (reads at most
+    one row, any scale) routes the empty case to an explicit global
+    aggregation, which Spark does handle per ANSI."""
     li = load(spark, sf_dir, "lineitem")
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    ]
+    if li.isEmpty():
+        return li.groupBy().agg(*agg_cols).select(
+            F.lit("ALL").alias("returnflag"),
+            F.lit("ALL").alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty"))
+        .agg(*agg_cols)
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -1021,4 +1038,18 @@ def grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpt_database_sync_spark.plans.sqlfront import register_views  # noqa: PLC0415
 
     register_views(spark, sf_dir)
+    if load(spark, sf_dir, "lineitem").isEmpty():
+        # ANSI: GROUPING SETS (..., ()) over empty input still emits the
+        # ()-set row (both flags 1, COUNT 0); Spark emits zero rows — the
+        # rollup_cube divergence. Route to the explicit global aggregate.
+        return spark.sql("""
+            SELECT
+              CAST(NULL AS STRING) AS l_returnflag,
+              CAST(NULL AS STRING) AS l_linestatus,
+              1 AS is_total_flag,
+              1 AS is_total_status,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+        """)
     return spark.sql(_GROUPING_SQL)

@@ -135,14 +135,21 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("val").cast("long").alias("n_distinct"),
         F.approx_count_distinct("val", rsd=PROFILE_RSD).alias("ad"),
     )
-    return prof.select(
+    # Profile ONTO the static column spine: a groupBy over an empty table
+    # loses its groups, but "profile these 5 columns" must still answer
+    # one zero-count row per column (ANSI: the oracle's per-column global
+    # aggregates do). The spine is a 5-row literal — broadcast, free.
+    spine = spark.createDataFrame([(c,) for c in _PROFILE_COLS], "column string")
+    zero = F.lit(0).cast("long")
+    return spine.join(prof, "column", "left").select(
         "column",
-        "n_rows",
-        "n_null",
-        "n_distinct",
-        (F.abs(F.col("ad") - F.col("n_distinct")) <= F.col("n_distinct") * tol).alias(
-            "approx_ok"
-        ),
+        F.coalesce("n_rows", zero).alias("n_rows"),
+        F.coalesce("n_null", zero).alias("n_null"),
+        F.coalesce("n_distinct", zero).alias("n_distinct"),
+        (
+            F.abs(F.coalesce(F.col("ad"), zero) - F.coalesce(F.col("n_distinct"), zero))
+            <= F.coalesce(F.col("n_distinct"), zero) * tol
+        ).alias("approx_ok"),
     )
 
 

@@ -177,8 +177,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # explicit schema: a partitioned write of an EMPTY frame leaves no
+    # data files or directories, and schema inference then fails on the
+    # bare _SUCCESS marker; stating the schema also skips footer
+    # inference on the happy path (partition values still come from the
+    # directory names).
     return (
-        spark.read.parquet(out)
+        spark.read.schema(src.schema).parquet(out)
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
@@ -272,6 +277,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM documents
+    GROUP BY file_name
     """,
 )
 def file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,16 +375,15 @@ def partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _fmt_dir("events_by_day")
     ev = load(spark, sf_dir, "events")
-    (
-        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(out)
-    )
+    by_day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    by_day.write.mode("overwrite").partitionBy("day").parquet(out)
     for name in os.listdir(out):
         if name.startswith("day=") and name[4:] < RETENTION_CUTOFF_DAY:
             shutil.rmtree(os.path.join(out, name))
-    return spark.read.parquet(out).select(
+    # explicit schema — see sink_partitioned: an empty partitioned write
+    # (or a retention pass that dropped EVERY partition) leaves nothing
+    # to infer from, and that read must yield an empty frame, not fail.
+    return spark.read.schema(by_day.schema).parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
@@ -519,8 +524,9 @@ _CORRUPT_SQL = """
     FROM parsed GROUP BY lang
     UNION ALL
     SELECT 'corrupt', CAST(NULL AS VARCHAR),
-           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
-                AS BIGINT)
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE doc_id % 10 = 0
+    HAVING COUNT(*) > 0
 """
 
 
@@ -714,7 +720,10 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(dim_dir)
     )
-    fact = spark.read.parquet(fact_dir)
+    # explicit schema — see sink_partitioned: empty partitioned writes
+    # leave nothing for inference (the dim's plain write always leaves a
+    # schema-bearing part file, so only the fact needs it).
+    fact = spark.read.schema(orders.schema).parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("era") == "current")
     return (
         fact.join(dim, "o_year")

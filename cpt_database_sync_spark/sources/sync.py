@@ -614,11 +614,15 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     hi = src.agg(F.max("c_custkey")).collect()[0][0]
-    back = jdbc_reader(
-        spark, url, "customer_rt",
-        partition_column="C_CUSTKEY", lower_bound=0,
-        upper_bound=int(hi) + 1, num_partitions=8,
-    )
+    if hi is None:
+        # empty source: no key range to partition the read-back over
+        back = jdbc_reader(spark, url, "customer_rt")
+    else:
+        back = jdbc_reader(
+            spark, url, "customer_rt",
+            partition_column="C_CUSTKEY", lower_bound=0,
+            upper_bound=int(hi) + 1, num_partitions=8,
+        )
     return lowercase_columns(back).select(*src.columns)
 
 

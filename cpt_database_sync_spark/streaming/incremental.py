@@ -118,6 +118,11 @@ def incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_append(spark, phase1, "ts", target, wm_file)
     # phase 2: the generic incremental path ships only ts > watermark
     incremental_append(spark, ev, "ts", target, wm_file)
+    if not os.path.isdir(target):
+        # empty source: no increment was ever shipped, so there is no
+        # target directory — the correct read-back is an empty frame
+        # with the source schema, not a missing-path failure
+        return ev.limit(0)
     return read_increments(spark, target)
 
 
