@@ -460,12 +460,16 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).alias("sx"),
         F.sum(dec * dec).alias("sxx"),
     )
+    # try_divide on n-1 and on the σ denominator: a 1-row group has no
+    # sample variance → z is NULL (dropped by the |z| gate) on both
+    # engines, instead of an ANSI divide-by-zero abort
     mean = F.col("sx").cast("double") / F.col("n")
-    var = (
+    var = F.try_divide(
         F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
-    ) / (F.col("n") - 1)
-    z = (F.col("value").cast("double") - mean) / F.sqrt(var)
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n"),
+        F.col("n") - 1,
+    )
+    z = F.try_divide(F.col("value").cast("double") - mean, F.sqrt(var))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)

@@ -91,15 +91,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # try_divide on the n-1 and zero-variance denominators: a 1-row group
+    # has no sample variance/correlation — NULL, exactly what the
+    # oracle's x/0 yields (DuckDB), instead of an ANSI abort
     return g.select(
         "l_returnflag",
         "n",
         (sx / n).alias("mean_qty"),
-        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std_qty"),
-        (
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        F.try_divide(sxx - sx * sx / n, n - 1).alias("var_qty"),
+        F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1)).alias("std_qty"),
+        F.try_divide(
+            sxy - sx * sy / n,
+            F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n),
         ).alias("corr_qty_price"),
     )
 
@@ -405,8 +408,8 @@ def _corr_matrix_oracle() -> str:
     rows = " UNION ALL ".join(
         f"""SELECT '{cols[i]}' AS x_var, '{cols[j]}' AS y_var,
             (s{i}{j} - s{i} * s{j} / n)
-              / (sqrt(s{i}{i} - s{i} * s{i} / n)
-                 * sqrt(s{j}{j} - s{j} * s{j} / n)) AS corr
+              / (sqrt(greatest(0, s{i}{i} - s{i} * s{i} / n))
+                 * sqrt(greatest(0, s{j}{j} - s{j} * s{j} / n))) AS corr
             FROM m"""
         for i, j in pairs
     )
@@ -452,8 +455,17 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def corr(i: int, j: int):
         si, sj = F.col(f"s{i}"), F.col(f"s{j}")
         sii, sjj, sij = F.col(f"s{i}{i}"), F.col(f"s{j}{j}"), F.col(f"s{i}{j}")
-        return (sij - si * sj / n) / (
-            F.sqrt(sii - si * si / n) * F.sqrt(sjj - sj * sj / n)
+        # try_divide: zero variance (degenerate input) → NULL, like the
+        # oracle's x/0, not an ANSI abort. The variance terms are clamped
+        # at 0 on BOTH engines: this lane converts moments to double
+        # before combining, so a true-zero variance can land an epsilon
+        # NEGATIVE (sii = fl(Σx²) vs fl(Σx)²) — Spark's sqrt would yield
+        # NaN and DuckDB's would raise; positive variances are untouched.
+        zero = F.lit(0.0)
+        return F.try_divide(
+            sij - si * sj / n,
+            F.sqrt(F.greatest(zero, sii - si * si / n))
+            * F.sqrt(F.greatest(zero, sjj - sj * sj / n)),
         )
 
     pair_structs = F.array(
@@ -986,7 +998,10 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a single observed day has no slope (denominator 0) —
+    # NULL like the oracle's x/0, not an ANSI abort; the intercept goes
+    # NULL with it through NULL arithmetic, both engines alike
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return m.select(
         "event_type",
         n.cast("long").alias("n_days"),

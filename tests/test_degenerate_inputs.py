@@ -1,0 +1,124 @@
+"""Empty-input totality: every registered query must run — and agree
+with its DuckDB oracle — on a fixture whose tables all have ZERO rows.
+
+Empty inputs are not an edge case at scale: a fresh partition, a
+filtered-out increment, a day with no events, or a table early in its
+backfill all present exactly this shape. The r8 sweep that introduced
+this gate found 16 operators (empty) plus 5 more (single-row) that either crashed (unguarded driver-side
+scalar collects, ANSI divide-by-zero, schema inference over an empty
+partitioned write, an empty centroid literal typing as array<void>) or
+silently diverged from ANSI semantics (Spark's ROLLUP/GROUPING SETS
+emit zero rows on empty input where SQL requires the ()-set row).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.parity import run_query_pair
+
+from cpt_database_sync_spark.plans.registry import all_specs
+from cpt_database_sync_spark.sources.tables import ALL_TABLES
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(sf_dir):
+    """Zero-row copies of every fixture table, schemas preserved exactly
+    (including the events timestamp physical encoding — empty_table
+    keeps the arrow schema, so the nanos/micros loader dispatch still
+    exercises the same path)."""
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    out = os.path.join(scratch_dir(), "sf_empty")
+    os.makedirs(out, exist_ok=True)
+    for t in ALL_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            pq.write_table(pq.read_table(src).schema.empty_table(), dst)
+    return out
+
+
+def test_every_query_total_on_empty_tables(spark, empty_sf_dir):
+    """Full-registry differential sweep on the empty fixture: no
+    exceptions, and every result matches the oracle's ANSI answer
+    (global aggregates yield their one row, everything else is empty)."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in sorted(all_specs().items()):
+        try:
+            problems, _ = run_query_pair(
+                spark, con, spec.fn, spec.oracle, empty_sf_dir
+            )
+            if problems:
+                failures.append(f"{name}: {problems[0]}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(sf_dir):
+    """Single-row copies of every fixture table. A different edge class
+    than empty: groups of exactly one row (sample variance, correlation
+    and regression denominators all hit zero), self-joins with one
+    candidate, histograms with one point. Referential integrity across
+    tables is deliberately NOT preserved — joins just go empty, which
+    both engines agree on."""
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    out = os.path.join(scratch_dir(), "sf_one")
+    os.makedirs(out, exist_ok=True)
+    for t in ALL_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            pq.write_table(pq.read_table(src).slice(0, 1), dst)
+    return out
+
+
+def _golden_keyed(spec) -> bool:
+    """Golden-fixture oracles are keyed by the committed corpus
+    fingerprint; on any OTHER corpus their oracle side is legitimately
+    empty, so on degenerate fixtures they are checked run-only."""
+    return spec.oracle is not None and "corpus_md5" in spec.oracle
+
+
+def test_every_query_total_on_single_row_tables(spark, one_row_sf_dir):
+    """Full-registry sweep on the 1-row fixture: no exceptions anywhere;
+    value parity for every key except the fingerprint-keyed golden
+    oracles (run-only there). The r8 sweep that introduced this gate
+    found four ANSI divide-by-zero crashes in the closed-form moment
+    family (sample variance / correlation / OLS slope of n=1 groups) and
+    a DuckDB sqrt-of-epsilon-negative abort in corr_matrix's double
+    lane."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{one_row_sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in sorted(all_specs().items()):
+        try:
+            if _golden_keyed(spec):
+                spec.fn(spark, one_row_sf_dir).collect()
+                continue
+            problems, _ = run_query_pair(
+                spark, con, spec.fn, spec.oracle, one_row_sf_dir
+            )
+            if problems:
+                failures.append(f"{name}: {problems[0]}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
