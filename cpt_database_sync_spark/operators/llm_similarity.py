@@ -232,8 +232,11 @@ IVF_NLIST = 8
 IVF_NPROBE = 2
 
 _IVF_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NLIST}
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM emb WHERE vec_id < {IVF_NLIST}
 ),
 assign AS (
   SELECT vec_id, embedding, c_id FROM (
@@ -242,7 +245,7 @@ assign AS (
              PARTITION BY e.vec_id
              ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
            ) AS crn
-    FROM embeddings e CROSS JOIN cent c
+    FROM emb e CROSS JOIN cent c
   ) WHERE crn = 1
 ),
 probes AS (
@@ -252,7 +255,7 @@ probes AS (
              PARTITION BY e.vec_id
              ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
            ) AS crn
-    FROM embeddings e CROSS JOIN cent c
+    FROM emb e CROSS JOIN cent c
     WHERE e.vec_id < {N_QUERIES}
   ) WHERE crn <= {IVF_NPROBE}
 )
@@ -301,8 +304,12 @@ def _ivf_cell_ranks(cent_rows) -> Column:
 def _ivf_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(assign, probes): both map-only passes over the corpus scan —
     no join, no window, no Exchange (plan-gated in test_plans.py)."""
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "e", F.col("embedding").cast("array<double>")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("e", F.col("embedding").cast("array<double>"))
+        # null embeddings can neither seed cells nor be indexed/probed;
+        # both engines drop them (oracles: embedding IS NOT NULL)
+        .filter(F.col("e").isNotNull())
     )
     cent_rows = (
         emb.filter(F.col("vec_id") < IVF_NLIST)
@@ -438,10 +445,13 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_PQ_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NLIST}
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ),
-d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM emb WHERE vec_id < {IVF_NLIST}
+),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM emb),
 dims AS (
   SELECT u.i AS pos, min(e[CAST(u.i + 1 AS INT)]) AS lo,
          max(e[CAST(u.i + 1 AS INT)]) AS hi
@@ -470,7 +480,7 @@ assign AS (
              PARTITION BY e.vec_id
              ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
            ) AS crn
-    FROM embeddings e CROSS JOIN cent c
+    FROM emb e CROSS JOIN cent c
   ) WHERE crn = 1
 ),
 probes AS (
@@ -480,7 +490,7 @@ probes AS (
              PARTITION BY e.vec_id
              ORDER BY {_sql_cosine("e.embedding", "c.ce")} DESC, c.c_id
            ) AS crn
-    FROM embeddings e CROSS JOIN cent c
+    FROM emb e CROSS JOIN cent c
     WHERE e.vec_id < {N_QUERIES}
   ) WHERE crn <= {IVF_NPROBE}
 )
@@ -722,7 +732,8 @@ def _km_update_sql(assign: str, out: str) -> str:
 
 def _km_oracle() -> str:
     parts = [
-        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+              WHERE embedding IS NOT NULL),
     c0 AS (SELECT vec_id AS cid, ve AS ce FROM e WHERE vec_id < {KM_K})"""
     ]
     for it in range(1, KM_ITERS + 1):
@@ -762,6 +773,10 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmeans_spherical.emb",
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        # null embeddings (failed upstream embed jobs — routine at scale)
+        # can neither seed centroids nor be assigned; both engines drop
+        # them (oracle: embedding IS NOT NULL)
+        .filter(F.col("e").isNotNull())
         .repartition(spark_parallelism),
     )
     cent_rows = (

@@ -420,7 +420,8 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
       CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
       CAST(1 + octet_length(encode(text)) % 3 AS INT)         AS channels,
       CASE octet_length(encode(text)) % 3
-        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END  AS fmt
+        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        WHEN 2 THEN 'webp' END                                AS fmt
     FROM documents
     """,
 )
@@ -433,15 +434,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            # NULL payload (missing media cell — routine in a 100 TB
+            # corpus) → metadata row with NULL fields, matching the
+            # oracle's NULL-propagating octet_length arithmetic
+            metas = [
+                fake_decode_meta(p) if p is not None else (None,) * 4
+                for p in pdf["payload"]
+            ]
+            ns = [m[0] for m in metas]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [m[0] for m in metas],
-                    "width": [64 + (m[0] % 640) for m in metas],
-                    "height": [64 + ((m[0] * 7) % 480) for m in metas],
-                    "channels": [1 + (m[0] % 3) for m in metas],
-                    "fmt": [("png", "jpeg", "webp")[m[0] % 3] for m in metas],
+                    "n_bytes": ns,
+                    "width": [64 + (n % 640) if n is not None else None for n in ns],
+                    "height": [64 + ((n * 7) % 480) if n is not None else None for n in ns],
+                    "channels": [1 + (n % 3) if n is not None else None for n in ns],
+                    "fmt": [("png", "jpeg", "webp")[n % 3] if n is not None else None for n in ns],
                 }
             )
 
@@ -551,6 +559,15 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL text → no payload to synthesize/decode → no row, the
+            # oracle's range(NULL w*h) produces the same absence
+            pairs = [
+                (d, int(n)) for d, n in zip(pdf["doc_id"], pdf["n"])
+                if not pd.isna(n)  # int column with nulls arrives as NaN
+            ]
+            pdf = pd.DataFrame(
+                {"doc_id": [p[0] for p in pairs], "n": [p[1] for p in pairs]}
+            )
             metas = [
                 decode_image(make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n))
                 for n in pdf["n"]
@@ -610,6 +627,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_ids, out_idx, out_frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # missing media: one frame slot, no content — the
+                    # oracle's greatest(1, NULL)=1 and hex(NULL)=NULL
+                    out_ids.append(doc_id)
+                    out_idx.append(0)
+                    out_frames.append(None)
+                    continue
                 n_frames = max(1, len(payload) // 100)
                 for i in range(n_frames):
                     out_ids.append(doc_id)
@@ -674,6 +698,8 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, energies, peaks = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # no signal, no windows (oracle: range(NULL))
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 for w in range((len(arr) + WIN - 1) // WIN):
                     seg = arr[w * WIN : (w + 1) * WIN]
@@ -749,6 +775,13 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = []
         for pdf in batches:
             for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                if pd.isna(n):  # int column with nulls arrives as NaN
+                    # missing media: the row survives with a NULL mean
+                    # (oracle: constant-range grid over NULL pattern)
+                    ids.append(int(doc_id))
+                    sums.append(None)
+                    continue
+                n = int(n)
                 m = decode_image(make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n))
                 arr = np.frombuffer(bytes(m["pixels"]), dtype=np.uint8).reshape(
                     m["height"], m["width"]
@@ -842,6 +875,15 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, his, los = [], [], []
             for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                if pd.isna(n):  # int column with nulls arrives as NaN
+                    # missing media: no gradient evidence, all 64 bits
+                    # stay 0 (oracle: NULL comparisons fold to ELSE 0) —
+                    # null images collapse into the zero-hash bucket
+                    ids.append(int(doc_id))
+                    his.append(0)
+                    los.append(0)
+                    continue
+                n = int(n)
                 m = decode_image(make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n))
                 arr = np.frombuffer(bytes(m["pixels"]), dtype=np.uint8).reshape(
                     m["height"], m["width"]
@@ -873,12 +915,14 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      doc_id % 4 IN (0, 3) AS ok,
-      CASE doc_id % 4 WHEN 1 THEN 'corrupt'
-                      WHEN 2 THEN 'unsupported' END AS err_kind,
-      CASE WHEN doc_id % 4 IN (0, 3)
+      CASE WHEN text IS NULL THEN FALSE
+           ELSE doc_id % 4 IN (0, 3) END AS ok,
+      CASE WHEN text IS NULL THEN 'missing'
+           WHEN doc_id % 4 = 1 THEN 'corrupt'
+           WHEN doc_id % 4 = 2 THEN 'unsupported' END AS err_kind,
+      CASE WHEN text IS NOT NULL AND doc_id % 4 IN (0, 3)
            THEN CAST(1 + octet_length(encode(text)) % 64 AS INT) END AS width,
-      CASE WHEN doc_id % 4 IN (0, 3)
+      CASE WHEN text IS NOT NULL AND doc_id % 4 IN (0, 3)
            THEN CAST(1 + (octet_length(encode(text)) * 3) % 48 AS INT) END AS height
     FROM documents
     """,
@@ -911,6 +955,15 @@ def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for pdf in batches:
             for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                if pd.isna(n):  # int column with nulls arrives as NaN
+                    # a missing payload is its own quarantine class: not
+                    # ok, not a decoder failure — nothing ever arrived
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    out["err_kind"].append("missing")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
                 n = int(n)
                 lane = doc_id % 4
                 if lane == 1:

@@ -243,6 +243,8 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, pos: int")
     class SplitWords:
         def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return  # NULL text expands to no rows (oracle: unnest(NULL))
             for i, w in enumerate(text.split(" ")):
                 if w:
                     yield w, i

@@ -237,7 +237,72 @@ def jdbc_sync_table(
         stmt.close()
     finally:
         conn.close()
-    jdbc_writer(out, url, qtable, props=props, mode="append")
+    # NULL-string binding: Spark's Derby dialect types every NULL string
+    # as CLOB (setNull(Types.CLOB)), which Derby rejects against the
+    # VARCHAR columns the reference DDL declares (ERROR 22005) — one null
+    # payload cell aborts the whole sync, and the stock writer offers no
+    # override (VarcharType data crashes its setter matrix outright).
+    # Null-free batches take the direct append below; a batch carrying
+    # nulls in a varchar-declared string column detours through a shadow
+    # table that declares those columns CLOB (both the CLOB null binding
+    # and setString are valid there), then one server-side
+    # INSERT … SELECT CAST(col AS VARCHAR(n)) lands the rows in the real
+    # table. The detour costs one extra server-side copy, only on the
+    # batches that need it; the null probe is a limit-1 scan.
+    vc = {
+        c: n
+        for c, n in (varchar_lengths or {}).items()
+        if n <= 32672
+        and c in out.columns
+        and out.schema[c].dataType.simpleString() == "string"
+        and out.schema[c].nullable
+    }
+    has_null_vc = False
+    if vc and flavor != "mysql":
+        import functools  # noqa: PLC0415
+        import operator  # noqa: PLC0415
+
+        any_null = functools.reduce(
+            operator.or_, [F.col(c).isNull() for c in vc]
+        )
+        has_null_vc = bool(out.filter(any_null).limit(1).count())
+    if not has_null_vc:
+        jdbc_writer(out, url, qtable, props=props, mode="append")
+        return
+    shadow = f"{table}_vcload"
+    qshadow = quote_identifier(shadow, quote)
+    shadow_lengths = {
+        c: n for c, n in (varchar_lengths or {}).items() if c not in vc
+    }
+    shadow_ddl = create_table_ddl(
+        shadow, out.schema, shadow_lengths, flavor=flavor, quote=quote
+    )
+    sel_cols = ", ".join(
+        f"CAST({quote_identifier(c, quote)} AS VARCHAR({vc[c]}))"
+        if c in vc
+        else quote_identifier(c, quote)
+        for c in out.columns
+    )
+    conn = spark._sc._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(f"DROP TABLE {qshadow}")
+        except Exception:
+            pass
+        stmt.execute(shadow_ddl)
+        stmt.close()
+    finally:
+        conn.close()
+    jdbc_writer(out, url, qshadow, props=props, mode="append")
+    _execute_jdbc(
+        spark,
+        url,
+        [
+            f"INSERT INTO {qtable} SELECT {sel_cols} FROM {qshadow}",
+            f"DROP TABLE {qshadow}",
+        ],
+    )
 
 
 def upsert_statement(table: str, columns: list[str], quote: str = "`") -> str:

@@ -57,25 +57,28 @@ def _user_rollup(
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         n, s, first_us, last_us = state.get
-        total = Decimal(s)
+        total = Decimal(s) if s is not None else None
     else:
-        n, total, first_us, last_us = 0, Decimal(0), None, None
+        n, total, first_us, last_us = 0, None, None, None
     for pdf in pdfs:
         n += len(pdf)
         for v in pdf["value_dec"]:
-            total += Decimal(v)
+            if v is None:
+                continue  # SQL SUM skips NULLs; COUNT(*) above does not
+            total = Decimal(v) if total is None else total + Decimal(v)
         ts_min = int(pdf["ts"].min().value // 1000)  # ns → µs, exact
         ts_max = int(pdf["ts"].max().value // 1000)
         first_us = ts_min if first_us is None or ts_min < first_us else first_us
         last_us = ts_max if last_us is None or ts_max > last_us else last_us
-    state.update((n, str(total), first_us, last_us))
+    state.update((n, None if total is None else str(total), first_us, last_us))
     # one-shot availableNow: emit the rollup now; an unbounded deployment
     # would instead emit on state.hasTimedOut and set a timeout here.
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [float(total)],
+            # all-NULL values → NULL sum, exactly SQL's SUM
+            "sum_value": [None if total is None else float(total)],
             "first_ts": [pd.to_datetime(first_us, unit="us")],
             "last_ts": [pd.to_datetime(last_us, unit="us")],
         }
@@ -140,31 +143,48 @@ def _user_twa(
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         last_us, lv, num_s, dur = state.get
-        last_v, num = Decimal(lv), Decimal(num_s)
+        last_v = Decimal(lv) if lv is not None else None
+        num = Decimal(num_s) if num_s is not None else None
     else:
-        last_us, last_v, num, dur = None, None, Decimal(0), 0
+        last_us, last_v, num, dur = None, None, None, 0
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts, v in zip(pdf["ts"], pdf["value_dec"]):
             us = int(ts.value // 1000)  # ns → µs, exact
             if last_us is not None:
                 dt = us - last_us
-                num += last_v * dt
+                # batch-twin NULL semantics (SQL SUM): a NULL-valued
+                # holding interval adds its DURATION but no numerator —
+                # nulls dilute the average, they don't poison it; num
+                # stays NULL until the first non-null product
+                if last_v is not None:
+                    prod = last_v * dt
+                    num = prod if num is None else num + prod
                 dur += dt
-            last_us, last_v = us, Decimal(v)
-    state.update((last_us, str(last_v), str(num), dur))
+            last_us = us
+            last_v = Decimal(v) if v is not None else None
+    state.update((
+        last_us,
+        None if last_v is None else str(last_v),
+        None if num is None else str(num),
+        dur,
+    ))
     if dur > 0:
-        q = (int(num) * 10**6) // dur  # floor(floor(num)·1e6/dur): the
-        # exact integer-division display formula time_weighted_avg uses
+        # floor(floor(num)·1e6/dur): the exact integer-division display
+        # formula time_weighted_avg uses; NULL numerator → NULL average
+        q = None if num is None else (int(num) * 10**6) // dur
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 # canonical fixed-scale string — same lane as the batch
                 # op (quantize to 6 dp pins exponent -6, so str() is
                 # always plain sign+digits+'.'+6 digits, no E-notation)
-                "twa_num": [str(num.quantize(Decimal("0.000001")))],
+                "twa_num": [
+                    None if num is None
+                    else str(num.quantize(Decimal("0.000001")))
+                ],
                 "dur_us_total": [dur],
-                "twa": [q / 1_000_000],
+                "twa": [None if q is None else q / 1_000_000],
             }
         )
     # dur == 0 (single event / all-same-ts user): the average is
