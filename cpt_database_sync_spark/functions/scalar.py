@@ -107,6 +107,7 @@ _HOF_SQL = """
              list(CAST(l_quantity AS BIGINT)
                   ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qtys
       FROM lineitem
+      WHERE l_quantity IS NOT NULL
       GROUP BY l_orderkey
     )
     SELECT l_orderkey,
@@ -148,6 +149,11 @@ def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             F.col("l_quantity").cast("bigint").alias("q"),
         )
+        # NULL quantities are excluded on BOTH engines before collecting:
+        # a NULL element NULL-poisons exists/aggregate on the Spark side
+        # while DuckDB's list lane drops it — pinning the exclusion makes
+        # the array contract explicit instead of engine-accidental
+        .filter(F.col("q").isNotNull())
         .groupBy("l_orderkey")
         .agg(
             F.array_sort(F.collect_list(F.struct("l_linenumber", "q"))).alias("sq")
@@ -185,8 +191,9 @@ def hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INT)          AS k_val,
            CAST(json_extract(props, '$.k') AS INT) % 10     AS bucket,
-           2                                                 AS n_keys,
-           'bucket,k'                                        AS keys_sorted,
+           CASE WHEN props IS NULL THEN NULL ELSE 2 END      AS n_keys,
+           CASE WHEN props IS NULL THEN NULL
+                ELSE 'bucket,k' END                           AS keys_sorted,
            CAST(json_extract(props, '$.k') AS INT) * 2
              + (CAST(json_extract(props, '$.k') AS INT) % 10) * 2 AS doubled_sum,
            CAST(CAST(json_extract(props, '$.k') AS INT) >= 50 AS INT)

@@ -229,8 +229,8 @@ def create_table_ddl(
       l_extendedprice                                        AS f64,
       CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DOUBLE) AS dec_money,
       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS dec_round,
-      rtrim(concat(l_returnflag, '  '))                      AS ch_rtrim,
-      concat(l_returnflag, l_linestatus)                     AS vc,
+      rtrim(l_returnflag || '  ')                            AS ch_rtrim,
+      l_returnflag || l_linestatus                           AS vc,
       hex(encode(l_returnflag))                              AS vb_hex,
       CAST(l_shipdate AS DATE)                               AS d_date,
       CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT) AS d_epoch_days,

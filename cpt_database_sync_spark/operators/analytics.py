@@ -1109,10 +1109,18 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.to_date(F.timestamp_seconds(F.col("dn") * 86400)).alias("day"),
+        # SQL SUM null semantics on the numerator: a NULL daily total
+        # (all of that day's values were NULL) contributes its WEIGHT
+        # (wsum below folds all pairs) but no numerator term, and an
+        # all-NULL window yields a NULL numerator — matching the
+        # oracle's SUM(b.dv * w) / SUM(w) exactly
         F.expr(
-            f"CAST(aggregate(pairs, CAST(0 AS DECIMAL(24,10)), (acc, p) -> "
+            f"CASE WHEN size(filter(pairs, p -> p.dv IS NOT NULL)) = 0 "
+            f"THEN CAST(NULL AS DOUBLE) ELSE "
+            f"CAST(aggregate(filter(pairs, p -> p.dv IS NOT NULL), "
+            f"CAST(0 AS DECIMAL(24,10)), (acc, p) -> "
             f"CAST(acc + p.dv * element_at({wlit}, CAST(dn - p.bdn AS INT) + 1) "
-            f"AS DECIMAL(24,10))) AS DOUBLE)"
+            f"AS DECIMAL(24,10))) AS DOUBLE) END"
         ).alias("ewma_num"),
         F.expr(
             f"CAST(aggregate(pairs, CAST(0 AS DECIMAL(8,4)), (acc, p) -> "

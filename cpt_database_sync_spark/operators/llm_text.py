@@ -273,12 +273,13 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      list_reduce(
-        list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(text) + 1),
-                         i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
-        (acc, c) -> (acc * 31 + c) % 1000000007
-      ) AS fp
+      CASE WHEN text IS NULL THEN NULL
+           ELSE list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007
+           ) END AS fp
     FROM documents
     """,
 )

@@ -481,11 +481,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("exact_supp"),
         F.countDistinct("l_orderkey").alias("exact_order"),
     )
-    approx = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("a_supp"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_order"),
     )
-    agg = exact.join(approx, "l_returnflag")
+    # eqNullSafe: a NULL group key is a legitimate group (SQL GROUP BY
+    # keeps it) but a plain equi-join between the two aggregates would
+    # silently drop it (NULL never equals NULL)
+    agg = exact.join(approx, F.col("l_returnflag").eqNullSafe(F.col("rf")))
     return agg.select(
         "l_returnflag",
         "exact_supp",
@@ -723,7 +726,8 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CUME_DIST() OVER w AS cume,
            NTILE(10) OVER w AS decile
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,7 +741,12 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no rounding needed.
     """
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # null ordering pinned explicitly: Spark ASC defaults NULLS FIRST,
+    # DuckDB NULLS LAST — unpinned, every rank in a partition containing
+    # a NULL balance silently disagrees across engines
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",

@@ -237,7 +237,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(year(o_orderdate) AS DOUBLE) AS order_year
       FROM orders WHERE o_orderkey <= 500
     )
-    UNPIVOT (val FOR metric IN (price, custkey, order_year))
+    UNPIVOT INCLUDE NULLS (val FOR metric IN (price, custkey, order_year))
     """,
 )
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,13 +637,24 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     ap = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        # the sketch (like every percentile) sees only non-NULL values,
+        # so its rank contract is relative to THIS count, not COUNT(*)
+        F.count("l_extendedprice").alias("nv"),
         F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
         F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
         F.percentile_approx("l_extendedprice", 0.5, APPROX_PCT_ACC).alias("a50"),
         F.percentile_approx("l_extendedprice", 0.95, APPROX_PCT_ACC).alias("a95"),
     )
+    # eqNullSafe joins throughout: the NULL flag group is a real group
+    # (SQL GROUP BY keeps it); plain equi-joins would silently drop it
+    sketches = ap.select(
+        F.col("l_returnflag").alias("rf"), "a50", "a95"
+    )
     ranks = (
-        li.join(F.broadcast(ap.select("l_returnflag", "a50", "a95")), "l_returnflag")
+        li.join(
+            F.broadcast(sketches), F.col("l_returnflag").eqNullSafe(F.col("rf"))
+        )
+        .drop("rf")
         .groupBy("l_returnflag")
         .agg(
             F.sum((F.col("l_extendedprice") < F.col("a50")).cast("long")).alias("lt50"),
@@ -653,23 +664,31 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def ok(lt: str, le: str, p: float):
-        target = F.lit(p) * F.col("n")
+    def ok(lt: str, le: str, p: float, sketch: str):
+        target = F.lit(p) * F.col("nv")
         # +1 row of slop: at n < accuracy the eps·n window shrinks below
         # one row and the check would hinge on GK's internal rank
         # convention (count< vs count<=); the sketch contract is rank
         # error <= eps*n rows, so one extra row keeps the test honest
         # without ever masking a real contract breach at scale.
-        err = F.col("n") / F.lit(APPROX_PCT_ACC) + 1
-        return (F.col(lt) + 1 <= target + err) & (F.col(le) >= target - err)
+        err = F.col("nv") / F.lit(APPROX_PCT_ACC) + 1
+        cond = (F.col(lt) + 1 <= target + err) & (F.col(le) >= target - err)
+        # a group with zero non-NULL values has no sketch and no ranks —
+        # the contract is vacuously satisfied (oracle emits TRUE)
+        return F.when(F.col(sketch).isNull(), F.lit(True)).otherwise(cond)
 
-    return ap.join(ranks, "l_returnflag").select(
+    ranks = ranks.select(
+        F.col("l_returnflag").alias("rf2"), "lt50", "le50", "lt95", "le95"
+    )
+    return ap.join(
+        ranks, F.col("l_returnflag").eqNullSafe(F.col("rf2"))
+    ).select(
         "l_returnflag",
         "n",
         "exact_p50",
         "exact_p95",
-        ok("lt50", "le50", 0.5).alias("approx_p50_ok"),
-        ok("lt95", "le95", 0.95).alias("approx_p95_ok"),
+        ok("lt50", "le50", 0.5, "a50").alias("approx_p50_ok"),
+        ok("lt95", "le95", 0.95, "a95").alias("approx_p95_ok"),
     )
 
 

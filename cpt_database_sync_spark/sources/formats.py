@@ -542,8 +542,8 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sync/JdbcRecordCursor.java` §2A#14) done right: errors become
     data, not silence.
 
-    The fixture corrupts every 10th document (truncated JSON object, a
-    real failure shape); the oracle states exactly which rows must
+    The fixture corrupts every 10th document (its JSON object loses the
+    final byte — a truncated upload); the oracle states exactly which rows must
     survive and how many must quarantine — so the parser's line
     accounting is value-checked, not just its happy path. Map-only
     scan; the corrupt-line check costs nothing extra at 100 TB because
@@ -553,10 +553,18 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     # produce the JSONL text ourselves so corruption is deterministic:
     # every 10th doc's object is truncated mid-string
+    # corruption = drop the object's closing byte: ALWAYS invalid JSON,
+    # whatever the payload (a fixed-prefix cut left short objects — e.g.
+    # a NULL-text doc's {"doc_id":N} — intact, silently un-corrupting
+    # them and breaking the closed-form oracle)
     line = F.to_json(F.struct("doc_id", "lang", "text"))
     corrupted = docs.select(
         F.when(
-            F.col("doc_id") % 10 == 0, F.substring(line, 1, 20)
+            F.col("doc_id") % 10 == 0,
+            F.expr(
+                "substring(to_json(struct(doc_id, lang, text)), 1,"
+                " length(to_json(struct(doc_id, lang, text))) - 1)"
+            ),
         ).otherwise(line).alias("value")
     )
     corrupted.write.mode("overwrite").text(out)
@@ -783,14 +791,25 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("n_chars").alias("n_chars"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("doc_id", "h"))),
-                        lambda s: s["h"],
-                    ),
-                    "",
+            # collect only hashable docs (collect_list drops the NULL
+            # entries the `when` produces): NULL-text docs contribute no
+            # hash material, and a shard with NOTHING hashable gets a
+            # NULL manifest hash — the oracle's string_agg-skips-NULLs /
+            # md5(NULL) behavior, not md5 of the empty string
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("h").isNotNull(), F.struct("doc_id", "h"))
                 )
-            ).alias("content_hash"),
+            ).alias("hs"),
+        )
+        .select(
+            "shard",
+            "n_rows",
+            "n_chars",
+            F.when(F.size("hs") == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.md5(F.array_join(F.transform(F.col("hs"), lambda s: s["h"]), ""))
+            )
+            .alias("content_hash"),
         )
     )

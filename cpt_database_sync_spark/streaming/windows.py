@@ -517,7 +517,7 @@ def topn_counts_stream(ev: DataFrame) -> DataFrame:
       SELECT window_start, event_type, n_events,
              ROW_NUMBER() OVER (
                PARTITION BY window_start
-               ORDER BY n_events DESC, event_type
+               ORDER BY n_events DESC, event_type NULLS LAST
              ) AS rn
       FROM (
         SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
@@ -550,8 +550,10 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_topn_",
         varchar_lengths={"event_type": 40},
     )
+    # NULLS LAST pinned on the tiebreak: a NULL event_type group (nulls
+    # are data) sorts first on Spark but last on DuckDB by default
     w = Window.partitionBy("window_start").orderBy(
-        F.col("n_events").desc(), "event_type"
+        F.col("n_events").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))

@@ -122,3 +122,79 @@ def test_every_query_total_on_single_row_tables(spark, one_row_sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def payload_nulls_sf_dir(sf_dir):
+    """NULLs where a real lake has them: keys, event timestamps and
+    order/ship dates stay intact (any pipeline enforces those NOT NULL);
+    every payload column — measures, text, strings, embeddings — is
+    NULLed on alternating rows. The r8 sweep over this fixture found 17
+    crashes (null media payloads, null embeddings, Derby's null-VARCHAR
+    binding, Python stateful accumulators) and a dozen semantic
+    divergences (null group keys dropped by inner joins, engine-default
+    null ordering in rank windows, concat vs || null propagation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    structural = {
+        "customer": {"c_custkey", "c_nationkey"},
+        "documents": {"doc_id"},
+        "embeddings": {"vec_id"},
+        "events": {"event_id", "ts", "user_id"},
+        "lineitem": {
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_shipdate"
+        },
+        "nation": {"n_nationkey", "n_regionkey"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderdate"},
+        "part": {"p_partkey"},
+        "region": {"r_regionkey"},
+        "supplier": {"s_suppkey", "s_nationkey"},
+    }
+    out = os.path.join(scratch_dir(), "sf_pnulls")
+    os.makedirs(out, exist_ok=True)
+    for t in ALL_TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        tab = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 200)
+        mask = pa.array([i % 2 == 0 for i in range(len(tab))])
+        cols = []
+        for field in tab.schema:
+            col = tab.column(field.name)
+            if field.name in structural[t]:
+                cols.append(col)
+            else:
+                nulls = pa.nulls(len(tab), type=field.type)
+                cols.append(pc.if_else(mask, nulls, col.combine_chunks()))
+        pq.write_table(pa.table(cols, schema=tab.schema), dst)
+    return out
+
+
+def test_every_query_total_on_null_payloads(spark, payload_nulls_sf_dir):
+    """Full-registry differential sweep on the payload-nulls fixture:
+    no exceptions anywhere; value parity everywhere except the
+    fingerprint-keyed golden oracles (run-only, as in the 1-row test)."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" '{payload_nulls_sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in sorted(all_specs().items()):
+        try:
+            if _golden_keyed(spec):
+                spec.fn(spark, payload_nulls_sf_dir).collect()
+                continue
+            problems, _ = run_query_pair(
+                spark, con, spec.fn, spec.oracle, payload_nulls_sf_dir
+            )
+            if problems:
+                failures.append(f"{name}: {problems[0]}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
