@@ -119,3 +119,47 @@ def test_partitioned_parallel_read(spark, sf_dir, derby_url):
     # 4 concurrent range scans replacing the reference's single cursor
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == hi
+
+
+def test_null_strings_into_varchar_columns(spark, derby_url):
+    """NULL strings must survive the sync into varchar-declared columns.
+
+    Spark's Derby dialect binds every NULL string as setNull(Types.CLOB),
+    which Derby rejects against a VARCHAR column (ERROR 22005) — the
+    stock writer cannot land a null payload cell at all. jdbc_sync_table
+    detours such batches through a CLOB shadow table plus one
+    server-side INSERT ... SELECT CAST; this pins the whole contract:
+    mixed null/non-null, an all-NULL column, and value fidelity."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", None),
+            (2, None, None),
+            (3, "gamma", None),
+        ],
+        "id int, name string, note string",
+    )
+    jdbc_sync_table(
+        spark, df, derby_url, "null_vc",
+        varchar_lengths={"name": 40, "note": 60}, flavor="ansi",
+    )
+    back = jdbc_reader(spark, derby_url, "null_vc", props=DERBY_PROPS)
+    rows = {r["ID"]: (r["NAME"], r["NOTE"]) for r in back.collect()}
+    assert rows == {1: ("alpha", None), 2: (None, None), 3: ("gamma", None)}
+    # the declared type survived the detour (VARCHAR, not CLOB)
+    jmeta = spark._sc._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+        derby_url
+    )
+    try:
+        rs = jmeta.getMetaData().getColumns(None, None, "NULL_VC", "NAME")
+        assert rs.next() and rs.getString("TYPE_NAME") == "VARCHAR"
+    finally:
+        jmeta.close()
+
+    # a null-free batch must keep the direct fast path (no shadow left)
+    df2 = spark.createDataFrame([(9, "z", "ok")], "id int, name string, note string")
+    jdbc_sync_table(
+        spark, df2, derby_url, "null_vc_direct",
+        varchar_lengths={"name": 40, "note": 60}, flavor="ansi",
+    )
+    back2 = jdbc_reader(spark, derby_url, "null_vc_direct", props=DERBY_PROPS)
+    assert back2.count() == 1
