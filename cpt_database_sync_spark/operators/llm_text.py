@@ -22,12 +22,37 @@ from cpt_database_sync_spark.sources.tables import load
 
 # Language marker patterns — same regex dialect subset works in Java
 # (Spark) and RE2 (DuckDB): alternation, \b, case handled via lower().
+# Marker WORD SETS, counted by splitting on non-[a-z] runs and testing
+# membership — NOT by a \b regex: Java's \b treats a letter+combining-mark
+# sequence (NFD text: 'a'+U+0308) differently from RE2's ASCII-only \b,
+# so regex marker counts silently diverge across engines on decomposed
+# Unicode (found by the r8 unicode-fixture sweep). Split-membership is
+# bit-identical everywhere: any non-ASCII-letter byte is a delimiter.
 LANG_MARKERS = {
-    "en": r"\b(the|and|of|to|is|a)\b",
-    "de": r"\b(der|die|das|und|ist|nicht)\b",
-    "es": r"\b(el|la|los|que|es|y)\b",
-    "fr": r"\b(le|la|les|et|est|une)\b",
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
 }
+_WORD_SPLIT = r"[^a-z]+"
+
+
+def stopword_count(text_col, words: tuple) -> Column:
+    """Count marker-word occurrences: lowercase, split on non-letter
+    runs, membership-test each token. One JVM HOF chain, map-only."""
+    toks = F.split(F.lower(text_col), _WORD_SPLIT)
+    wset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wset, t)))
+
+
+def sql_stopword_count(text_expr: str, words: tuple) -> str:
+    """The DuckDB twin of ``stopword_count`` — identical token stream
+    and membership semantics."""
+    wlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split_regex(lower({text_expr}), '{_WORD_SPLIT}'),"
+        f" t -> list_contains([{wlist}], t)))"
+    )
 CJK_PATTERN = r"[\x{4E00}-\x{9FFF}]"
 # deterministic tie-break priority (first wins on equal scores)
 LANG_PRIORITY = ["en", "de", "es", "fr"]
@@ -70,9 +95,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_scores_spark(text_col):
-    lowered = F.lower(text_col)
     scores = {
-        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+        lang: stopword_count(text_col, words)
+        for lang, words in LANG_MARKERS.items()
     }
     scores["zh"] = F.regexp_count(text_col, F.lit(CJK_PATTERN))
     return scores
@@ -82,8 +107,8 @@ def _lang_id_sql_case() -> str:
     """CASE chain: zh if any CJK, else argmax of marker counts with
     LANG_PRIORITY tie-break — mirrored exactly by the Spark when-chain."""
     counts = {
-        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
-        for lang, pat in LANG_MARKERS.items()
+        lang: sql_stopword_count("text", words)
+        for lang, words in LANG_MARKERS.items()
     }
     zh = f"len(regexp_extract_all(text, '{CJK_PATTERN}'))"
     branches = [f"WHEN {zh} > 0 THEN 'zh'"]
@@ -126,7 +151,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_EXPR = f"""0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
         + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
                                   / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0)))
-        + 0.3 * least(1.0, 5.0 * CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS DOUBLE)
+        + 0.3 * least(1.0, 5.0 * CAST({sql_stopword_count("text", LANG_MARKERS["en"])} AS DOUBLE)
                                  / greatest(CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS DOUBLE), 1.0))"""
 
 
@@ -136,7 +161,7 @@ def quality_col() -> Column:
     n_chars = F.length("text")
     n_tokens = F.regexp_count("text", F.lit(TOKEN_PATTERN))
     n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN))
-    n_stop = F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
+    n_stop = stopword_count(F.col("text"), LANG_MARKERS["en"])
     tokens_d = F.greatest(n_tokens.cast("double"), F.lit(1.0))
     return (
         F.lit(0.4) * F.least(F.lit(1.0), n_chars.cast("double") / F.lit(500.0))
@@ -155,7 +180,7 @@ def quality_col() -> Column:
       CAST(length(text) AS INT) AS n_chars_obs,
       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS n_tokens,
       CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS INT) AS n_punct,
-      CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS INT) AS n_stop,
+      CAST({sql_stopword_count("text", LANG_MARKERS["en"])} AS INT) AS n_stop,
       {SQL_QUALITY_EXPR}
         AS quality
     FROM documents
@@ -169,7 +194,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_tokens = F.regexp_count("text", F.lit(TOKEN_PATTERN))
     n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN))
-    n_stop = F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
+    n_stop = stopword_count(F.col("text"), LANG_MARKERS["en"])
     quality = quality_col()
     return d.select(
         "doc_id",

@@ -198,3 +198,79 @@ def test_every_query_total_on_null_payloads(spark, payload_nulls_sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(sf_dir):
+    """Multi-script document text: CJK, emoji, RTL Arabic, Cyrillic,
+    Greek, combining marks (NFD sequences), zero-width characters, tabs
+    and newlines. The r8 sweep over this fixture caught Java-vs-RE2
+    `\\b` divergence on decomposed Unicode (an 'a' + combining-diaeresis
+    sequence is a word boundary to one engine and not the other), which
+    silently skewed every stopword-marker count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    samples = [
+        "café naïve déjà-vu über straße çalışma",
+        "深度学习 模型 训练 数据 清洗 去重 质量 评估 语料",
+        "🚀 emoji corpus 🌍 with 🎯 symbols 💡 and ✨ sparkle ✅",
+        "مرحبا بالعالم هذا نص عربي للاختبار مع كلمات",
+        "éléphant combining marks äöü test",
+        "Ωμέγα ελληνικά κείμενο δοκιμής für mixed Ünïcödé",
+        "русский текст для проверки кодировки и длины строк",
+        "tab\tand\nnewline  multiple   spaces  zero​width",
+    ]
+    out = os.path.join(scratch_dir(), "sf_unicode")
+    os.makedirs(out, exist_ok=True)
+    for t in ALL_TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        tab = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 200)
+        if t == "documents":
+            n = len(tab)
+            texts = [
+                samples[i % len(samples)]
+                + f" doc {i} "
+                + samples[(i * 3 + 1) % len(samples)]
+                for i in range(n)
+            ]
+            cols = []
+            for field in tab.schema:
+                if field.name == "text":
+                    cols.append(pa.array(texts, type=field.type))
+                elif field.name == "n_chars":
+                    cols.append(pa.array([len(x) for x in texts], type=field.type))
+                else:
+                    cols.append(tab.column(field.name))
+            tab = pa.table(cols, schema=tab.schema)
+        pq.write_table(tab, dst)
+    return out
+
+
+def test_every_query_total_on_unicode_text(spark, unicode_sf_dir):
+    """Full-registry differential sweep with multi-script text: value
+    parity everywhere except the fingerprint-keyed golden oracles
+    (run-only off their committed corpus)."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{unicode_sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in sorted(all_specs().items()):
+        try:
+            if _golden_keyed(spec):
+                spec.fn(spark, unicode_sf_dir).collect()
+                continue
+            problems, _ = run_query_pair(
+                spark, con, spec.fn, spec.oracle, unicode_sf_dir
+            )
+            if problems:
+                failures.append(f"{name}: {problems[0]}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
