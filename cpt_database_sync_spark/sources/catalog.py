@@ -174,6 +174,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM orders
                  WHERE o_orderdate < TIMESTAMP '1990-01-01'
                     OR o_orderdate >= TIMESTAMP '2000-01-01') AS BIGINT)
+    UNION ALL
+    SELECT 'totalprice_finite',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE isnan(o_totalprice) OR isinf(o_totalprice)) AS BIGINT)
     """,
 )
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,12 +217,23 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") < "1990-01-01")
         | (F.col("o_orderdate") >= "2000-01-01")
     ).count()
+    # the non-finite screen: NaN/±Inf measures CANNOT enter the engine's
+    # exact-decimal lanes (both Spark's ANSI casts and DuckDB's decimal
+    # casts refuse them, loudly) and NaN is conflated with NULL inside
+    # the pandas UDF lane — this rule is the quarantine gate a pipeline
+    # runs BEFORE those operators (README §Correctness model)
+    nonfinite = o.filter(
+        F.isnan("o_totalprice")
+        | (F.col("o_totalprice") == F.lit(float("inf")))
+        | (F.col("o_totalprice") == F.lit(float("-inf")))
+    ).count()
     return spark.createDataFrame(
         [
             ("orderkey_unique", dup),
             ("custkey_fk_covered", orphan),
             ("totalprice_positive", nonpos),
             ("orderdate_in_range", out_of_range),
+            ("totalprice_finite", nonfinite),
         ],
         "rule string, n_violations bigint",
     )
