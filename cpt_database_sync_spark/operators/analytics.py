@@ -429,9 +429,12 @@ Z_THRESHOLD = 2.0
     scored AS (
       SELECT e.event_id, e.event_type, e.value,
              (CAST(e.value AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n)
-             / sqrt((CAST(s.sxx AS DOUBLE)
+             / sqrt(CASE WHEN (CAST(s.sxx AS DOUBLE)
                      - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
-                    / (s.n - 1)) AS z
+                    / (s.n - 1) < 0 THEN 0
+                    ELSE (CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+                    / (s.n - 1) END) AS z
       FROM events e JOIN stats s USING (event_type)
     )
     SELECT event_id, event_type, value, round(z, 9) AS z
@@ -462,13 +465,19 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # try_divide on n-1 and on the σ denominator: a 1-row group has no
     # sample variance → z is NULL (dropped by the |z| gate) on both
-    # engines, instead of an ANSI divide-by-zero abort
+    # engines, instead of an ANSI divide-by-zero abort. The variance is
+    # additionally clamped at 0 with a NULL-preserving CASE: a constant
+    # group's true-zero variance can land epsilon-NEGATIVE in the double
+    # moments, and sqrt of that is NaN on Spark — which would PASS the
+    # |z| > τ gate (NaN sorts above every number) and flag the whole
+    # constant group as anomalies, while DuckDB's sqrt raises.
     mean = F.col("sx").cast("double") / F.col("n")
     var = F.try_divide(
         F.col("sxx").cast("double")
         - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n"),
         F.col("n") - 1,
     )
+    var = F.when(var < 0, F.lit(0.0)).otherwise(var)
     z = F.try_divide(F.col("value").cast("double") - mean, F.sqrt(var))
     return (
         ev.join(F.broadcast(stats), "event_type")

@@ -70,9 +70,13 @@ _SQL_MOMENTS = """
       l_returnflag, n,
       sx / n AS mean_qty,
       (sxx - sx * sx / n) / (n - 1) AS var_qty,
-      sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+      sqrt(CASE WHEN (sxx - sx * sx / n) / (n - 1) < 0 THEN 0
+                ELSE (sxx - sx * sx / n) / (n - 1) END) AS std_qty,
       (sxy - sx * sy / n)
-        / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+        / (sqrt(CASE WHEN sxx - sx * sx / n < 0 THEN 0
+                     ELSE sxx - sx * sx / n END)
+           * sqrt(CASE WHEN syy - sy * sy / n < 0 THEN 0
+                       ELSE syy - sy * sy / n END)) AS corr_qty_price
     FROM m
     """,
 )
@@ -93,16 +97,26 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     # try_divide on the n-1 and zero-variance denominators: a 1-row group
     # has no sample variance/correlation — NULL, exactly what the
-    # oracle's x/0 yields (DuckDB), instead of an ANSI abort
+    # oracle's x/0 yields (DuckDB), instead of an ANSI abort. Every sqrt
+    # argument is clamped at 0 with a NULL-PRESERVING CASE (not greatest,
+    # which folds NULL to 0 on both engines): the moments are doubles, so
+    # a constant-valued group's true-zero variance can land an epsilon
+    # NEGATIVE (fl(Σx²) − fl(Σx)²/n) — unclamped, Spark's sqrt yields NaN
+    # (which would even PASS downstream gates under NaN ordering) while
+    # DuckDB's raises.
+    def pos(v):
+        return F.when(v < 0, F.lit(0.0)).otherwise(v)
+
+    var = F.try_divide(sxx - sx * sx / n, n - 1)
     return g.select(
         "l_returnflag",
         "n",
         (sx / n).alias("mean_qty"),
-        F.try_divide(sxx - sx * sx / n, n - 1).alias("var_qty"),
-        F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1)).alias("std_qty"),
+        var.alias("var_qty"),
+        F.sqrt(pos(var)).alias("std_qty"),
         F.try_divide(
             sxy - sx * sy / n,
-            F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n),
+            F.sqrt(pos(sxx - sx * sx / n)) * F.sqrt(pos(syy - sy * sy / n)),
         ).alias("corr_qty_price"),
     )
 

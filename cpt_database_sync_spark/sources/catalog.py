@@ -217,11 +217,13 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") < "1990-01-01")
         | (F.col("o_orderdate") >= "2000-01-01")
     ).count()
-    # the non-finite screen: NaN/±Inf measures CANNOT enter the engine's
-    # exact-decimal lanes (both Spark's ANSI casts and DuckDB's decimal
-    # casts refuse them, loudly) and NaN is conflated with NULL inside
-    # the pandas UDF lane — this rule is the quarantine gate a pipeline
-    # runs BEFORE those operators (README §Correctness model)
+    # the non-finite screen: NaN/±Inf measures cannot usefully enter the
+    # exact-decimal lanes — and the failure modes are ASYMMETRIC (Spark's
+    # double→DECIMAL cast silently NULLs non-finite even under ANSI,
+    # DuckDB's decimal cast aborts, pandas UDFs conflate NaN with NULL;
+    # pinned in tests/test_nonfinite.py) — this rule is the quarantine
+    # gate a pipeline runs BEFORE those operators (README §Correctness
+    # model)
     nonfinite = o.filter(
         F.isnan("o_totalprice")
         | (F.col("o_totalprice") == F.lit(float("inf")))

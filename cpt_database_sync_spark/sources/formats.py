@@ -561,10 +561,7 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted = docs.select(
         F.when(
             F.col("doc_id") % 10 == 0,
-            F.expr(
-                "substring(to_json(struct(doc_id, lang, text)), 1,"
-                " length(to_json(struct(doc_id, lang, text))) - 1)"
-            ),
+            line.substr(F.lit(1), F.length(line) - 1),
         ).otherwise(line).alias("value")
     )
     corrupted.write.mode("overwrite").text(out)

@@ -248,7 +248,12 @@ def jdbc_sync_table(
     # and setString are valid there), then one server-side
     # INSERT … SELECT CAST(col AS VARCHAR(n)) lands the rows in the real
     # table. The detour costs one extra server-side copy, only on the
-    # batches that need it; the null probe is a limit-1 scan.
+    # batches that need it. The probe projects ONLY the varchar string
+    # columns (column-pruned scan) and early-stops at the first null;
+    # proving a batch null-FREE does read those columns once more — the
+    # price of never catching a mid-append Derby failure, which would
+    # leave partially-committed rows behind (stock JDBC appends are not
+    # transactional across partitions, so try-then-retry is unsafe).
     vc = {
         c: n
         for c, n in (varchar_lengths or {}).items()
@@ -265,7 +270,9 @@ def jdbc_sync_table(
         any_null = functools.reduce(
             operator.or_, [F.col(c).isNull() for c in vc]
         )
-        has_null_vc = bool(out.filter(any_null).limit(1).count())
+        has_null_vc = bool(
+            out.select(*vc).filter(any_null).limit(1).count()
+        )
     if not has_null_vc:
         jdbc_writer(out, url, qtable, props=props, mode="append")
         return

@@ -94,9 +94,14 @@ def main():
         # session.py configs (default 200 shuffle partitions, no pinned TZ —
         # machine TZ is UTC, matching the driver host). Any key whose result
         # depends on partition count / task order / session conf fails HERE
-        # before it fails in a driver rotation.
+        # before it fails in a driver rotation. A pre-existing configured
+        # session would be silently returned by getOrCreate and defeat the
+        # gate — stop it first so the vanilla build is genuine.
         from pyspark.sql import SparkSession
 
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
         spark = (
             SparkSession.builder.appName("parity-vanilla")
             .master("local[8]")

@@ -1724,3 +1724,59 @@ def test_bench_headline_line_fits_driver_tail():
 
     small = bench.headline_line({"a": 1.0, "b": 2.0}, 3.0, 3.0, 3, 0.01, "x")
     assert len(_json.loads(small)["queries"]) == 2
+
+
+def test_constant_group_variance_clamps_not_nan(spark, sf_dir, oracle_con):
+    """A constant-valued group's true-zero variance can land epsilon-
+    NEGATIVE in the double moment lane (fl(Σx²) − fl(Σx)²/n: measured
+    −8.5e−22 for seven rows of 0.001). Unclamped, Spark's sqrt yields
+    NaN — which PASSES |z|>τ gates under NaN ordering — while DuckDB's
+    sqrt raises. Both agg_stats and anomaly_zscore clamp with a NULL-
+    preserving CASE; this pins engine agreement on exactly that input."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from cpt_database_sync_spark.plans.registry import all_specs
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+    from tests.parity import run_query_pair
+
+    out = os.path.join(scratch_dir(), "sf_constgrp")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in ("lineitem", "events"):
+        src = __import__(
+            "pyarrow.parquet", fromlist=["pq"]
+        ).read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 7)
+        import pyarrow as pa
+
+        cols = []
+        for field in src.schema:
+            if field.name in ("l_quantity", "value"):
+                cols.append(pa.array([0.001] * 7, type=field.type))
+            elif field.name in ("l_returnflag", "event_type"):
+                cols.append(pa.array(["K"] * 7, type=field.type))
+            else:
+                cols.append(src.column(field.name))
+        __import__("pyarrow.parquet", fromlist=["pq"]).write_table(
+            pa.table(cols, schema=src.schema), os.path.join(out, f"{t}.parquet")
+        )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "documents", "embeddings"):
+        shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), out)
+    con = duckdb.connect()
+    from cpt_database_sync_spark.sources.tables import ALL_TABLES
+
+    for t in ALL_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
+    specs = all_specs()
+    for name in ("agg_stats", "anomaly_zscore"):
+        problems, _ = run_query_pair(
+            spark, con, specs[name].fn, specs[name].oracle, out
+        )
+        assert not problems, f"{name}: {problems}"
+    # and the constant group's std really is 0, not NaN/NULL
+    row = [r for r in specs["agg_stats"].fn(spark, out).collect()
+           if r["l_returnflag"] == "K"][0]
+    assert row["std_qty"] == 0.0
