@@ -1004,3 +1004,37 @@ def test_dedup_substring_excise_plan_shape(spark, sf_dir):
     assert "filter(" in plan and "concat_ws" in plan, (
         "kept-token reassembly should be the index-aware filter HOF"
     )
+
+
+def test_null_safe_group_joins_stay_broadcast_hash(spark, sf_dir):
+    """The r8 eqNullSafe rewrites (NULL group keys are real groups, but
+    plain equi-joins drop them) must keep their hash-join physical form:
+    Spark compiles a null-safe key as (coalesce(k, ''), isnull(k)) — a
+    hashable composite — so the fix costs nothing at scale. A regression
+    to CartesianProduct/BroadcastNestedLoopJoin would turn the
+    rank-count pass into corpus × groups work."""
+    from cpt_database_sync_spark.operators.relational import (
+        agg_approx_distinct,
+    )
+    from cpt_database_sync_spark.operators.stats import agg_approx_percentile
+
+    for fn in (agg_approx_distinct, agg_approx_percentile):
+        plan = plan_string(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "coalesce" in plan and "isnull" in plan, (
+            "null-safe key should compile to the (coalesce, isnull) composite"
+        )
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_table_profile_spine_join_is_broadcast(spark, sf_dir):
+    """The static 5-column spine (r8: a groupBy over an empty table loses
+    its groups; the spine restores them) must join as a broadcast against
+    the tiny profile aggregate — never a shuffle of either side keyed by
+    the spine."""
+    from cpt_database_sync_spark.sources.catalog import table_profile
+
+    plan = plan_string(table_profile(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
