@@ -139,6 +139,12 @@ HEADLINE = [
     "dedup_substring",
     "dedup_substring_excise",
     "multimodal_decode_errors",
+    "autocorr_daily",
+    "cusum_changepoint",
+    "seasonality_dow",
+    "frequent_pairs",
+    "triangle_count",
+    "pagerank_nations",
 ]
 
 

@@ -1,0 +1,291 @@
+"""Time-series diagnostics over the daily event rollup: autocorrelation,
+CUSUM changepoint localization, and day-of-week seasonality — the
+monitoring layer a metrics store runs ON the replicated data the
+reference merely moves (`handler/Handler.java:42-55` is its whole
+surface; it can copy an events table but answer nothing about it).
+
+All three extend the exact-moment discipline of `trend_fit`
+(operators/stats.py): ONE map-side-combined daily rollup, then moments
+over |days|x|types|-sized data, exact integer/decimal accumulation, a
+single correctly-rounded double conversion per moment, and an identical
+IEEE closed form on both engines. Day numbering is epoch-day
+(days since 1970-01-01) so day-of-week is the portable ``dn % 7``
+(0 = Thursday) — Spark's ``dayofweek`` and DuckDB's ``dayofweek``
+disagree on origin, the modulus does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.sources.tables import load
+
+# Autocorrelation horizon: one week of daily lags captures the weekly
+# cycle the fixtures (and most product metrics) actually have.
+ACF_MAX_LAG = 7
+
+_EPOCH = "1970-01-01"
+
+
+def _dn(ts_col: str = "ts") -> F.Column:
+    """Epoch-day number of a timestamp column (exact integer)."""
+    return F.datediff(F.col(ts_col).cast("date"), F.lit(_EPOCH).cast("date"))
+
+
+_DAILY_COUNT_CTE = f"""
+    daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS dn,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+_AUTOCORR_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    pairs AS (
+      SELECT a.event_type, k.lag_k, a.c AS x, b.c AS y
+      FROM daily a
+      JOIN (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag_k) k ON TRUE
+      JOIN daily b ON b.event_type = a.event_type AND b.dn = a.dn + k.lag_k
+    ),
+    m AS (
+      SELECT event_type, lag_k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(lag_k AS INT) AS lag_k,
+           n AS n_pairs,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 9) AS acf
+    FROM m
+"""
+
+
+@register("autocorr_daily", oracle=_AUTOCORR_SQL)
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the per-type daily event-count series
+    — "does this metric have a weekly cycle" as the sample
+    cross-correlation of the series against itself shifted k days
+    (the ACF a forecasting pipeline inspects before picking a model).
+
+    Days are paired by CALENDAR adjacency (dn and dn+k must both be
+    observed), not by row position, so sparse series skip gaps rather
+    than misalign across them. Counts are exact BIGINTs, every moment
+    is an exact integer sum (magnitudes < 2^53 at any bench scale —
+    at 1e9 events/day widen the moment lane to DECIMAL), the Pearson
+    closed form runs in identical IEEE doubles on both engines, and a
+    constant series (zero variance) yields NULL via try_divide — the
+    same n*sxx-sx*sx=0 surface `trend_fit` pins.
+
+    Physics: one map-side-combined count shuffle builds the daily
+    rollup; the lag expansion (x7) and self-join run on |days|x|types|
+    rows — broadcast-sized from sf0.001 through 100 TB, because the
+    rollup never grows with raw volume, only with the calendar.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", _dn().alias("dn")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag_k"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("dn").alias("bdn"), F.col("c").alias("y")
+    )
+    pairs = a.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bdn") == F.col("dn") + F.col("lag_k")),
+    ).select("event_type", "lag_k", F.col("c").alias("x"), "y")
+    m = pairs.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    acf = F.try_divide(
+        n * sxy - sx * sy, F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return m.select(
+        "event_type",
+        F.col("lag_k").cast("int").alias("lag_k"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(acf, 9).alias("acf"),
+    )
+
+
+_CUSUM_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    walk AS (
+      SELECT d.event_type, d.dn, t.n_days, t.total,
+             CAST(SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.dn
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.dn)
+                  AS BIGINT) AS j
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    scored AS (
+      SELECT event_type, dn, n_days,
+             n_days * prefix - j * total AS ns,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n_days * prefix - j * total) DESC, dn) AS rnk
+      FROM walk
+    )
+    SELECT event_type, n_days, dn AS cp_dn, ns AS ns_at_cp
+    FROM scored WHERE rnk = 1
+"""
+
+
+@register("cusum_changepoint", oracle=_CUSUM_SQL)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization over the per-type daily count
+    series: the day j maximizing |S_j| where S_j = prefix_j - j*mean is
+    the cumulative deviation of the observed walk from a constant-rate
+    one — the standard level-shift detector (Page's CUSUM) a volume
+    monitor runs on every metric.
+
+    Exactness without division: the statistic is emitted scaled by
+    n_days (ns_j = n*prefix_j - j*total, an exact BIGINT), so the
+    argmax — which is invariant under the positive scaling — needs no
+    mean, no decimal, no rounding doctrine at all; both engines rank
+    identical integers. Ties on |ns| break to the earliest day.
+    A single observed day yields ns = 0 (no shift is detectable).
+
+    Physics: the daily rollup is the only raw-data shuffle (map-side
+    combined); the prefix walk and ranking window run on rollup-sized
+    data clustered by the same event_type key, and the per-type totals
+    join broadcasts. At 1e9 events/day the products stay < 2^63 until
+    the calendar itself passes ~10^4 days of 10^14-count traffic.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", _dn().alias("dn")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("dn")
+    walk = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("prefix", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("j", F.row_number().over(w).cast("long"))
+    )
+    scored = walk.select(
+        "event_type",
+        "dn",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("n_days") * F.col("prefix") - F.col("j") * F.col("total")).alias("ns"),
+    )
+    rnk = Window.partitionBy("event_type").orderBy(F.abs(F.col("ns")).desc(), "dn")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") == 1)
+        .select("event_type", "n_days", F.col("dn").alias("cp_dn"), F.col("ns").alias("ns_at_cp"))
+    )
+
+
+_SEASON_SQL = f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS dn,
+             CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DECIMAL(20,6)) AS dv
+      FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+      SELECT event_type, dn % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(dv) AS DECIMAL(28,6)) AS sum_d
+      FROM daily GROUP BY 1, 2
+    ),
+    overall AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(SUM(dv) AS DECIMAL(28,6)) AS total
+      FROM daily GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(p.dow AS INT) AS dow,
+           p.n_days,
+           round(CAST(p.sum_d AS DOUBLE) / p.n_days, 9) AS dow_avg,
+           round((CAST(p.sum_d AS DOUBLE) * o.n_all)
+                 / (p.n_days * CAST(o.total AS DOUBLE)), 9) AS season_idx
+    FROM per_dow p JOIN overall o USING (event_type)
+"""
+
+
+@register("seasonality_dow", oracle=_SEASON_SQL)
+def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean daily value-sum
+    on each weekday divided by the overall mean daily value-sum — the
+    multiplicative seasonal profile (>1 = hot day) that feeds both
+    seasonal adjustment and anomaly baselines (TimescaleDB-style
+    time_bucket analytics the reference's copy loop cannot answer).
+
+    dow is the portable ``epoch_day % 7`` (0 = Thursday): Spark and
+    DuckDB number weekdays differently, the modulus is engine-free.
+    Exactness: daily sums accumulate in the DECIMAL(14,6)->(20,6) lane
+    (order-insensitive), per-dow and overall sums widen to (28,6) whose
+    unscaled values stay < 2^53 at bench scales (the numeric.py
+    emission rule; widen and rescale at larger SFs), then ONE double
+    conversion per moment and the identical-IEEE ratio
+    (sum_d*n_all)/(n_days*total) — algebraically (dow mean)/(grand
+    mean) without ever dividing decimals. A type whose value column is
+    entirely NULL propagates NULL through SUM to both ratios on both
+    engines; try_divide covers the degenerate zero-total corpus.
+
+    Physics: one map-side-combined rollup shuffle; both re-aggregations
+    and the final join are |days|x|types|-sized; the overall relation
+    broadcasts.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", _dn().alias("dn")).agg(
+        F.sum(F.col("value").cast("decimal(14,6)")).cast("decimal(20,6)").alias("dv")
+    )
+    per_dow = daily.groupBy(
+        "event_type", (F.col("dn") % 7).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dv").cast("decimal(28,6)").alias("sum_d"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("dv").cast("decimal(28,6)").alias("total"),
+    )
+    j = per_dow.join(F.broadcast(overall), "event_type")
+    sum_d = F.col("sum_d").cast("double")
+    total = F.col("total").cast("double")
+    return j.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.try_divide(sum_d, F.col("n_days")), 9).alias("dow_avg"),
+        F.round(
+            F.try_divide(sum_d * F.col("n_all"), F.col("n_days") * total), 9
+        ).alias("season_idx"),
+    )

@@ -42,6 +42,8 @@ _QUERY_MODULES = [
     "cpt_database_sync_spark.operators.stats",
     "cpt_database_sync_spark.operators.asof",
     "cpt_database_sync_spark.operators.analytics",
+    "cpt_database_sync_spark.operators.timeseries",
+    "cpt_database_sync_spark.operators.graph",
     "cpt_database_sync_spark.functions.scalar",
     "cpt_database_sync_spark.functions.typelattice",
     "cpt_database_sync_spark.sources.catalog",

@@ -1038,3 +1038,77 @@ def test_table_profile_spine_join_is_broadcast(spark, sf_dir):
     plan = plan_string(table_profile(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_frequent_pairs_hof_expansion_plan(spark, sf_dir):
+    """frequent_pairs must build co-occurrence via the bounded-fan-out
+    HOF path: two map-side-combined shuffles (per-order set build, pair
+    count), a one-row broadcast for the order total, and no join of the
+    incidence against itself (the self-join shape shuffles the incidence
+    twice and loses the pair combine)."""
+    import re
+
+    from cpt_database_sync_spark.operators.graph import frequent_pairs
+
+    plan = plan_string(frequent_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "incidence self-join detected — pair expansion must be the HOF path"
+    )
+    assert "partial_count" in plan, "pair count is not map-side combined"
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected the set-build and pair-count exchanges"
+    for k in keys:
+        cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
+        assert cols <= {"ok", "pa", "pb"}, f"unexpected shuffle key: {k}"
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark, sf_dir):
+    """pagerank_nations cuts lineage after the edge build: no rank round
+    may re-derive the 4-way fact join. The executed plan downstream of
+    the checkpoint must read the materialized edge RDD and never scan
+    lineitem again; every rank relation joins in as a broadcast."""
+    from cpt_database_sync_spark.operators.graph import pagerank_nations
+
+    plan = plan_string(pagerank_nations(spark, sf_dir))
+    assert "ExistingRDD" in plan, "edge relation is not checkpoint-materialized"
+    assert "lineitem" not in plan, (
+        "a rank iteration re-scans the fact table past the lineage cut"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_reuses_edges_and_broadcasts(spark, sf_dir):
+    """triangle_count materializes the thresholded edge relation once
+    (five consumers) and closes wedges with equi-joins — no cartesian
+    surface, no re-derivation of the incidence pass per consumer."""
+    from cpt_database_sync_spark.operators.graph import triangle_count
+
+    plan = plan_string(triangle_count(spark, sf_dir))
+    assert "ExistingRDD" in plan, "edges not checkpoint-materialized"
+    assert "lineitem" not in plan, "a consumer re-scans the fact table"
+    assert "CartesianProduct" not in plan
+
+
+def test_timeseries_rollups_are_map_side_combined(spark, sf_dir):
+    """The daily rollup that feeds autocorr/cusum/seasonality is the only
+    raw-data shuffle, and it must pre-aggregate map-side: the exchange
+    carries |days|x|types| partial rows, never one row per event."""
+    import re
+
+    from cpt_database_sync_spark.operators.timeseries import (
+        autocorr_daily,
+        cusum_changepoint,
+        seasonality_dow,
+    )
+
+    for fn in (autocorr_daily, cusum_changepoint, seasonality_dow):
+        plan = plan_string(fn(spark, sf_dir))
+        assert "partial_count" in plan or "partial_sum" in plan, (
+            f"{fn.__name__}: daily rollup not map-side combined"
+        )
+        assert "CartesianProduct" not in plan
+        first_key = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+        assert first_key and "event_type" in first_key.group(1), (
+            f"{fn.__name__}: expected an event_type-keyed rollup exchange"
+        )

@@ -1780,3 +1780,141 @@ def test_constant_group_variance_clamps_not_nan(spark, sf_dir, oracle_con):
     row = [r for r in specs["agg_stats"].fn(spark, out).collect()
            if r["l_returnflag"] == "K"][0]
     assert row["std_qty"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# graph + timeseries operators (r8 continuation)
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Edge/wedge/triangle counts against a driver-side brute force over
+    the (small at sf0.001) thresholded edge set — independent of the
+    oriented-join formulation."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.graph import (
+        EDGE_MIN_COOCCUR,
+        _cooccur_pairs,
+        triangle_count,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = {
+        (r.pa, r.pb)
+        for r in _cooccur_pairs(li)
+        .filter(F.col("cnt") >= EDGE_MIN_COOCCUR)
+        .collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    wedges = sum(len(nbrs.get(b, ())) for (_, b) in edges)
+    tris = sum(
+        1 for (a, b) in edges for c in nbrs.get(b, ()) if (a, c) in edges
+    )
+    row = triangle_count(spark, sf_dir).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(edges),
+        wedges,
+        tris,
+    )
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    """Scaled-integer PageRank invariants: every node holds at least the
+    teleport floor; total mass never exceeds the initial 1e9 (floors and
+    dangling drop can only lose mass); ranks are deterministic across
+    two independent evaluations."""
+    from cpt_database_sync_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_nations,
+    )
+
+    rows = {r.n_name: r.rank_scaled for r in pagerank_nations(spark, sf_dir).collect()}
+    assert rows, "fixture trade graph is empty"
+    n = len(rows)
+    teleport = 150_000_000 // n
+    assert all(v >= teleport for v in rows.values())
+    assert sum(rows.values()) <= PR_SCALE
+    again = {
+        r.n_name: r.rank_scaled for r in pagerank_nations(spark, sf_dir).collect()
+    }
+    assert rows == again
+
+
+def test_autocorr_within_cauchy_schwarz_bounds(spark, sf_dir):
+    """Every finite ACF value lies in [-1, 1] (Cauchy–Schwarz), and every
+    (event_type, lag) with >= 2 paired days is present."""
+    from cpt_database_sync_spark.operators.timeseries import autocorr_daily
+
+    rows = autocorr_daily(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.acf is not None:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9, r
+
+
+def test_cusum_argmax_matches_pandas_walk(spark, sf_dir):
+    """The reported changepoint equals a driver-side recomputation of
+    argmax |n*prefix_j - j*total| over the daily count series."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.dn, r.c))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        n, total = len(pts), sum(c for _, c in pts)
+        prefix, best = 0, None
+        for j, (dn, c) in enumerate(pts, start=1):
+            prefix += c
+            ns = n * prefix - j * total
+            key = (-abs(ns), dn)
+            if best is None or key < best[0]:
+                best = (key, dn, ns)
+        expect[et] = (n, best[1], best[2])
+    got = {
+        r.event_type: (r.n_days, r.cp_dn, r.ns_at_cp)
+        for r in cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_seasonality_indices_average_to_one(spark, sf_dir):
+    """The day-share-weighted mean of the seasonal index is 1 per event
+    type (the multiplicative profile is normalized by construction):
+    sum(idx_d * n_days_d) == n_all up to display rounding."""
+    from collections import defaultdict
+
+    from cpt_database_sync_spark.operators.timeseries import seasonality_dow
+
+    rows = seasonality_dow(spark, sf_dir).collect()
+    assert rows
+    acc: dict[str, float] = defaultdict(float)
+    days: dict[str, int] = defaultdict(int)
+    for r in rows:
+        if r.season_idx is not None:
+            acc[r.event_type] += r.season_idx * r.n_days
+            days[r.event_type] += r.n_days
+    for et, s in acc.items():
+        assert abs(s - days[et]) < 1e-4, (et, s, days[et])
