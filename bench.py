@@ -145,6 +145,8 @@ HEADLINE = [
     "frequent_pairs",
     "triangle_count",
     "pagerank_nations",
+    "sim_range_search",
+    "source_reputation_filter",
 ]
 
 

@@ -417,3 +417,81 @@ def kanonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n")
         ).alias("pct_rows_at_risk"),
     )
+
+
+# Source/domain reputation thresholds: a source survives when its mean
+# document length is >= REP_MIN_MEAN_CHARS AND its exact-duplicate rate
+# is <= REP_MAX_DUP_PCT% — both stated as cross-multiplied INTEGER
+# predicates so the cut is exact on both engines (no ratio is ever
+# compared as a float; the displayed ratios are for the audit columns
+# only).
+REP_MIN_MEAN_CHARS = 290
+REP_MAX_DUP_PCT = 95  # distinct_texts * 100 >= cnt * REP_MAX_DUP_PCT
+
+
+@register(
+    "source_reputation_filter",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS src_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS src_chars,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS src_distinct
+      FROM documents GROUP BY source
+    ),
+    kept AS (
+      SELECT * FROM stats
+      WHERE src_chars >= {REP_MIN_MEAN_CHARS} * src_docs
+        AND src_distinct * 100 >= src_docs * {REP_MAX_DUP_PCT}
+    )
+    SELECT d.doc_id, d.source, k.src_docs,
+           round(CAST(k.src_chars AS DOUBLE) / k.src_docs, 9) AS src_mean_chars,
+           round(CAST(k.src_distinct AS DOUBLE) / k.src_docs, 9)
+             AS src_distinct_ratio
+    FROM documents d JOIN kept k USING (source)
+    """,
+)
+def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus filtering (the CCNet/RefinedWeb move): score
+    each SOURCE on aggregate signals — mean document length and
+    exact-duplicate rate — and keep only documents from sources that
+    clear both bars. Per-document filters (corpus_filter, quality_score)
+    miss pathological DOMAINS whose individual documents look fine;
+    this is the complementary cut every crawl pipeline applies first.
+
+    Exactness: both predicates are cross-multiplied integer comparisons
+    (src_chars >= min_mean * src_docs; src_distinct*100 >= src_docs*95)
+    — no float ever decides membership, so the kept set is identical on
+    both engines by construction, not by margin. The audit ratios are
+    display-only exact-int/exact-int divisions (round 9).
+
+    Physics: ONE aggregation over the corpus (map-side combined; the
+    dup counter is count(DISTINCT md5) — at 100 TB swap for HLL or the
+    bitmap family if exactness can relax); the surviving-source list is
+    tiny and broadcasts back into the corpus scan, so the filter itself
+    is map-only. Null text hashes to a NULL md5 (excluded from the
+    distinct count on both engines); null n_chars propagates NULL
+    through SUM only if every row is null — the predicate then fails
+    and the source drops, identically in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_docs"),
+        F.sum("n_chars").cast("long").alias("src_chars"),
+        F.countDistinct(F.md5("text")).alias("src_distinct"),
+    )
+    kept = stats.filter(
+        (F.col("src_chars") >= REP_MIN_MEAN_CHARS * F.col("src_docs"))
+        & (F.col("src_distinct") * 100 >= F.col("src_docs") * REP_MAX_DUP_PCT)
+    )
+    return docs.join(F.broadcast(kept), "source").select(
+        "doc_id",
+        "source",
+        F.col("src_docs").cast("long").alias("src_docs"),
+        F.round(
+            F.col("src_chars").cast("double") / F.col("src_docs"), 9
+        ).alias("src_mean_chars"),
+        F.round(
+            F.col("src_distinct").cast("double") / F.col("src_docs"), 9
+        ).alias("src_distinct_ratio"),
+    )

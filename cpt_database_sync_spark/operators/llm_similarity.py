@@ -1054,3 +1054,67 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("label").alias("pred_label"),
                 F.col("n_votes").cast("long").alias("n_votes"))
     )
+
+
+# Radius (range) search threshold: report every corpus neighbor with
+# cosine >= RANGE_TAU. Membership is decided on the ROUND(cos, 9) value
+# on both engines, and tests assert the fixture margin |cos - tau| is
+# wide, so low-bit summation differences cannot flip a pair.
+RANGE_TAU = 0.35
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT q_id, n_id, sim
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round({_sql_cosine("q.embedding", "c.embedding")}, 9) AS sim
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE sim >= {RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (threshold) similarity search: ALL corpus neighbors within
+    cosine >= RANGE_TAU of each query — the dual of sim_topk (fixed
+    quality bar, variable result size vs fixed size, variable quality).
+    This is the retrieval primitive for near-duplicate audits and
+    "anything substantially similar" policy checks, where top-k's
+    truncation is exactly wrong.
+
+    Map-only at corpus scale: the query set broadcasts, each corpus
+    partition scores and filters locally, and — unlike top-k — there is
+    NO global ranking stage, so the plan has no shuffle at all
+    (plan-gated). At 100 TB this is the best possible shape: one pass,
+    predicate applied where the data lives, output proportional to the
+    true neighbor count. The LSH/IVF families (sim_ann_lsh, sim_ann_ivf*)
+    bolt on unchanged when a recall<1 contract is acceptable.
+
+    Exactness: scores use the same sequential-fold dot product as
+    sim_topk; membership compares the ROUNDED score on both engines and
+    the unit test pins a wide fixture margin around the threshold.
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9
+        ).alias("sim"),
+    )
+    return scored.filter(F.col("sim") >= RANGE_TAU)

@@ -1112,3 +1112,54 @@ def test_timeseries_rollups_are_map_side_combined(spark, sf_dir):
         assert first_key and "event_type" in first_key.group(1), (
             f"{fn.__name__}: expected an event_type-keyed rollup exchange"
         )
+
+
+def test_range_search_is_shuffle_free(spark, sf_dir):
+    """sim_range_search's contract: broadcast queries, score and filter
+    where the corpus lives — NO shuffle stage anywhere (top-k needs a
+    ranking exchange; radius search must not)."""
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        sim_range_search,
+    )
+
+    plan = plan_string(sim_range_search(spark, sf_dir))
+    assert "hashpartitioning" not in plan, "radius search must be map-only"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_reputation_filter_is_broadcast_cut(spark, sf_dir):
+    """The surviving-source list must broadcast back into the corpus scan
+    (map-only filter); the only hash exchange is the per-source stats
+    aggregation, map-side combined."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_quality import (
+        source_reputation_filter,
+    )
+
+    plan = plan_string(source_reputation_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    for k in keys:
+        cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
+        assert cols <= {"source"}, f"unexpected shuffle key: {k}"
+
+
+def test_cube_route_reads_one_cuboid_partition(spark, sf_dir):
+    """cube_lattice_route's scan must carry the gid PartitionFilter (a
+    point read of one cuboid directory) and do no re-aggregation — the
+    routed cuboid already sits at the answer grain."""
+    from cpt_database_sync_spark.sources.formats import (
+        _CUBE_ROUTE_GID,
+        cube_lattice_route,
+    )
+
+    plan = plan_string(cube_lattice_route(spark, sf_dir))
+    assert "PartitionFilters" in plan and f"= {_CUBE_ROUTE_GID}" in plan.replace(
+        "gid#", "gid #"
+    ), f"no gid partition filter in scan:\n{plan[:1500]}"
+    assert "hashpartitioning" not in plan, (
+        "routed read must not re-shuffle — the cuboid is the answer grain"
+    )

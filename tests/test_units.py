@@ -1918,3 +1918,79 @@ def test_seasonality_indices_average_to_one(spark, sf_dir):
             days[r.event_type] += r.n_days
     for et, s in acc.items():
         assert abs(s - days[et]) < 1e-4, (et, s, days[et])
+
+
+def test_range_search_threshold_margin_is_wide(spark, sf_dir):
+    """sim_range_search decides membership on round(cos, 9) >= TAU; pin
+    that no fixture pair sits within 1e-7 of the threshold, so low-bit
+    engine summation differences cannot flip a pair in or out."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        N_QUERIES,
+        RANGE_TAU,
+        dot,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+    )
+    margin = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select(
+            F.abs(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+                - F.lit(RANGE_TAU)
+            ).alias("m")
+        )
+        .agg(F.min("m").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert margin > 1e-7, f"fixture pair too close to RANGE_TAU: {margin}"
+
+
+def test_source_reputation_filter_cut_is_integer_exact(spark, sf_dir):
+    """Recompute the source cut driver-side from exact integers and check
+    the surviving source set (and only it) appears in the output."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_quality import (
+        REP_MAX_DUP_PCT,
+        REP_MIN_MEAN_CHARS,
+        source_reputation_filter,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    stats = {
+        r.source: (r.n, r.chars, r.distinct)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct(F.md5("text")).alias("distinct"),
+        )
+        .collect()
+    }
+    expect = {
+        s
+        for s, (n, chars, dst) in stats.items()
+        if chars >= REP_MIN_MEAN_CHARS * n and dst * 100 >= n * REP_MAX_DUP_PCT
+    }
+    out = source_reputation_filter(spark, sf_dir)
+    got = {r.source for r in out.select("source").distinct().collect()}
+    assert got == expect
+    n_docs = out.count()
+    assert n_docs == sum(stats[s][0] for s in expect)
