@@ -147,6 +147,8 @@ HEADLINE = [
     "pagerank_nations",
     "sim_range_search",
     "source_reputation_filter",
+    "cube_lattice_route",
+    "stream_cusum",
 ]
 
 

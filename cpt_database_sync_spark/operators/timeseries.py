@@ -187,6 +187,15 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", _dn().alias("dn")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    return cusum_finalize(daily)
+
+
+def cusum_finalize(daily: DataFrame) -> DataFrame:
+    """Shared CUSUM walk + argmax over a (event_type, dn, c) daily-count
+    relation — the batch operator and its streaming serving twin
+    (``stream_cusum``) both end here, so stream-maintained counts feed
+    EXACTLY the batch expression tree (integer-exact, one oracle for
+    both)."""
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
     )

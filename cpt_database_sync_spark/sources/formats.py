@@ -810,3 +810,100 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_hash"),
         )
     )
+
+
+# Cuboid routed to answer the "by linestatus" serving query: bits are
+# (l_returnflag, l_linestatus, yr) most-significant-first, 1 = rolled
+# away — keep only l_linestatus => 101b = 5.
+_CUBE_ROUTE_GID = 5
+
+_CUBE_SCHEMA = T.StructType(
+    [
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("yr", T.IntegerType()),
+        T.StructField("sum_qty_dec", T.DecimalType(24, 2)),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("gid", T.LongType()),
+    ]
+)
+
+
+def _cube_lattice_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the full (returnflag, linestatus, year) cube lattice
+    — all 8 cuboids from ONE pass over the fact table — as parquet
+    partitioned by grouping_id, rebuilt only when the source fixture
+    changes (``materialize_stamped``)."""
+    from cpt_database_sync_spark.sources.tables import (  # noqa: PLC0415
+        materialize_stamped,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    out = os.path.join(
+        scratch_dir(), "cube_lattice", os.path.basename(sf_dir.rstrip("/"))
+    )
+
+    def build(d: str) -> None:
+        li = load(spark, sf_dir, "lineitem").withColumn(
+            "yr", F.year("l_shipdate")
+        )
+        cube = li.cube("l_returnflag", "l_linestatus", "yr").agg(
+            F.sum(F.col("l_quantity").cast("decimal(14,2)"))
+            .cast("decimal(24,2)")
+            .alias("sum_qty_dec"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().alias("gid"),
+        )
+        cube.write.mode("overwrite").partitionBy("gid").parquet(d)
+
+    return materialize_stamped(src, out, build)
+
+
+@register(
+    "cube_lattice_route",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_CUBE_ROUTE_GID} AS routed_gid
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def cube_lattice_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized cube lattice + cuboid ROUTING (the Kylin/Druid
+    rollup-serving design): one GROUPING-SETS pass persists all 8
+    (returnflag, linestatus, year) cuboids partitioned by grouping_id;
+    a serving query then reads the SMALLEST cuboid that contains its
+    answer — here "total quantity by linestatus" routes to gid=5
+    (returnflag and year rolled away), a partition-pruned point read of
+    a |linestatus|-row directory. Query latency becomes independent of
+    fact-table size: at 100 TB the lattice build is one shuffle, every
+    dashboard query after it is a file-footer-sized read (plan-gated:
+    the scan carries a gid PartitionFilter and reads only that cuboid).
+
+    grouping_id is what disambiguates a REAL NULL dimension value from
+    a rolled-away dimension (the standard lattice trick) — the
+    payload-nulls fixture exercises exactly that: NULL linestatus rows
+    form their own group INSIDE gid=5 rather than colliding with the
+    rolled-up rows of other cuboids.
+
+    Exactness: cuboid measures accumulate in the DECIMAL(14,2)->(24,2)
+    lane; the routed read re-emits them through the DECIMAL(18,2)
+    rescale -> double rule (numeric.py). Since the routed cuboid IS the
+    answer grain, no re-aggregation happens at read time — the oracle
+    aggregates the raw fact table directly and must agree.
+
+    The read-back passes the explicit lattice schema: an EMPTY fact
+    table materializes a row-less lattice whose parquet directory has
+    no partition dirs to infer types from (the r8 empty-write lesson).
+    """
+    d = _cube_lattice_dir(spark, sf_dir)
+    lattice = spark.read.schema(_CUBE_SCHEMA).parquet(d)
+    routed = lattice.filter(F.col("gid") == _CUBE_ROUTE_GID)
+    return routed.select(
+        "l_linestatus",
+        F.col("sum_qty_dec").cast("decimal(18,2)").cast("double").alias("sum_qty"),
+        F.col("cnt").alias("n_rows"),
+        F.lit(_CUBE_ROUTE_GID).alias("routed_gid"),
+    )

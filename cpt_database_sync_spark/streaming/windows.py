@@ -817,3 +817,45 @@ def stream_drift_psi_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("phase") == "b", F.col("cnt")).otherwise(0)).alias("nb")
     )
     return psi_finalize(hist.groupBy("event_type").agg(*aggs))
+
+
+def _cusum_oracle_text() -> str:
+    from cpt_database_sync_spark.operators.timeseries import _CUSUM_SQL  # noqa: PLC0415
+
+    return _CUSUM_SQL
+
+
+@register("stream_cusum", oracle=_cusum_oracle_text())
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint monitoring maintained BY THE STREAM —
+    cusum_changepoint's serving twin in the stream_drift_psi pattern:
+    the per-(type, day) counters are a streaming aggregation in UPDATE
+    mode, each micro-batch MERGEs only the days whose count changed
+    into the keyed serving table (state per group = one integer,
+    watermark-bounded lateness), and the CUSUM walk + argmax runs as a
+    batch read over that |days|x|types| table. Counts are integers, so
+    the stream-maintained relation is EXACTLY the batch operator's
+    daily rollup and the shared finalizer (cusum_finalize:
+    division-free scaled-integer statistic) is bit-identical — one
+    oracle serves both paths. "Did the volume level-shift, and when"
+    becomes continuously answerable without rescanning history.
+    """
+    from cpt_database_sync_spark.operators.timeseries import (  # noqa: PLC0415
+        cusum_finalize,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    daily = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    back, _ = serve_keyed_stream(
+        daily, ["event_type", "dn"], "stream_cusum_", {"event_type": 40}
+    )
+    return cusum_finalize(back)
