@@ -149,6 +149,8 @@ HEADLINE = [
     "source_reputation_filter",
     "cube_lattice_route",
     "stream_cusum",
+    "skyline_pareto",
+    "bfs_hops",
 ]
 
 

@@ -30,6 +30,13 @@ EDGE_MIN_COOCCUR = 2
 # PageRank fixed point: ranks scaled by 1e9, damping 0.85, 3 rounds.
 PR_SCALE = 1_000_000_000
 PR_ROUNDS = 3
+# BFS: source nation key and the hop bound (the 25-node trade graph's
+# diameter is ~2; 4 bounds any fixture while keeping the oracle's
+# path-enumeration recursion finite). Nation 3 is a supplier (= has
+# out-edges) at every fixture SF; nation 0 has no suppliers at sf0.001,
+# which would make every hop NULL and exercise nothing.
+BFS_SOURCE_NATION = 3
+BFS_MAX_HOPS = 4
 
 _OP_CTE = """
     op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
@@ -193,6 +200,36 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(n_wedges).crossJoin(n_tri)
 
 
+def _trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation-level trade edge relation (src supplier nation → dst
+    customer nation, weighted by lineitem count), checkpoint-materialized.
+
+    This is the only raw-data work in the graph family that consumes it
+    (pagerank, BFS): lineitem joins orders on the orderkey shuffle, then
+    BROADCAST joins to the supplier/customer dimensions, aggregating to
+    <= |nations|^2 weighted edges. Everything downstream reuses the edge
+    relation many times (nodes, out-weights, one join per iteration), so
+    lineage is cut ONCE here — without it the executed plan re-derives
+    the 4-way fact join per consumer (observed in pagerank: 39 exchanges
+    -> 5). Executor-local checkpoint storage scales with |edges|, not
+    the corpus.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
 _PR_EDGE_CTES = """
     flows AS (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
@@ -275,25 +312,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation broadcasts until it is itself huge, at which point the
     join flips to a co-partitioned shuffle on node id.
     """
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    supp = load(spark, sf_dir, "supplier")
-    cust = load(spark, sf_dir, "customer")
-    flows = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        # The edge build touches the fact table; everything below reuses
-        # the <= |nations|^2 edge relation many times (nodes, out-weights,
-        # one join per rank round). Cut lineage ONCE here so no iteration
-        # re-reads lineitem — without this the executed plan re-derives
-        # the 4-way join 8x (observed: 39 exchanges -> 5).
-        .localCheckpoint(eager=True)
-    )
+    flows = _trade_flows(spark, sf_dir)
     nodes = (
         flows.select(F.col("src").alias("node"))
         .union(flows.select(F.col("dst").alias("node")))
@@ -337,4 +356,99 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("r").cast("long").alias("rank_scaled"),
         F.round(F.col("r").cast("double") / PR_SCALE, 9).alias("pr"),
+    )
+
+
+_BFS_SQL = f"""
+    WITH RECURSIVE
+    flows AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT DISTINCT src, dst FROM flows),
+    -- DISTINCT-over-UNION-ALL, not bare UNION: inside WITH RECURSIVE,
+    -- DuckDB 1.0 rewrites set-ops in sibling CTEs for recursion
+    -- planning and a bare UNION here loses its distinct semantics.
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM nodes WHERE node = {BFS_SOURCE_NATION}
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hops < {BFS_MAX_HOPS}
+    ),
+    d AS (SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY 1)
+    SELECT nat.n_name, d.hops
+    FROM nodes n
+    JOIN nation nat ON nat.n_nationkey = n.node
+    LEFT JOIN d ON d.node = n.node
+"""
+
+
+@register("bfs_hops", oracle=_BFS_SQL)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the nation trade graph: minimum hop count
+    from BFS_SOURCE_NATION to every node within BFS_MAX_HOPS (NULL =
+    unreachable inside the bound) — the reachability primitive behind
+    "how far does this supplier's influence propagate" questions, and
+    the third member of the graph family (frequent_pairs = local
+    structure, triangle_count = clustering, pagerank = centrality,
+    BFS = distance).
+
+    The standard relational BFS dataflow: a frontier relation expands
+    through one equi-join per round against the static edge relation,
+    newly-reached nodes (left-anti against the visited set) become the
+    next frontier. Because expansion dedups per round and visited nodes
+    never re-enter, each node is labeled exactly once with its true
+    minimum hop count — the oracle states the same fixed point by
+    enumerating ALL bounded paths recursively and taking MIN(hops),
+    a deliberately different algorithm agreeing on exact integers.
+
+    Physics: the edge build is the only raw-data work (shared
+    `_trade_flows` checkpoint — lineitem is never rescanned by the
+    iteration, gated). Each round joins a <= |nodes| frontier against a
+    <= |nodes|^2 edge relation — broadcast-sized here; at catalog-scale
+    node sets (domains, repos) the same plan co-partitions frontier and
+    edges on src and the per-round `localCheckpoint` keeps lineage
+    linear in rounds, not exponential. Hop labels are exact integers;
+    there is no float, no tie, no ordering sensitivity anywhere.
+    """
+    flows = _trade_flows(spark, sf_dir)
+    e = flows.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reach = nodes.filter(F.col("node") == BFS_SOURCE_NATION).select(
+        "node", F.lit(0).alias("hops")
+    )
+    frontier = reach.select("node")
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        # Materialize the round's fresh set once: it feeds both the
+        # visited-set union and the next frontier, and the eager cut
+        # keeps the iteration's lineage linear in rounds.
+        fresh = nxt.join(reach, "node", "left_anti").localCheckpoint(eager=True)
+        reach = reach.union(fresh.select("node", F.lit(k).alias("hops")))
+        frontier = fresh
+    nation = load(spark, sf_dir, "nation")
+    # Alias the visited-set key: nodes and reach share lineage (both
+    # descend from the edge relation), so a name-keyed join would trip
+    # the ambiguous-self-join analyzer; a fresh attribute id doesn't.
+    dist = reach.select(F.col("node").alias("dnode"), "hops")
+    return (
+        nodes.join(F.broadcast(nation), nodes.node == nation.n_nationkey)
+        .join(F.broadcast(dist), F.col("node") == F.col("dnode"), "left")
+        .select("n_name", F.col("hops").cast("int").alias("hops"))
     )

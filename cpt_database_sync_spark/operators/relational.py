@@ -1062,3 +1062,67 @@ def grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
         """)
     return spark.sql(_GROUPING_SQL)
+
+
+_SKYLINE_SQL = """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
+         OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size)
+    )
+"""
+
+
+@register("skyline_pareto", oracle=_SKYLINE_SQL)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts under (minimize p_retailprice, maximize
+    p_size): every part not dominated by another that is at least as
+    cheap AND at least as big with one strict — the multi-objective
+    top-k ("best price/capability trade-offs") an OLAP engine answers
+    for any cost/benefit column pair. Ties on both dimensions are
+    mutually non-dominating, so coordinate-duplicates all surface.
+
+    Algorithm: the 2-D sort-sweep, run on the COMPRESSED per-price
+    relation. (1) per-price best: groupBy(price).max(size) — map-side
+    combined, the only raw-data shuffle, and itself a dominance prune
+    (within a price, only the max-size points can survive); (2) one
+    ordered sweep over the distinct-price relation computing the
+    strictly-cheaper prefix max (rowsBetween(-inf, -1)), keeping groups
+    whose best strictly exceeds it; (3) the surviving (price, best)
+    pairs — skyline-sized — broadcast back to recover the rows. The
+    sweep's single-partition window touches |distinct prices| rows,
+    never the corpus; if the cost dimension is continuous at 100 TB,
+    insert a partition-local Arrow skyline prune (mapInPandas, the
+    sequence_packing pattern) before (1) — local dominance is a sound
+    pre-filter because dominance is transitive.
+
+    The oracle states the DEFINITION (NOT EXISTS dominance) rather than
+    the sweep — two independent algorithms must agree exactly. Only
+    comparisons touch the double price column (no float arithmetic), so
+    both engines decide identical predicates on identical parquet bits.
+    NULL semantics come from the oracle: a row with a NULL dimension
+    satisfies no dominance predicate in either role — it is always a
+    skyline member and never eliminates anyone — so such rows bypass
+    the sweep through an explicit union lane (the payload-nulls
+    fixture exercises this).
+    """
+    pts = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    has_null = F.col("p_retailprice").isNull() | F.col("p_size").isNull()
+    nn = pts.filter(~has_null)
+    null_lane = pts.filter(has_null)
+    best = nn.groupBy("p_retailprice").agg(F.max("p_size").alias("gb"))
+    sweep = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    survivors = (
+        best.withColumn("prevmax", F.max("gb").over(sweep))
+        .filter(F.col("prevmax").isNull() | (F.col("gb") > F.col("prevmax")))
+        .select(F.col("p_retailprice").alias("sk_price"), F.col("gb").alias("sk_size"))
+    )
+    sky = nn.join(
+        F.broadcast(survivors),
+        (nn.p_retailprice == F.col("sk_price")) & (nn.p_size == F.col("sk_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")
+    return sky.unionByName(null_lane)

@@ -1163,3 +1163,32 @@ def test_cube_route_reads_one_cuboid_partition(spark, sf_dir):
     assert "hashpartitioning" not in plan, (
         "routed read must not re-shuffle — the cuboid is the answer grain"
     )
+
+
+def test_bfs_iterations_reuse_checkpointed_edges(spark, sf_dir):
+    """bfs_hops shares pagerank's lineage discipline: the fact-table work
+    happens once in the checkpointed edge build; no frontier round may
+    re-derive the 4-way join, and frontier/rank relations join in
+    without a cartesian surface."""
+    from cpt_database_sync_spark.operators.graph import bfs_hops
+
+    plan = plan_string(bfs_hops(spark, sf_dir))
+    assert "ExistingRDD" in plan, "edge relation is not checkpoint-materialized"
+    assert "lineitem" not in plan, (
+        "a frontier round re-scans the fact table past the lineage cut"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_sweeps_groups_not_rows(spark, sf_dir):
+    """skyline_pareto's single-partition ordered sweep must run on the
+    per-price GROUP relation (map-side-combined max), never the raw
+    part rows, and the skyline-sized survivor relation must broadcast
+    back — no cartesian, no shuffled join of the corpus."""
+    from cpt_database_sync_spark.operators.relational import skyline_pareto
+
+    plan = plan_string(skyline_pareto(spark, sf_dir))
+    assert "partial_max" in plan, "per-price best is not map-side combined"
+    assert "BroadcastHashJoin" in plan, "survivor join-back is not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

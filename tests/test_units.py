@@ -1994,3 +1994,78 @@ def test_source_reputation_filter_cut_is_integer_exact(spark, sf_dir):
     assert got == expect
     n_docs = out.count()
     assert n_docs == sum(stats[s][0] for s in expect)
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """Skyline membership against a driver-side O(n^2) dominance scan —
+    the definition itself, independent of both the sort-sweep and the
+    NOT EXISTS oracle."""
+    from cpt_database_sync_spark.operators.relational import skyline_pareto
+    from cpt_database_sync_spark.sources.tables import load
+
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q is not p
+            and q[1] is not None
+            and q[2] is not None
+            and p[1] is not None
+            and p[2] is not None
+            and (
+                (q[1] < p[1] and q[2] >= p[2])
+                or (q[1] <= p[1] and q[2] > p[2])
+            )
+            for q in pts
+        )
+
+    expect = sorted(p[0] for p in pts if not dominated(p))
+    got = sorted(r.p_partkey for r in skyline_pareto(spark, sf_dir).collect())
+    assert got == expect
+    assert got, "fixture skyline is empty"
+
+
+def test_bfs_hops_matches_bruteforce(spark, sf_dir):
+    """Hop labels against a driver-side queue BFS over the collected
+    (tiny) edge relation — independent of the frontier-join dataflow and
+    the path-enumeration oracle."""
+    from collections import deque
+
+    from cpt_database_sync_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        BFS_SOURCE_NATION,
+        _trade_flows,
+        bfs_hops,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    edges: dict[int, set[int]] = {}
+    nodes: set[int] = set()
+    for r in _trade_flows(spark, sf_dir).collect():
+        edges.setdefault(r.src, set()).add(r.dst)
+        nodes.update((r.src, r.dst))
+    dist: dict[int, int] = {}
+    if BFS_SOURCE_NATION in nodes:
+        dist[BFS_SOURCE_NATION] = 0
+        dq = deque([BFS_SOURCE_NATION])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= BFS_MAX_HOPS:
+                continue
+            for v in sorted(edges.get(u, ())):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    expect = sorted((nat[n], dist.get(n)) for n in nodes)
+    got = sorted((r.n_name, r.hops) for r in bfs_hops(spark, sf_dir).collect())
+    assert got == expect
+    assert any(h == 0 for _, h in got), "source nation missing from graph"
