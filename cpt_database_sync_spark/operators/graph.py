@@ -391,6 +391,39 @@ _BFS_SQL = f"""
 """
 
 
+def bfs_frontier(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
+    """The frontier-join BFS core over an arbitrary ``(src, dst)`` edge
+    relation: returns ``(node, hops)`` for every node reachable from
+    ``source`` within ``max_hops`` (the source labels itself 0 when it
+    appears as an endpoint of any edge). Pure dataflow — no fixture
+    knowledge — so property tests can drive it on random digraphs; the
+    registered ``bfs_hops`` is this core applied to the trade graph.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reach = nodes.filter(F.col("node") == source).select(
+        "node", F.lit(0).alias("hops")
+    )
+    frontier = reach.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        # Materialize the round's fresh set once: it feeds both the
+        # visited-set union and the next frontier, and the eager cut
+        # keeps the iteration's lineage linear in rounds.
+        fresh = nxt.join(reach, "node", "left_anti").localCheckpoint(eager=True)
+        reach = reach.union(fresh.select("node", F.lit(k).alias("hops")))
+        frontier = fresh
+    return reach
+
+
 @register("bfs_hops", oracle=_BFS_SQL)
 def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS over the nation trade graph: minimum hop count
@@ -426,22 +459,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    reach = nodes.filter(F.col("node") == BFS_SOURCE_NATION).select(
-        "node", F.lit(0).alias("hops")
-    )
-    frontier = reach.select("node")
-    for k in range(1, BFS_MAX_HOPS + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        # Materialize the round's fresh set once: it feeds both the
-        # visited-set union and the next frontier, and the eager cut
-        # keeps the iteration's lineage linear in rounds.
-        fresh = nxt.join(reach, "node", "left_anti").localCheckpoint(eager=True)
-        reach = reach.union(fresh.select("node", F.lit(k).alias("hops")))
-        frontier = fresh
+    reach = bfs_frontier(e, BFS_SOURCE_NATION, BFS_MAX_HOPS)
     nation = load(spark, sf_dir, "nation")
     # Alias the visited-set key: nodes and reach share lineage (both
     # descend from the edge relation), so a name-keyed join would trip

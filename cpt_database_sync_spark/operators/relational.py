@@ -1075,6 +1075,33 @@ _SKYLINE_SQL = """
 """
 
 
+def pareto_sweep(pts: DataFrame) -> DataFrame:
+    """The 2-D sort-sweep skyline core over an arbitrary
+    ``(p_partkey, p_retailprice, p_size)`` relation under
+    (minimize price, maximize size). Pure dataflow — no fixture
+    knowledge — so property tests can drive it on random point sets
+    (including coordinate ties and NULL dimensions); the registered
+    ``skyline_pareto`` is this core applied to ``part``.
+    """
+    has_null = F.col("p_retailprice").isNull() | F.col("p_size").isNull()
+    nn = pts.filter(~has_null)
+    null_lane = pts.filter(has_null)
+    best = nn.groupBy("p_retailprice").agg(F.max("p_size").alias("gb"))
+    sweep = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    survivors = (
+        best.withColumn("prevmax", F.max("gb").over(sweep))
+        .filter(F.col("prevmax").isNull() | (F.col("gb") > F.col("prevmax")))
+        .select(F.col("p_retailprice").alias("sk_price"), F.col("gb").alias("sk_size"))
+    )
+    sky = nn.join(
+        F.broadcast(survivors),
+        (nn.p_retailprice == F.col("sk_price")) & (nn.p_size == F.col("sk_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")
+    return sky.unionByName(null_lane)
+
+
 @register("skyline_pareto", oracle=_SKYLINE_SQL)
 def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto skyline of parts under (minimize p_retailprice, maximize
@@ -1109,20 +1136,4 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture exercises this).
     """
     pts = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
-    has_null = F.col("p_retailprice").isNull() | F.col("p_size").isNull()
-    nn = pts.filter(~has_null)
-    null_lane = pts.filter(has_null)
-    best = nn.groupBy("p_retailprice").agg(F.max("p_size").alias("gb"))
-    sweep = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    survivors = (
-        best.withColumn("prevmax", F.max("gb").over(sweep))
-        .filter(F.col("prevmax").isNull() | (F.col("gb") > F.col("prevmax")))
-        .select(F.col("p_retailprice").alias("sk_price"), F.col("gb").alias("sk_size"))
-    )
-    sky = nn.join(
-        F.broadcast(survivors),
-        (nn.p_retailprice == F.col("sk_price")) & (nn.p_size == F.col("sk_size")),
-    ).select("p_partkey", "p_retailprice", "p_size")
-    return sky.unionByName(null_lane)
+    return pareto_sweep(pts)

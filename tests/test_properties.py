@@ -376,3 +376,102 @@ def test_substring_excise_keeps_canonical_copy(spark, tmp_path):
     assert got[1] == (len(shared), "b1 b2"), "non-owner copy must be excised"
     assert got[2] == (0, " ".join(docs[2]))
     assert got[3] == (0, " ".join(docs[3]))
+
+
+class TestSkylineProperty:
+    """Any-input guarantee for the skyline sort-sweep: on random point
+    sets dense with coordinate ties (prices on a 9-value grid, sizes on
+    a 7-value grid) plus NULL dimensions, ``pareto_sweep`` must equal
+    the O(n^2) dominance definition exactly. The fixture-backed unit
+    test can't manufacture adversarial tie/NULL density; this sweep
+    does, deterministically (seeded), one tiny Spark job per trial."""
+
+    def test_pareto_sweep_equals_bruteforce_on_random_ties(self, spark):
+        import random
+
+        from cpt_database_sync_spark.operators.relational import pareto_sweep
+
+        rng = random.Random(20260815)
+        for trial in range(12):
+            n = rng.randint(0, 40)
+            pts = []
+            for i in range(n):
+                price = (
+                    None
+                    if rng.random() < 0.08
+                    else float(rng.randint(0, 8)) / 2.0
+                )
+                size = None if rng.random() < 0.08 else rng.randint(0, 6)
+                pts.append((i, price, size))
+            df = spark.createDataFrame(
+                pts, "p_partkey bigint, p_retailprice double, p_size int"
+            )
+
+            def dominated(p):
+                if p[1] is None or p[2] is None:
+                    return False  # NULL dims satisfy no dominance predicate
+                return any(
+                    q[0] != p[0]
+                    and q[1] is not None
+                    and q[2] is not None
+                    and (
+                        (q[1] < p[1] and q[2] >= p[2])
+                        or (q[1] <= p[1] and q[2] > p[2])
+                    )
+                    for q in pts
+                )
+
+            want = sorted(p[0] for p in pts if not dominated(p))
+            got = sorted(r.p_partkey for r in pareto_sweep(df).collect())
+            assert got == want, f"trial={trial} pts={pts}"
+
+
+class TestBfsProperty:
+    """Any-input guarantee for the frontier-join BFS core: on random
+    digraphs (self-loops, cycles, disconnected components, empty graph)
+    ``bfs_frontier`` must label exactly the nodes a queue BFS labels,
+    with identical minimum hop counts, under the same hop bound."""
+
+    def test_bfs_frontier_equals_queue_bfs_on_random_digraphs(self, spark):
+        import random
+        from collections import deque
+
+        from cpt_database_sync_spark.operators.graph import bfs_frontier
+
+        rng = random.Random(20260815)
+        max_hops = 3
+        for trial in range(8):
+            n = rng.randint(1, 12)
+            edges = sorted(
+                {
+                    (u, v)
+                    for u in range(n)
+                    for v in range(n)
+                    if rng.random() < 0.15
+                }
+            )
+            df = spark.createDataFrame(edges or [], "src int, dst int")
+            got = sorted(
+                (r.node, r.hops) for r in bfs_frontier(df, 0, max_hops).collect()
+            )
+            # queue BFS over the same graph; node 0 participates only if
+            # it is an endpoint of some edge (the relation defines the
+            # node set, matching the operator's contract)
+            nodes = {x for e in edges for x in e}
+            adj: dict[int, list[int]] = {}
+            for u, v in edges:
+                adj.setdefault(u, []).append(v)
+            dist: dict[int, int] = {}
+            if 0 in nodes:
+                dist[0] = 0
+                dq = deque([0])
+                while dq:
+                    u = dq.popleft()
+                    if dist[u] >= max_hops:
+                        continue
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = dist[u] + 1
+                            dq.append(v)
+            want = sorted(dist.items())
+            assert got == want, f"trial={trial} edges={edges}"
