@@ -151,6 +151,7 @@ HEADLINE = [
     "stream_cusum",
     "skyline_pareto",
     "bfs_hops",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -1149,3 +1149,75 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# Training-shard shuffle: shard count and the hash salt. 8 shards keeps
+# the oracle's per-shard row_number windows small at test SF; at 100 TB
+# the same plan runs with shards = O(total_bytes / target_shard_bytes).
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "sh:"
+
+_SHUFFLE_SQL = f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    a AS (
+      SELECT doc_id, hkey,
+             CAST(CAST(('0x' || substr(hkey, 1, 2)) AS INT)
+                  % {SHUFFLE_SHARDS} AS INT) AS shard
+      FROM h
+    )
+    SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM a
+"""
+
+
+@register("corpus_shuffle_shards", oracle=_SHUFFLE_SQL)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle: the last step of every corpus
+    pipeline assigns each document a shard and a pseudo-random position
+    WITHIN that shard, so N training workers each stream one shard
+    sequentially and the global read order is a reproducible permutation
+    (seeded by the salt) — no driver-side shuffling, no RNG state.
+
+    Shard = first byte of md5(salt ‖ doc_id) mod SHUFFLE_SHARDS; order
+    within a shard = the full md5 hex string (lexicographic), doc_id as
+    the formal tie-break. Both engines compute the identical md5 of the
+    identical string, so assignment AND order are bit-identical — the
+    permutation is a pure function of (salt, doc_id), which is what
+    makes a training run resumable and ablation-comparable.
+
+    Physics: ONE hash shuffle (the window's partitionBy(shard) — at
+    scale, `repartition(N, shard)` + `sortWithinPartitions(hkey)` writes
+    each shard as one sorted file set, no global sort, no skew: md5
+    spreads doc_ids uniformly regardless of their distribution, unlike
+    range-sharding on raw ids (sink_sorted_global is the total-order
+    alternative when a global ORDER BY is the contract). NULL doc_ids
+    carry no identity and are excluded by contract on both sides.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    h = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    )
+    a = h.select(
+        "doc_id",
+        "hkey",
+        (F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int") % SHUFFLE_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return a.select(
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+    )

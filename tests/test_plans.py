@@ -1192,3 +1192,18 @@ def test_skyline_sweeps_groups_not_rows(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "survivor join-back is not broadcast"
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_corpus_shuffle_single_hash_exchange_no_global_sort(spark, sf_dir):
+    """The training shuffle must be ONE hash exchange on shard with the
+    order produced by a within-partition sort — never a range exchange /
+    global sort (that is sink_sorted_global's contract, not this one)."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_text import corpus_shuffle_shards
+
+    plan = plan_string(corpus_shuffle_shards(spark, sf_dir))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"exactly one shuffle, saw {exchanges}"
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan, "global sort leaked in"

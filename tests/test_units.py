@@ -2069,3 +2069,34 @@ def test_bfs_hops_matches_bruteforce(spark, sf_dir):
     got = sorted((r.n_name, r.hops) for r in bfs_hops(spark, sf_dir).collect())
     assert got == expect
     assert any(h == 0 for _, h in got), "source nation missing from graph"
+
+
+def test_corpus_shuffle_shards_is_reproducible_permutation(spark, sf_dir):
+    """The shard assignment must be a permutation of the corpus (every
+    doc exactly once), positions within each shard contiguous from 1,
+    and the whole relation a pure function of (salt, doc_id) — two
+    independent evaluations agree row-for-row."""
+    from cpt_database_sync_spark.operators.llm_text import (
+        SHUFFLE_SHARDS,
+        corpus_shuffle_shards,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    rows = corpus_shuffle_shards(spark, sf_dir).collect()
+    docs = {
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+        if r.doc_id is not None
+    }
+    assert {r.doc_id for r in rows} == docs
+    assert len(rows) == len(docs), "a doc appears in more than one slot"
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), (
+            f"shard {shard} positions not contiguous"
+        )
+    again = corpus_shuffle_shards(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
