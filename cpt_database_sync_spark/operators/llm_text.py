@@ -1194,7 +1194,8 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes a training run resumable and ablation-comparable.
 
     Physics: ONE hash shuffle (the window's partitionBy(shard) — at
-    scale, `repartition(N, shard)` + `sortWithinPartitions(hkey)` writes
+    scale, `write_shuffle_shards` below: `repartition(N, shard)` +
+    `sortWithinPartitions(shard, hkey)` writes
     each shard as one sorted file set, no global sort, no skew: md5
     spreads doc_ids uniformly regardless of their distribution, unlike
     range-sharding on raw ids (sink_sorted_global is the total-order
@@ -1220,4 +1221,38 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
         "doc_id",
+    )
+
+
+def write_shuffle_shards(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """The WRITE lane of `corpus_shuffle_shards` — the layout a training
+    job actually reads. One `repartition(N, shard)` hash exchange puts
+    each shard in exactly one task, `sortWithinPartitions(hkey, doc_id)`
+    orders it with NO range exchange / global sort, and
+    `partitionBy("shard")` lands one directory per shard whose file
+    order IS the shuffle order (training worker i streams shard=i
+    front-to-back; resume = seek). Row-group order inside a parquet
+    file preserves write order, so the on-disk order is the operator's
+    `pos` order — asserted by the round-trip test, not just claimed.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    h = docs.withColumn(
+        "hkey",
+        F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int") % SHUFFLE_SHARDS)
+        .cast("int"),
+    )
+    # shard leads the sort: the dynamic-partition writer REQUIRES task
+    # rows ordered by the partition columns and injects its own
+    # (non-stable) sort on shard if they aren't — which would silently
+    # destroy the hkey order. Leading with shard satisfies the
+    # requirement so the writer adds nothing and the hkey order lands.
+    (
+        h.repartition(SHUFFLE_SHARDS, "shard")
+        .sortWithinPartitions("shard", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
     )

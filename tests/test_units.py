@@ -2100,3 +2100,39 @@ def test_corpus_shuffle_shards_is_reproducible_permutation(spark, sf_dir):
         )
     again = corpus_shuffle_shards(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_write_shuffle_shards_on_disk_order_is_the_shuffle_order(spark, sf_dir):
+    """The sharded-write lane must land one directory per shard whose
+    physical row order equals corpus_shuffle_shards' pos order — the
+    property that lets training worker i stream shard=i sequentially
+    and resume by seeking. Read back with pyarrow (no Spark re-sort
+    that could mask a wrong layout) and compare file order to pos."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.operators.llm_text import (
+        SHUFFLE_SHARDS,
+        corpus_shuffle_shards,
+        write_shuffle_shards,
+    )
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    out = os.path.join(scratch_dir(), "shuffle_shards_layout")
+    write_shuffle_shards(spark, sf_dir, out)
+
+    expect: dict[int, list[int]] = {}
+    for r in corpus_shuffle_shards(spark, sf_dir).collect():
+        expect.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    for shard in expect:
+        expect[shard] = [d for _, d in sorted(expect[shard])]
+
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == len(expect) <= SHUFFLE_SHARDS
+    for d in dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        assert len(files) == 1, f"shard {shard} split across {len(files)} files"
+        got = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        assert got == expect[shard], f"shard {shard} on-disk order != pos order"
