@@ -1202,8 +1202,16 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative when a global ORDER BY is the contract). NULL doc_ids
     carry no identity and are excluded by contract on both sides.
     """
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    h = docs.select(
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_assign(docs)
+
+
+def shuffle_assign(docs: DataFrame) -> DataFrame:
+    """Core of `corpus_shuffle_shards` on any relation with a `doc_id`
+    column — extracted so the seeded random-input property sweep
+    (tests/test_properties.py) can drive it with adversarial ids
+    (negatives, 0, int64 extremes) against a pure-Python md5 model."""
+    h = docs.filter(F.col("doc_id").isNotNull()).select(
         "doc_id",
         F.md5(
             F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))

@@ -475,3 +475,46 @@ class TestBfsProperty:
                             dq.append(v)
             want = sorted(dist.items())
             assert got == want, f"trial={trial} edges={edges}"
+
+
+class TestShuffleShardProperty:
+    """Any-input guarantee for the training-shuffle core: on random id
+    sets including 0, negatives, and int64 extremes, `shuffle_assign`
+    must equal a pure-Python hashlib.md5 model exactly — shard, order,
+    and positions. Pins the cross-engine md5/string-cast contract the
+    DuckDB oracle relies on (str(bigint) has no sign/width surprises)."""
+
+    def test_assign_matches_md5_model_on_random_ids(self, spark):
+        import hashlib
+        import random
+
+        from cpt_database_sync_spark.operators.llm_text import (
+            SHUFFLE_SALT,
+            SHUFFLE_SHARDS,
+            shuffle_assign,
+        )
+
+        rng = random.Random(20260815)
+        extremes = [0, -1, 2**63 - 1, -(2**63), 42]
+        for trial in range(8):
+            n = rng.randint(0, 30)
+            ids = set(extremes[: rng.randint(0, 5)])
+            while len(ids) < n:
+                ids.add(rng.randint(-(2**63), 2**63 - 1))
+            rows = [(i,) for i in ids] or []
+            df = spark.createDataFrame(rows, "doc_id bigint")
+
+            model = []
+            for i in ids:
+                h = hashlib.md5(f"{SHUFFLE_SALT}{i}".encode()).hexdigest()
+                model.append((int(h[:2], 16) % SHUFFLE_SHARDS, h, i))
+            want = []
+            by_shard: dict[int, list] = {}
+            for shard, h, i in sorted(model, key=lambda t: (t[0], t[1], t[2])):
+                by_shard.setdefault(shard, []).append((h, i))
+            for shard, lst in by_shard.items():
+                for pos, (_, i) in enumerate(lst, start=1):
+                    want.append((shard, pos, i))
+
+            got = [tuple(r) for r in shuffle_assign(df).collect()]
+            assert sorted(got) == sorted(want), f"trial={trial} ids={ids}"
