@@ -44,10 +44,19 @@ _OP_CTE = """
 
 
 def _pair_sets(li: DataFrame) -> DataFrame:
-    """Distinct (order, part) pairs — the transaction/item incidence."""
-    return li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    """Distinct (order, part) pairs — the transaction/item incidence.
+
+    NULL l_orderkey rows are dropped to match the oracle's equi-self-join
+    (a.ok = b.ok never matches NULL): without the filter, groupBy would
+    fuse every NULL-key row into ONE phantom basket and mint pairs the
+    oracle never counts. NULL l_partkey needs no filter — collect_set
+    skips NULLs exactly where the oracle's a.pk < b.pk drops them.
+    """
+    return (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
 
 
 def _cooccur_pairs(li: DataFrame) -> DataFrame:
@@ -153,10 +162,13 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-order part graph (edges = part pairs
-    co-ordered >= EDGE_MIN_COOCCUR times): edge, wedge (open triad) and
-    triangle counts — the clustering-structure summary (global
-    clustering coefficient = 3*triangles/wedges) of the co-purchase
-    network.
+    co-ordered >= EDGE_MIN_COOCCUR times): edge, ORIENTED wedge, and
+    triangle counts — the clustering-structure summary of the
+    co-purchase network. n_wedges counts a<b<c oriented paths (the
+    algorithm's own work measure, each triangle closed from exactly one
+    of them) — NOT the unordered open-triad count sum(C(deg(v),2)), so
+    the textbook global clustering coefficient 3T/W needs that degree
+    sum, not this column.
 
     The classic oriented-join algorithm: edges are stored once in
     canonical pa < pb orientation, so each triangle a<b<c is produced
@@ -391,20 +403,28 @@ _BFS_SQL = f"""
 """
 
 
-def bfs_frontier(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
+def bfs_frontier(
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
     """The frontier-join BFS core over an arbitrary ``(src, dst)`` edge
     relation: returns ``(node, hops)`` for every node reachable from
     ``source`` within ``max_hops`` (the source labels itself 0 when it
     appears as an endpoint of any edge). Pure dataflow — no fixture
     knowledge — so property tests can drive it on random digraphs; the
     registered ``bfs_hops`` is this core applied to the trade graph.
+    A caller that already holds the node relation passes it via
+    ``nodes`` so the endpoint union/distinct isn't computed twice.
     """
     e = edges.select("src", "dst").distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     reach = nodes.filter(F.col("node") == source).select(
         "node", F.lit(0).alias("hops")
     )
@@ -459,7 +479,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    reach = bfs_frontier(e, BFS_SOURCE_NATION, BFS_MAX_HOPS)
+    reach = bfs_frontier(e, BFS_SOURCE_NATION, BFS_MAX_HOPS, nodes=nodes)
     nation = load(spark, sf_dir, "nation")
     # Alias the visited-set key: nodes and reach share lineage (both
     # descend from the edge relation), so a name-keyed join would trip

@@ -1206,26 +1206,37 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_assign(docs)
 
 
+def _with_shard(docs: DataFrame) -> DataFrame:
+    """(doc_id, hkey, shard) for every non-NULL doc_id — the single
+    definition of the shuffle's hash and shard rule, shared by the
+    read lane (`shuffle_assign`) and the write lane
+    (`write_shuffle_shards`) so the on-disk layout can never drift
+    from the relation the oracle checks."""
+    return (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+            ).alias("hkey"),
+        )
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int")
+                % SHUFFLE_SHARDS
+            ).cast("int"),
+        )
+    )
+
+
 def shuffle_assign(docs: DataFrame) -> DataFrame:
     """Core of `corpus_shuffle_shards` on any relation with a `doc_id`
     column — extracted so the seeded random-input property sweep
     (tests/test_properties.py) can drive it with adversarial ids
     (negatives, 0, int64 extremes) against a pure-Python md5 model."""
-    h = docs.filter(F.col("doc_id").isNotNull()).select(
-        "doc_id",
-        F.md5(
-            F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
-        ).alias("hkey"),
-    )
-    a = h.select(
-        "doc_id",
-        "hkey",
-        (F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int") % SHUFFLE_SHARDS)
-        .cast("int")
-        .alias("shard"),
-    )
     w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
-    return a.select(
+    return _with_shard(docs).select(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
         "doc_id",
@@ -1243,15 +1254,7 @@ def write_shuffle_shards(spark: SparkSession, sf_dir: str, out_path: str) -> Non
     file preserves write order, so the on-disk order is the operator's
     `pos` order — asserted by the round-trip test, not just claimed.
     """
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    h = docs.withColumn(
-        "hkey",
-        F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))),
-    ).withColumn(
-        "shard",
-        (F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int") % SHUFFLE_SHARDS)
-        .cast("int"),
-    )
+    h = _with_shard(load(spark, sf_dir, "documents"))
     # shard leads the sort: the dynamic-partition writer REQUIRES task
     # rows ordered by the partition columns and injects its own
     # (non-stable) sort on shard if they aren't — which would silently

@@ -43,3 +43,55 @@ def pushed_filters(df: DataFrame) -> str:
 
 def has_operator(df: DataFrame, op: str) -> bool:
     return op in plan_string(df)
+
+
+def shuffle_key_lists(plan: str) -> list[list[str]]:
+    """Every `hashpartitioning(...)` clause in a plan string, parsed with
+    BALANCED parentheses into its ordered key expressions (the trailing
+    numPartitions argument dropped, `#exprId` suffixes stripped).
+
+    A naive `hashpartitioning\\(([^)]*)\\)` regex truncates at the FIRST
+    `)`, so a key like `md5(cast(text#2 as binary))#3` silently vanishes
+    from the capture and a "shuffle keys ⊆ {...}" gate asserts nothing.
+    This parser keeps expression keys whole — `md5(cast(text as binary))`
+    comes back as one element a gate can reject.
+    """
+    out: list[list[str]] = []
+    needle = "hashpartitioning("
+    i = 0
+    while True:
+        start = plan.find(needle, i)
+        if start < 0:
+            break
+        j = start + len(needle)
+        depth = 1
+        args: list[str] = []
+        cur: list[str] = []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        args.append("".join(cur).strip())
+        # last argument is numPartitions; keys keep expression text with
+        # per-plan #exprId suffixes removed so gates compare names
+        import re
+
+        keys = [re.sub(r"#\d+L?", "", a) for a in args[:-1]]
+        out.append(keys)
+        i = j + 1
+    return out
+
+
+def shuffle_key_sets(plan: str) -> list[set[str]]:
+    """`shuffle_key_lists` with each clause's keys as a set."""
+    return [set(keys) for keys in shuffle_key_lists(plan)]

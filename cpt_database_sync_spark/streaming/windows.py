@@ -831,9 +831,15 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cusum_changepoint's serving twin in the stream_drift_psi pattern:
     the per-(type, day) counters are a streaming aggregation in UPDATE
     mode, each micro-batch MERGEs only the days whose count changed
-    into the keyed serving table (state per group = one integer,
-    watermark-bounded lateness), and the CUSUM walk + argmax runs as a
-    batch read over that |days|x|types| table. Counts are integers, so
+    into the keyed serving table, and the CUSUM walk + argmax runs as a
+    batch read over that |days|x|types| table. The day is a tumbling
+    ``window("ts", "1 day")`` — NOT a derived day-number group key —
+    because Spark only evicts aggregation state under a watermark for
+    time-window groups: a bare (type, dn) groupBy would pin every
+    calendar day's state forever on a long-running deployment, while
+    the windowed form holds one integer per OPEN day and drops each day
+    once the watermark passes it (history lives in the serving TABLE,
+    not the state store). Counts are integers, so
     the stream-maintained relation is EXACTLY the batch operator's
     daily rollup and the shared finalizer (cusum_finalize:
     division-free scaled-integer statistic) is bit-identical — one
@@ -847,13 +853,15 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     daily = (
         ev.withWatermark("ts", "10 minutes")
-        .groupBy(
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
             "event_type",
             F.datediff(
-                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                F.col("w.start").cast("date"), F.lit("1970-01-01").cast("date")
             ).alias("dn"),
+            "c",
         )
-        .agg(F.count(F.lit(1)).alias("c"))
     )
     back, _ = serve_keyed_stream(
         daily, ["event_type", "dn"], "stream_cusum_", {"event_type": 40}

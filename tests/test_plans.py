@@ -20,6 +20,8 @@ from cpt_database_sync_spark.plans.inspect import (
     plan_string,
     pushed_filters,
     read_schema_columns,
+    shuffle_key_lists,
+    shuffle_key_sets,
 )
 
 
@@ -109,12 +111,11 @@ def test_skew_join_shuffles_on_salted_key(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     # the exchange feeding the join hashes on (hot_key, salt): the salt
     # column is what spreads the hot key across reducers
-    import re
-
-    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert any("salt" in p and "hot_key" in p for p in parts), (
-        f"expected a shuffle keyed by (hot_key, salt); got {parts}"
-    )
+    parts = shuffle_key_lists(plan)
+    assert any(
+        any("salt" in c for c in ks) and any("hot_key" in c for c in ks)
+        for ks in parts
+    ), f"expected a shuffle keyed by (hot_key, salt); got {parts}"
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
@@ -468,7 +469,6 @@ def test_minhash_incremental_shuffles_only_increment(spark, sf_dir):
     increment broadcasts into the index scans and every hash-partitioned
     Exchange is keyed by increment/candidate ids. A sort-merge or
     shuffled-hash join anywhere means the index side moved."""
-    import re
 
     from cpt_database_sync_spark.operators.llm_dedup import (
         dedup_minhash_incremental,
@@ -478,12 +478,11 @@ def test_minhash_incremental_shuffles_only_increment(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
         "index side participated in a shuffle join"
     )
-    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keys = shuffle_key_sets(plan)
     assert keys, "expected increment-side aggregation exchanges"
     allowed = {"inc_id", "corpus_id", "a_id", "b_id"}
-    for k in keys:
-        cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
-        assert cols <= allowed, f"corpus-side shuffle detected: {k}"
+    for cols in keys:
+        assert cols <= allowed, f"corpus-side shuffle detected: {cols}"
 
 
 def test_cm_sketch_preaggregates_map_side(spark, sf_dir):
@@ -573,14 +572,13 @@ def test_sequence_packing_one_bucket_shuffle_arrow_scan(spark, sf_dir):
     """sequence_packing must be exactly one bucket-keyed shuffle feeding
     an Arrow-batched grouped-map scan — no extra exchanges, no row-wise
     Python eval."""
-    import re
 
     from cpt_database_sync_spark.operators.llm_text import sequence_packing
 
     plan = plan_string(sequence_packing(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan, "packing scan must be Arrow grouped-map"
-    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert len(ex) == 1 and ex[0].startswith("bucket"), (
+    ex = shuffle_key_lists(plan)
+    assert len(ex) == 1 and ex[0] and ex[0][0].startswith("bucket"), (
         f"expected exactly one bucket-keyed shuffle, got {ex}"
     )
     assert "BatchEvalPython" not in plan, "row-wise Python UDF crept in"
@@ -600,7 +598,6 @@ def test_merge_scd2_touches_only_changed_users(spark, sf_dir):
     """merge_scd2's apply must broadcast the batch's user set into the
     persisted dimension (anti + semi), never shuffle the dimension, and
     re-compress only batch-scale data (user-keyed window shuffles)."""
-    import re
 
     from cpt_database_sync_spark.operators.analytics import merge_scd2
 
@@ -611,9 +608,9 @@ def test_merge_scd2_touches_only_changed_users(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, (
         "changed-user anti/semi joins must broadcast"
     )
-    for k in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
-        assert k.split(",")[0].strip().startswith("user_id"), (
-            f"non-user-keyed shuffle in the apply path: {k}"
+    for ks in shuffle_key_lists(plan):
+        assert ks and ks[0].startswith("user_id"), (
+            f"non-user-keyed shuffle in the apply path: {ks}"
         )
 
 
@@ -1046,7 +1043,6 @@ def test_frequent_pairs_hof_expansion_plan(spark, sf_dir):
     count), a one-row broadcast for the order total, and no join of the
     incidence against itself (the self-join shape shuffles the incidence
     twice and loses the pair combine)."""
-    import re
 
     from cpt_database_sync_spark.operators.graph import frequent_pairs
 
@@ -1056,11 +1052,10 @@ def test_frequent_pairs_hof_expansion_plan(spark, sf_dir):
         "incidence self-join detected — pair expansion must be the HOF path"
     )
     assert "partial_count" in plan, "pair count is not map-side combined"
-    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keys = shuffle_key_sets(plan)
     assert keys, "expected the set-build and pair-count exchanges"
-    for k in keys:
-        cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
-        assert cols <= {"ok", "pa", "pb"}, f"unexpected shuffle key: {k}"
+    for cols in keys:
+        assert cols <= {"ok", "pa", "pb"}, f"unexpected shuffle key: {cols}"
 
 
 def test_pagerank_iterations_reuse_checkpointed_edges(spark, sf_dir):
@@ -1132,7 +1127,6 @@ def test_source_reputation_filter_is_broadcast_cut(spark, sf_dir):
     """The surviving-source list must broadcast back into the corpus scan
     (map-only filter); the only hash exchange is the per-source stats
     aggregation, map-side combined."""
-    import re
 
     from cpt_database_sync_spark.operators.llm_quality import (
         source_reputation_filter,
@@ -1141,10 +1135,17 @@ def test_source_reputation_filter_is_broadcast_cut(spark, sf_dir):
     plan = plan_string(source_reputation_filter(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    for k in keys:
-        cols = {c.strip().split("#")[0] for c in k.split(",")[:-1]}
-        assert cols <= {"source"}, f"unexpected shuffle key: {k}"
+    # every exchange must be source-led: the plain stats agg shuffles on
+    # (source) and the countDistinct expansion on (source, md5(text)) —
+    # both co-partition by source; anything else is a corpus re-shuffle.
+    # (The old regex parser truncated the md5 key and asserted nothing.)
+    keys = shuffle_key_lists(plan)
+    assert keys, "expected the per-source aggregation exchanges"
+    for ks in keys:
+        assert ks and ks[0] == "source", f"non-source-led shuffle: {ks}"
+        assert set(ks) <= {"source", "md5(cast(text as binary))"}, (
+            f"unexpected shuffle key: {ks}"
+        )
 
 
 def test_cube_route_reads_one_cuboid_partition(spark, sf_dir):
