@@ -2136,3 +2136,25 @@ def test_write_shuffle_shards_on_disk_order_is_the_shuffle_order(spark, sf_dir):
         assert len(files) == 1, f"shard {shard} split across {len(files)} files"
         got = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
         assert got == expect[shard], f"shard {shard} on-disk order != pos order"
+
+
+def test_cooccur_pairs_null_keys_match_join_semantics(spark):
+    """NULL l_orderkey rows must contribute NO baskets (the oracle's
+    equi-self-join never matches NULL) and NULL l_partkey rows no
+    items — pinned directly, since the shipped fixtures never carry
+    NULL keys and would mask a regression."""
+    from cpt_database_sync_spark.operators.graph import _cooccur_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),          # basket {10,20,30}
+        (2, 10), (2, 20),                   # basket {10,20}
+        (None, 10), (None, 20), (None, 99),  # no basket: NULL order key
+        (3, None), (3, 40),                 # NULL item skipped, singleton
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    got = {(r.pa, r.pb): r.cnt for r in _cooccur_pairs(li).collect()}
+    assert got == {
+        (10, 20): 2,
+        (10, 30): 1,
+        (20, 30): 1,
+    }, f"NULL-key rows leaked into pair counts: {got}"
