@@ -851,7 +851,20 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = events_stream(spark, sf_dir)
-    daily = (
+    back, _ = serve_keyed_stream(
+        cusum_daily_stream(ev), ["event_type", "dn"], "stream_cusum_",
+        {"event_type": 40},
+    )
+    return cusum_finalize(back)
+
+
+def cusum_daily_stream(ev: DataFrame) -> DataFrame:
+    """stream_cusum's windowed daily-counter aggregation on any
+    ``(ts, event_type, …)`` stream — extracted (like
+    ``topn_counts_stream``) so the bounded-state gate can drive it with
+    a controlled multi-day, multi-batch source and assert the watermark
+    actually EVICTS closed day windows from the state store."""
+    return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -863,7 +876,3 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
-    back, _ = serve_keyed_stream(
-        daily, ["event_type", "dn"], "stream_cusum_", {"event_type": 40}
-    )
-    return cusum_finalize(back)

@@ -1208,3 +1208,97 @@ def test_corpus_shuffle_single_hash_exchange_no_global_sort(spark, sf_dir):
     assert len(exchanges) == 1, f"exactly one shuffle, saw {exchanges}"
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan, "global sort leaked in"
+
+
+def test_stream_cusum_daily_state_evicted_by_watermark(spark, tmp_path):
+    """stream_cusum's day counters must live in WINDOWED aggregation
+    state: closed day windows are evicted once the watermark passes
+    them, so a long-running deployment holds O(open days), not the
+    whole calendar. A derived day-number group key (the shape this
+    gate forbids regressing to) would never evict — watermarks only
+    bound state for time-window groups."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.windows import (
+        cusum_daily_stream,
+        serve_keyed_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (f"2024-03-{d:02d} {h:02d}:00:00", et)
+        for d in range(1, 7)
+        for h in (0, 8, 16)
+        for et in ("a", "b")
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    now = time.time()
+    for i, (lo, hi) in enumerate(
+        [("2024-03-01", "2024-03-03"), ("2024-03-03", "2024-03-05"),
+         ("2024-03-05", "2024-03-07")]
+    ):
+        part_dir = tmp_path / f"part{i}"
+        (
+            df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(part_dir))
+        )
+        pf = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = src / f"batch{i}.parquet"
+        shutil.copy(part_dir / pf, dst)
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    served, progresses = serve_keyed_stream(
+        cusum_daily_stream(stream),
+        ["event_type", "dn"],
+        "test_cusum_state_",
+        varchar_lengths={"event_type": 40},
+    )
+
+    data_batches = [p for p in progresses if p.numInputRows > 0]
+    assert len(data_batches) >= 3, "source must arrive as multiple micro-batches"
+    removed = sum(
+        op.numRowsRemoved for p in progresses for op in p.stateOperators
+    )
+    # final watermark = batch-2's max ts (03-06 16:00) - 10 min, so day
+    # windows 1-3 are CLOSED (ends <= 03-04 00:00 < the watermark seen
+    # when batch 2 ran) and days 4-6 remain open. The store may keep a
+    # constant number of rows per (window, type) key — learn that factor
+    # from batch 0 (4 open keys) instead of hard-coding internals.
+    with_state = [p for p in progresses if p.stateOperators]
+    rows0 = max(op.numRowsTotal for op in with_state[0].stateOperators)
+    per_key = rows0 / 4
+    closed_keys, open_keys = 3 * 2, 3 * 2
+    assert removed >= closed_keys, (
+        f"only {removed} state rows evicted for {closed_keys} closed "
+        "(day, type) windows — watermark is not clearing the store"
+    )
+    final_state = max(op.numRowsTotal for op in with_state[-1].stateOperators)
+    assert final_state <= per_key * open_keys, (
+        f"state holds {final_state} rows but only {open_keys} open keys "
+        f"(~{per_key:g} rows/key) — calendar retention, not watermark-bounded"
+    )
+    truth = {
+        (r["event_type"], r["dn"]): r["c"]
+        for r in df.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = {(r["event_type"], r["dn"]): r["c"] for r in served.collect()}
+    assert got == truth, "serving table diverged from the batch daily rollup"
