@@ -1129,6 +1129,69 @@ def consecutive_runs(df, ord_col: str):
 
 SUBSTRING_SPAN_TOKENS = 12  # minimum repeated-span length, in tokens
 
+
+def repeated_window_hits(w: DataFrame, hashed: bool = True) -> DataFrame:
+    """Cross-doc repeated-window detection shared by the substring
+    detector and excisor: given the slid K-token windows
+    ``(doc_id, pos, win)``, return every occurrence of a window that
+    appears in >= 2 DISTINCT documents as ``(doc_id, pos, d0)`` where
+    ``d0`` is the min-doc_id canonical owner of that literal window.
+
+    ``hashed=True`` is the at-scale lane: the FULL-CORPUS exchange
+    aggregates on ``xxhash64(win)`` — an 8-byte integer key instead of
+    the ~70-byte window string (at 100 TB the hot shuffle's width is
+    the cost driver; the reference's Slice lane hands full values
+    around, which it only got away with because it never shuffled) —
+    then re-verifies literal string equality bucket-locally on the
+    surviving candidate slice only, the dedup_minhash band-bucket
+    discipline. A 64-bit collision can merge two different strings
+    into one candidate bucket but can never produce a false positive:
+    the phase-2 ``groupBy(h, win)`` min!=max test re-runs on the
+    literal window, and only verified (h, win) pairs join back to
+    occurrences. A collision also cannot cause a false NEGATIVE:
+    xxhash64 is deterministic, so all occurrences of a truly repeated
+    window share one hash and phase 1's min!=max over the (superset)
+    bucket still differs. ``hashed=False`` keeps the direct
+    string-keyed formulation as the differential twin
+    (tests/test_units.py asserts identical output on the same input).
+
+    Both phase-1 and phase-2 aggregations use min(doc_id)!=max(doc_id)
+    rather than count_distinct — one map-side-combined pass, no second
+    dedup exchange (see dedup_substring's docstring).
+    """
+    if not hashed:
+        rep = (
+            w.groupBy("win")
+            .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+            .filter(F.col("d0") != F.col("d1"))
+            .select("win", "d0")
+        )
+        return w.join(rep, "win").select("doc_id", "pos", "d0")
+    wh = w.withColumn("h", F.xxhash64("win"))
+    # Phase 1 — the hot exchange: keyed on the 8-byte hash only; `win`
+    # is pruned from the shuffle (plan-gated in tests/test_plans.py).
+    cand = (
+        wh.groupBy("h")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("h")
+    )
+    # Phase 2 — bucket-local verify over the candidate slice only: the
+    # literal-string min!=max test removes any collision-merged pair.
+    # The final probe joins the raw window stream against the verified
+    # (tiny) rep set rather than re-deriving the candidate slice, so
+    # the expensive phase-1 aggregate appears ONCE in the plan; the
+    # map-only window expansion (from the cached token arrays) is the
+    # side that repeats.
+    rep = (
+        wh.join(cand, "h")
+        .groupBy("h", "win")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("h", "win", "d0")
+    )
+    return wh.join(rep, ["h", "win"]).select("doc_id", "pos", "d0")
+
 _SUBSTRING_SQL = f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -1173,8 +1236,10 @@ _SUBSTRING_SQL = f"""
 """
 
 
-@register("dedup_substring", oracle=_SUBSTRING_SQL)
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("dedup_substring", oracle=_SUBSTRING_SQL, tags=("reverify:r9",))
+def dedup_substring(
+    spark: SparkSession, sf_dir: str, hashed: bool = True
+) -> DataFrame:
     """SUBSTRING-granularity exact dedup — locate maximal verbatim token
     spans (≥ SUBSTRING_SPAN_TOKENS tokens) that repeat across DIFFERENT
     documents, the
@@ -1198,12 +1263,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_properties.py plants spans and checks exact recovery).
 
     Shuffles: one groupBy on the window key for cross-doc frequency, a
-    semi-join back, one per-doc window pass — each linear. The window
-    key here is the literal K-token string (exactness + the oracle);
-    at 100 TB the shuffle keys the 64-bit xxhash64 of the window
-    instead (8 bytes vs ~70), with the string equality re-verified
-    bucket-locally — the dedup_minhash band-bucket discipline. Docs
-    shorter than K tokens generate no windows and cannot match.
+    semi-join back, one per-doc window pass — each linear. The hot
+    window-key exchange carries the 64-bit ``xxhash64`` of the window
+    (8 bytes vs the ~70-byte literal string), with string equality
+    re-verified bucket-locally on the candidate slice — see
+    ``repeated_window_hits`` for the collision analysis; ``hashed=
+    False`` retains the string-keyed twin for differential testing.
+    Docs shorter than K tokens generate no windows and cannot match.
     """
     K = SUBSTRING_SPAN_TOKENS
     docs = load(spark, sf_dir, "documents")
@@ -1222,16 +1288,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).select("doc_id", "x.pos", "x.win")
     # "appears in ≥2 distinct docs" as min(doc_id) ≠ max(doc_id): one
-    # map-side-combined agg pass over the window key — count_distinct
-    # would add a second full exchange (dedup expansion) on the ~70-byte
-    # string keys, the most expensive shuffle in this plan.
-    rep = (
-        w.groupBy("win")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .filter(F.col("d0") != F.col("d1"))
-        .select("win")
-    )
-    hit = w.join(rep, "win").select("doc_id", "pos")
+    # map-side-combined agg pass over the hashed window key —
+    # count_distinct would add a second full exchange (dedup expansion),
+    # and a string key would widen the hot shuffle ~9×.
+    hit = repeated_window_hits(w, hashed=hashed).select("doc_id", "pos")
     spans = consecutive_runs(hit, "pos").groupBy("doc_id", "run_id").agg(
         F.min("pos").alias("start_tok"),
         (F.max("pos") + K - 1).alias("end_tok"),
@@ -1301,8 +1361,12 @@ _EXCISE_SQL = f"""
 """
 
 
-@register("dedup_substring_excise", oracle=_EXCISE_SQL)
-def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "dedup_substring_excise", oracle=_EXCISE_SQL, tags=("reverify:r9",)
+)
+def dedup_substring_excise(
+    spark: SparkSession, sf_dir: str, hashed: bool = True
+) -> DataFrame:
     """The EXCISION half of substring dedup (Lee et al. keep-one-copy):
     every occurrence of a cross-doc repeated ≥K-token span is REMOVED
     except the canonical copy in the lowest-doc_id owner — the cleaned
@@ -1337,14 +1401,8 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", "x.pos", "x.win")
-    rep = (
-        w.groupBy("win")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .filter(F.col("d0") != F.col("d1"))
-        .select("win", "d0")
-    )
     hit = (
-        w.join(rep, "win")
+        repeated_window_hits(w, hashed=hashed)
         .filter(F.col("doc_id") != F.col("d0"))
         .select(
             "doc_id",

@@ -2158,3 +2158,29 @@ def test_cooccur_pairs_null_keys_match_join_semantics(spark):
         (10, 30): 1,
         (20, 30): 1,
     }, f"NULL-key rows leaked into pair counts: {got}"
+
+
+def test_substring_dedup_hashed_lane_matches_string_lane(spark, sf_dir):
+    """Differential gate for the at-scale window-key lane (VERDICT r8
+    next #2): the hashed formulation (xxhash64 hot exchange + bucket-
+    local string verify) must produce byte-identical output to the
+    direct string-keyed formulation on the same corpus — for both the
+    detector and the excisor. Any collision-handling bug (false
+    positive from a merged bucket surviving the verify, false negative
+    from a dropped candidate) breaks this equality."""
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        dedup_substring,
+        dedup_substring_excise,
+    )
+
+    det_h = sorted(map(tuple, dedup_substring(spark, sf_dir, hashed=True).collect()))
+    det_s = sorted(map(tuple, dedup_substring(spark, sf_dir, hashed=False).collect()))
+    assert det_h == det_s
+    assert det_h, "fixture must exercise at least one repeated span"
+    exc_h = sorted(
+        map(tuple, dedup_substring_excise(spark, sf_dir, hashed=True).collect())
+    )
+    exc_s = sorted(
+        map(tuple, dedup_substring_excise(spark, sf_dir, hashed=False).collect())
+    )
+    assert exc_h == exc_s
