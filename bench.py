@@ -152,6 +152,7 @@ HEADLINE = [
     "skyline_pareto",
     "bfs_hops",
     "corpus_shuffle_shards",
+    "join_skew_aqe",
 ]
 
 
@@ -175,29 +176,42 @@ def fixture_fingerprint(sf_dir: str) -> dict:
     return {"hash": digest, "n_files": len(files), "max_mtime": int(max_mtime)}
 
 
-def _sharding_order() -> list[str]:
-    """HEADLINE reordered so the streaming / JDBC-sink queries are
-    QUARANTINED at the tail (their own shards): a micro-batch query
-    leaves checkpoint dirs, state-store instances and an embedded-Derby
-    engine in the JVM, and pure-compute queries sharing that shard
-    measured 1.7x their isolated time (r8: sql_tpch_q5 1.42 s sharded
-    vs 0.83 s isolated). Within each group the original order holds."""
-    noisy = [
-        q
-        for q in HEADLINE
-        if q.startswith("stream_")
-        or q in ("merge_upsert", "cdc_compact", "snapshot_diff", "merge_scd2")
-    ]
-    return [q for q in HEADLINE if q not in noisy] + noisy
+def _is_noisy(q: str) -> bool:
+    """Streaming / JDBC-sink queries leave checkpoint dirs, state-store
+    instances and an embedded-Derby engine in the JVM; pure-compute
+    queries sharing that shard measured 1.7x their isolated time (r8:
+    sql_tpch_q5 1.42 s sharded vs 0.83 s isolated), so they are
+    quarantined into their own tail shards."""
+    return q.startswith("stream_") or q in (
+        "merge_upsert",
+        "cdc_compact",
+        "snapshot_diff",
+        "merge_scd2",
+    )
 
 
 def shard_names(shard: int, n_shards: int) -> list[str]:
-    """Contiguous slice of the sharding order for one shard (contiguous
-    keeps the related query families — dedup, TPC-H, streaming — inside
-    one JVM so their shared codegen classes warm once)."""
-    order = _sharding_order()
-    per = (len(order) + n_shards - 1) // n_shards
-    return order[shard * per : (shard + 1) * per]
+    """Shard assignment by NAME HASH, not list position: r7→r8 showed
+    that position-sliced shards shift every query's neighbors whenever a
+    key is added to HEADLINE, which turns shard-composition noise into
+    phantom per-query regressions (r8's table_profile/grouping_surface
+    1.8x). Hashing the query name pins each query's shard — and
+    therefore its JVM cohabitants — across rounds regardless of registry
+    growth, so round-over-round per-query deltas compare like against
+    like. Noisy (streaming/Derby) queries hash into the reserved TAIL
+    shards only; within a shard, HEADLINE order holds."""
+    import hashlib  # noqa: PLC0415
+
+    n_noisy = max(1, n_shards // 4) if n_shards > 1 else 0
+    n_quiet = n_shards - n_noisy
+
+    def assign(q: str) -> int:
+        h = int(hashlib.md5(q.encode()).hexdigest(), 16)
+        if _is_noisy(q) and n_noisy:
+            return n_quiet + h % n_noisy
+        return h % max(n_quiet, 1)
+
+    return [q for q in HEADLINE if assign(q) == shard]
 
 
 def run_worker(shard: int, n_shards: int, out_path: str) -> None:

@@ -297,6 +297,140 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: AQE skew-split tuning for ``join_skew_aqe``. The skew detector's
+#: defaults (256 MB partition threshold, factor 5) are sized for real
+#: clusters; the demonstration fixture is a few MB, so the thresholds
+#: scale down to make the SAME mechanism observably fire at test scale.
+#: At 100 TB you would keep the defaults and drop every line except
+#: (possibly) ``forceOptimizeSkewedJoin``.
+#:
+#: Two non-obvious preconditions, both discovered empirically and both
+#: real at any scale:
+#:  - Detection runs on COMPRESSED map-output bytes of the columns that
+#:    SURVIVE pruning into the join shuffle. A hot partition whose only
+#:    shuffled payload is the (constant) hot key itself LZ4-compresses
+#:    hundreds-fold and can sit below any byte threshold — the fact
+#:    side must actually carry payload bytes for the detector to see
+#:    the skew (here: the quantity and extendedprice measures).
+#:  - Split granularity is the MAP side: a skewed reduce partition is
+#:    subdivided along mapper-output boundaries, so a shuffle fed by a
+#:    single map task (this fixture's one-file parquet scan) cannot be
+#:    split at all. At 100 TB a scan arrives as thousands of splits and
+#:    this never binds; at fixture scale the fact side is repartitioned
+#:    to SKEW_AQE_FACT_MAPPERS tasks first to restore the real shape.
+SKEW_AQE_CONF: tuple[tuple[str, str], ...] = (
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"),
+    ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"),
+    ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"),
+    # The join feeds a groupBy on the SAME key, so the skew split would
+    # break the join output's partitioning guarantee the aggregate wants
+    # to reuse; without force, OptimizeSkewedJoin declines. Forcing
+    # trades one (tiny, post-aggregate-able) extra exchange for removing
+    # the straggler — at 80 % hot-key concentration the straggler IS the
+    # job's wall clock, so the trade is right whenever skew is this bad.
+    ("spark.sql.adaptive.forceOptimizeSkewedJoin", "true"),
+    # Pin the shuffled sort-merge path: a broadcast join has no reducer
+    # partition for the splitter to act on (and AQE would happily
+    # convert this small dim side at test scale).
+    ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+)
+
+#: Map tasks feeding the fact-side join shuffle at fixture scale (see
+#: SKEW_AQE_CONF: split granularity is mapper boundaries).
+SKEW_AQE_FACT_MAPPERS = 16
+
+_SKEW_AQE_ORACLE = """
+    WITH dim AS (
+      SELECT o_orderkey % 100 AS hot_key,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS dim_price
+      FROM orders GROUP BY 1
+    ),
+    fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 100 END AS hot_key,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    )
+    SELECT f.hot_key,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_price_fact,
+           max(d.dim_price) AS dim_price
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY f.hot_key
+"""
+
+
+@register("join_skew_aqe", oracle=_SKEW_AQE_ORACLE)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 80 %-hot-key join as ``join_skew_salted``, handled by
+    Spark's own AQE skew-join split instead of manual salting — the
+    mechanism a 100 TB deployment reaches for FIRST (VERDICT r8 next
+    #3): at runtime AQE reads the shuffle map statistics, detects the
+    oversized hot partition on the fact side, splits it into
+    advisory-sized sub-partitions and replicates the matching dim
+    partition across them — exactly the salt/replicate decomposition
+    of ``join_skew_salted``, but derived from measured sizes with no
+    query rewrite and no salt arity to guess. Result is identical to
+    the plain join (the oracle is the plain-SQL join; the fact side
+    additionally carries l_extendedprice so the hot shuffle partition
+    holds real measure bytes — see SKEW_AQE_CONF on why a pruned-to-
+    the-key shuffle hides the skew from the byte-based detector).
+
+    Runs on ``spark.newSession()`` — same SparkContext, isolated SQL
+    conf — so the scaled-down skew thresholds (see ``SKEW_AQE_CONF``)
+    can never leak into the caller's session; the returned DataFrame
+    carries its own session, so downstream ``collect()`` executes
+    under these confs regardless of who triggers it.
+
+    tests/test_plans.py gates that the split actually fires (the
+    executed adaptive plan's sort-merge join is marked ``skew=true``)
+    and that results match ``join_skew_salted`` row-for-row — when
+    AQE alone suffices, prefer it; hand-salting remains for the cases
+    it declines (shuffled-hash build sides, pre-AQE engines).
+    """
+    s2 = spark.newSession()
+    for k, v in SKEW_AQE_CONF:
+        s2.conf.set(k, v)
+    o = load(s2, sf_dir, "orders")
+    dim = o.groupBy((F.col("o_orderkey") % 100).alias("hot_key")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("dim_price")
+    )
+    # Materialize the dim (≤100 rows). OptimizeSkewedJoin pattern-
+    # matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) with BOTH
+    # shuffles ENSURE_REQUIREMENTS-origin; an in-flight aggregate whose
+    # output partitioning already satisfies the join key leaves its
+    # HashAggregate between Sort and stage and the rule silently
+    # no-ops. A checkpointed dim — the realistic shape: dims arrive as
+    # materialized tables — joins through a fresh join-key exchange the
+    # rule can act on.
+    dim = dim.localCheckpoint(eager=False)
+    li = load(s2, sf_dir, "lineitem")
+    hot_key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0).cast("bigint")).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    # Fixture artifact, not a scale pattern: multi-mapper input so the
+    # skew splitter has map-output boundaries to cut along (a real
+    # cluster scan has thousands of mappers and skips this exchange).
+    fact = li.repartition(SKEW_AQE_FACT_MAPPERS).select(
+        hot_key.alias("hot_key"),
+        F.col("l_quantity").cast("decimal(12,4)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+    )
+    joined = fact.join(dim.hint("merge"), "hot_key")
+    return joined.groupBy("hot_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+        F.sum("price").cast("decimal(20,2)").cast("double").alias("sum_price_fact"),
+        F.max("dim_price").alias("dim_price"),
+    )
+
+
 def asof_join_forward(
     left: DataFrame,
     right: DataFrame,

@@ -983,6 +983,35 @@ def test_dedup_substring_plan_shape(spark, sf_dir):
     assert "partial_min" in plan and "partial_max" in plan, (
         "window-frequency agg is not map-side combined"
     )
+    # The at-scale lane (VERDICT r8 next #2): the hot full-corpus
+    # exchange must carry the 8-byte xxhash64 window key, never the
+    # ~70-byte literal string. Gate: (a) the hash is computed, (b) the
+    # phase-1 aggregate keys on the hash ALONE (the string is pruned
+    # from that shuffle), (c) the only string-keyed aggregate is the
+    # phase-2 bucket-local verify, keyed (h, win) over the candidate
+    # slice, and (d) the phase-1 hash aggregate appears exactly once
+    # (partial + final) — the final probe reuses the verified rep set
+    # instead of re-deriving the candidate aggregation.
+    assert "xxhash64" in plan, "window key must be hashed for the hot exchange"
+    import re
+
+    key_sets = [
+        [k.strip() for k in m.split(",")]
+        for m in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    ]
+    win_keyed = [ks for ks in key_sets if any(k.startswith("win#") for k in ks)]
+    assert win_keyed and all(len(ks) == 2 for ks in win_keyed), (
+        f"string window key may only appear in the (h, win) verify agg: {key_sets}"
+    )
+    hash_only = [
+        ks for ks in key_sets if len(ks) == 1 and re.match(r"h#\d+L?", ks[0])
+    ]
+    assert len(hash_only) == 2, (  # partial + final of ONE aggregate
+        f"phase-1 hash aggregate must appear exactly once: {key_sets}"
+    )
+    assert re.search(r"hashpartitioning\(h#\d+L?, \d+\)", plan), (
+        "hot exchange must partition on the hash key alone"
+    )
 
 
 def test_dedup_substring_excise_plan_shape(spark, sf_dir):
@@ -1302,3 +1331,60 @@ def test_stream_cusum_daily_state_evicted_by_watermark(spark, tmp_path):
     }
     got = {(r["event_type"], r["dn"]): r["c"] for r in served.collect()}
     assert got == truth, "serving table diverged from the batch daily rollup"
+
+
+def test_join_skew_aqe_split_fires_and_matches(spark, sf_dir):
+    """join_skew_aqe's whole claim is that Spark's OWN skew-join split
+    handles the 80%-hot key: (a) the executed adaptive plan must carry
+    the skew marker on the sort-merge join (the split actually fired —
+    a silently-declined rule leaves a straggler and the demonstration
+    is a lie), (b) the skew-tuned confs must be invisible to the
+    caller's session (they ride an isolated newSession), and (c) the
+    result must equal the same join computed WITHOUT any skew handling
+    in the caller's stock session — AQE skew splitting is a pure
+    physical rewrite."""
+    from cpt_database_sync_spark.operators.asof import join_skew_aqe
+    from cpt_database_sync_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    df = join_skew_aqe(spark, sf_dir)
+    got = sorted(map(tuple, df.collect()))
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in executed, (
+        f"AQE skew-join split did not fire:\n{executed[:2000]}"
+    )
+    # (b) no conf leak into the caller's session
+    assert spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    ) != "8KB"
+    # (c) identical to the unoptimized join in the stock session
+    o = load(spark, sf_dir, "orders")
+    dim = o.groupBy((F.col("o_orderkey") % 100).alias("hot_key")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)").cast("double").alias("dim_price")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    hot_key = F.when(
+        F.col("l_orderkey") % 10 < 8, F.lit(0).cast("bigint")
+    ).otherwise(F.col("l_orderkey") % 100)
+    fact = li.select(
+        hot_key.alias("hot_key"),
+        F.col("l_quantity").cast("decimal(12,4)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            fact.join(dim, "hot_key")
+            .groupBy("hot_key")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+                F.sum("price").cast("decimal(20,2)").cast("double")
+                .alias("sum_price_fact"),
+                F.max("dim_price").alias("dim_price"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
