@@ -153,6 +153,69 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CATALOG_PERSIST_DB = "cpt_catalog_persist"
+
+#: The durable-catalog round-trip targets the two smallest fixture
+#: tables; the expected listing is a LITERAL relation, so the oracle
+#: verifies the metastore round-trip, not a recomputation of it.
+_CATALOG_PERSIST_EXPECT = (
+    ("nation", "n_nationkey", "int", 1),
+    ("nation", "n_name", "string", 2),
+    ("nation", "n_regionkey", "int", 3),
+    ("region", "r_regionkey", "int", 1),
+    ("region", "r_name", "string", 2),
+)
+
+_CATALOG_PERSIST_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+    f"'{ty}' AS data_type, CAST({o} AS INT) AS ordinal"
+    for t, c, ty, o in _CATALOG_PERSIST_EXPECT
+)
+
+
+@register("catalog_persist", oracle=_CATALOG_PERSIST_SQL)
+def catalog_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-catalog round-trip — the metastore analogue of the
+    reference's information_schema discovery (`handler/Handler.java:
+    27-33`): ``saveAsTable`` two fixture tables into a dedicated
+    database of the session metastore, then re-discover them through
+    ``spark.catalog.listTables`` / ``listColumns`` — the catalog is
+    the source of truth for the listing, not the parquet footers
+    ``schema_introspect`` reads. The oracle is the literal expected
+    relation, so a silent save/list divergence (lost column, type
+    drift, case folding) fails the diff.
+
+    The demonstration database is dropped (CASCADE) after the listing
+    is materialized: the round-trip is the capability under test, and
+    a persistent leftover would leak state between driver queries. At
+    deployment scale the same calls run against a shared Hive
+    metastore / Unity-style catalog and the drop is simply omitted;
+    catalog metadata is inherently driver-sized, so the driver-side
+    assembly of the listing rows is the correct shape (same argument
+    as ``schema_introspect``).
+    """
+    db = _CATALOG_PERSIST_DB
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        for t in ("nation", "region"):
+            load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(
+                f"{db}.{t}"
+            )
+        listed = sorted(
+            t.name for t in spark.catalog.listTables(db)
+        )
+        rows = []
+        for t in listed:
+            for i, c in enumerate(spark.catalog.listColumns(f"{db}.{t}"), 1):
+                rows.append((t, c.name, c.dataType, i))
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, data_type string, ordinal int",
+    )
+
+
 @register(
     "dq_expectations",
     oracle="""

@@ -1388,3 +1388,115 @@ def test_join_skew_aqe_split_fires_and_matches(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_stream_twa_exact_under_cross_batch_disorder(spark, tmp_path):
+    """The LOCF stream's r8-documented constraint — per-user event-time
+    ordering across micro-batches — is now implemented by the
+    watermark-delayed re-fold (pending buffer + finalize-behind-the-
+    watermark). Gate both halves of that contract on a 3-batch source
+    with deliberate disorder:
+
+      batch0: days 1,2,3,5,6   (day 4 missing)
+      batch1: day 4            (OLDER than batch0's max — in-delay
+                                disorder; with batch0's watermark at
+                                day 4 it is ripe on arrival and must
+                                fold into its correct LOCF position)
+      batch2: days 7..10 PLUS a day-1.5 straggler (beyond the delay AND
+                                behind the finalized frontier — must be
+                                DROPPED, the watermark contract)
+
+    Expected = the hand-computed time-weighted average over days 1..10
+    with the straggler excluded; any mis-ordered fold (the pre-r9
+    failure mode: negative dt corrupting num/dur) or wrongful
+    inclusion/drop moves the numbers."""
+    import os
+    import shutil
+    import time as _time
+    from decimal import Decimal
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.stateful import (
+        _TWA_OUT_SCHEMA,
+        _TWA_STATE_SCHEMA,
+        _user_twa,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def ev(day_frac: float, eid: int, val: float):
+        base = int(
+            Decimal("1709251200") * 1_000_000  # 2024-03-01 00:00:00 UTC, µs
+        )
+        return (base + int(day_frac * 86_400_000_000), eid, val)
+
+    batches = [
+        [ev(d, d, float(d)) for d in (1, 2, 3, 5, 6)],
+        [ev(4, 4, 4.0)],
+        [ev(d, d, float(d)) for d in (7, 8, 9, 10)] + [ev(1.5, 99, 1000.0)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(us, eid, v) for us, eid, v in rows],
+            "us bigint, event_id bigint, value double",
+        ).select(
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id",
+            F.lit(1).cast("bigint").alias("user_id"),
+            "value",
+        )
+        part = tmp_path / f"part{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        pf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = src / f"batch{i}.parquet"
+        shutil.copy(part / pf, dst)
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, event_id bigint, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "2 days")
+        .withColumn(
+            "value_dec", F.col("value").cast("decimal(14,6)").cast("string")
+        )
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _user_twa,
+        outputStructType=_TWA_OUT_SCHEMA,
+        stateStructType=_TWA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, progresses = serve_keyed_stream(
+        folded, ["user_id"], "test_twa_disorder_", varchar_lengths={"twa_num": 48}
+    )
+    data_batches = [p for p in progresses if p.numInputRows > 0]
+    if len(data_batches) < 3:
+        pytest.skip(
+            "file source collapsed the batches; disorder not exercised "
+            f"(saw {len(data_batches)} data batches)"
+        )
+    rows = served.collect()
+    assert len(rows) == 1
+    got = rows[0]
+    # hand-computed truth over days 1..10 (straggler dropped): value d
+    # holds for one day, d in 1..9; dur = 9 days
+    day_us = 86_400_000_000
+    num = sum(d * day_us for d in range(1, 10))
+    dur = 9 * day_us
+    assert got["dur_us_total"] == dur, (
+        f"duration {got['dur_us_total']} != {dur}: disorder mis-folded "
+        "(negative dt) or straggler not dropped"
+    )
+    assert got["twa_num"] == str(
+        Decimal(num).quantize(Decimal("0.000001"))
+    )
+    assert got["twa"] == ((num * 10**6) // dur) / 1_000_000

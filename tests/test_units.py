@@ -2184,3 +2184,22 @@ def test_substring_dedup_hashed_lane_matches_string_lane(spark, sf_dir):
         map(tuple, dedup_substring_excise(spark, sf_dir, hashed=False).collect())
     )
     assert exc_h == exc_s
+
+
+def test_catalog_persist_round_trip(spark, sf_dir):
+    """catalog_persist must (a) produce exactly the literal expected
+    listing, (b) be idempotent — mode('overwrite') makes a second
+    round-trip identical, and (c) leave NO demonstration database
+    behind (a leftover would leak state between driver queries)."""
+    from cpt_database_sync_spark.sources.catalog import (
+        _CATALOG_PERSIST_DB,
+        _CATALOG_PERSIST_EXPECT,
+        catalog_persist,
+    )
+
+    for _ in range(2):
+        got = sorted(map(tuple, catalog_persist(spark, sf_dir).collect()))
+        assert got == sorted(_CATALOG_PERSIST_EXPECT)
+    assert not any(
+        d.name == _CATALOG_PERSIST_DB for d in spark.catalog.listDatabases()
+    ), "demonstration database leaked past the round-trip"
