@@ -153,6 +153,7 @@ HEADLINE = [
     "bfs_hops",
     "corpus_shuffle_shards",
     "join_skew_aqe",
+    "catalog_persist",
 ]
 
 

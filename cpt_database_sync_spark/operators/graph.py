@@ -332,6 +332,14 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     outw = flows.groupBy("src").agg(F.sum("w").alias("wout"))
+    # Precondition (ADVICE r9): this product runs in the BIGINT lane, so
+    # each (src,dst) weight must satisfy w < 2^63 / PR_SCALE ≈ 9.2e9 —
+    # the iteration's r*p <= 1e18 bound (docstring) does NOT cover this
+    # edge build. The fixture's w is a lineitem count per nation pair
+    # (≤ ~2.4e8 even at sf=100k), far inside the bound; a deployment
+    # whose per-edge weight can exceed ~9.2e9 rows computes p via a
+    # DECIMAL(38,0) intermediate instead: ANSI mode aborts (not wraps)
+    # on the overflow, so the failure is loud, not silent.
     edges = flows.join(outw, "src").select(
         "src", "dst", F.expr(f"(w * {PR_SCALE}) div wout").alias("p")
     )

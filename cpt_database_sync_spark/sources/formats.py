@@ -12,6 +12,14 @@ Scale notes: every writer/reader here is the distributed task-per-partition
 path (no driver materialization); `sink_partitioned` additionally shows the
 write-side layout that makes 100 TB reads cheap — dynamic partition
 overwrite + partition-pruned scans.
+
+Format matrix: {parquet, orc, csv, json, jsonl, xml, jdbc} are covered by
+registered keys. AVRO is NOT: the ``spark-avro`` datasource module jar is
+absent from this container (only core avro-1.12 libs ship;
+``format("avro")`` raises FAILED_TO_FIND_DATA_SOURCE, probed r9) and
+installs are off-limits. On a deployment with the module on the classpath,
+``source_avro`` is ``source_orc`` with format("avro") — the same
+round-trip contract, no engine changes.
 """
 
 from __future__ import annotations

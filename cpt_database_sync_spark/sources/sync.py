@@ -40,11 +40,26 @@ def scratch_dir() -> str:
     concurrently). Dead processes' namespaces are reaped once at this
     process's first call; a dead owner means no live file handles or
     Derby page caches, so plain rmtree is safe there.
+
+    Liveness is judged by ``os.kill(pid, 0)``, which is only meaningful
+    for pids of THIS host + PID namespace — a scratch root shared
+    across hosts/containers (NFS volume) would let a dead local pid
+    alias a live remote one (ADVICE r9). Each namespace therefore
+    records its owner's host identity (hostname + kernel boot id) in a
+    ``HOST`` marker; reaping skips namespaces whose marker differs from
+    ours, so cross-host collisions degrade to unreaped litter, never to
+    deleting a live process's state. Marker-less namespaces (pre-marker
+    rounds) reap under the old pid-only rule.
     """
     global _scratch_reaped
     root = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
     d = os.path.join(root, f"p{os.getpid()}")
     os.makedirs(d, exist_ok=True)
+    ident = _host_identity()
+    marker = os.path.join(d, "HOST")
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write(ident)
     if not _scratch_reaped:
         _scratch_reaped = True
         for name in os.listdir(root):
@@ -54,6 +69,13 @@ def scratch_dir() -> str:
                 pid = int(name[1:])
             except ValueError:
                 continue
+            other_marker = os.path.join(root, name, "HOST")
+            try:
+                with open(other_marker) as f:
+                    if f.read() != ident:
+                        continue  # foreign host: its pids aren't ours to probe
+            except OSError:
+                pass  # pre-marker namespace: fall through to the pid rule
             try:
                 os.kill(pid, 0)  # alive (or not ours): leave it be
             except ProcessLookupError:
@@ -61,6 +83,23 @@ def scratch_dir() -> str:
             except PermissionError:
                 pass
     return d
+
+
+def _host_identity() -> str:
+    """hostname + kernel boot id: stable for the life of this boot,
+    different across hosts/containers and across reboots (a reboot
+    recycles pids, so a stale same-host namespace from before reboot
+    correctly fails the marker match and survives until its round's
+    sweep — conservative by design)."""
+    import platform  # noqa: PLC0415
+
+    boot = ""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        pass
+    return f"{platform.node()}|{boot}"
 
 
 def derby_shutdown(spark: SparkSession, db_path: str) -> None:

@@ -1298,7 +1298,24 @@ def test_stream_cusum_daily_state_evicted_by_watermark(spark, tmp_path):
     )
 
     data_batches = [p for p in progresses if p.numInputRows > 0]
-    assert len(data_batches) >= 3, "source must arrive as multiple micro-batches"
+    # Batch order is induced by file mtime (os.utime, 100 s apart) +
+    # maxFilesPerTrigger=1; on a coarse-mtime filesystem or under a
+    # future source-ordering change the files can collapse into fewer
+    # batches — that run proves nothing about eviction, so skip loudly
+    # rather than flake (ADVICE r9). The per-batch row counts double as
+    # the order check: each file holds exactly 12 rows, and a merged or
+    # reordered delivery shows up as a different inputRows profile.
+    if len(data_batches) < 3:
+        import pytest  # noqa: PLC0415
+
+        pytest.skip(
+            "file source collapsed the 3-file drop into "
+            f"{len(data_batches)} data batches; eviction not exercised"
+        )
+    assert [p.numInputRows for p in data_batches] == [12, 12, 12], (
+        "unexpected per-batch row profile: "
+        f"{[p.numInputRows for p in data_batches]}"
+    )
     removed = sum(
         op.numRowsRemoved for p in progresses for op in p.stateOperators
     )

@@ -2203,3 +2203,75 @@ def test_catalog_persist_round_trip(spark, sf_dir):
     assert not any(
         d.name == _CATALOG_PERSIST_DB for d in spark.catalog.listDatabases()
     ), "demonstration database leaked past the round-trip"
+
+
+def test_stream_cusum_soak_state_bounded_over_200_batches(spark):
+    """Second soak target (VERDICT r8 next #6): stream_cusum's day-window
+    eviction — the freshest state-lifecycle claim — observed over 200+
+    micro-batches instead of the 3-batch gate. Event time advances 4 h
+    per batch, so a day window closes every ~6 batches under the 10-min
+    watermark; across ~33 simulated days the state store must hold only
+    the OPEN day windows (at most 2 per event_type at any instant, plus
+    the store's per-key row factor), never the whole calendar, and must
+    evict continuously."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.streaming.windows import cusum_daily_stream
+
+    ckpt = (
+        "/dev/shm/cusum-soak-ckpt" if os.path.isdir("/dev/shm") else "/tmp/cusum-soak-ckpt"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n_types = 5
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("numPartitions", 2)
+        .option("advanceMillisPerBatch", 14_400_000)  # 4 h event time / batch
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("t"), (F.col("value") % n_types)).alias("event_type"),
+        )
+    )
+    q = (
+        cusum_daily_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: df.count())
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    seen: dict[int, tuple] = {}
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 240:
+            p = q.lastProgress
+            if p and p["stateOperators"]:
+                so = p["stateOperators"][0]
+                seen[p["batchId"]] = (so["numRowsTotal"], so["numRowsRemoved"])
+            if p and p["batchId"] >= 200:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    bids = sorted(seen)
+    assert bids and bids[-1] >= 120, (
+        f"soak too slow: reached batch {bids[-1] if bids else None}"
+    )
+    totals = [seen[b][0] for b in bids]
+    # ≤ 2 open day windows per type (current day + the just-closed day
+    # inside its 10-min watermark grace) with headroom for the store's
+    # per-key row factor
+    bound = 3 * n_types
+    assert max(totals) <= bound, (
+        f"state grew past open-days×types bound: max={max(totals)} > {bound}"
+    )
+    late = [seen[b][0] for b in bids if b >= bids[-1] // 2]
+    assert late and max(late) <= bound, "late-run state exceeded steady-state bound"
+    assert sum(seen[b][1] for b in bids) > 0, "no day-window eviction observed"
