@@ -154,6 +154,14 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "join_skew_aqe",
     "catalog_persist",
+    "shortest_path_weighted",
+    "seasonal_decompose",
+    "anomaly_mad",
+    "l_diversity_check",
+    "assoc_rules",
+    "benford_check",
+    "mutual_info_categorical",
+    "quality_gopher_rules",
 ]
 
 

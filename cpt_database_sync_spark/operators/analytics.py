@@ -1806,3 +1806,86 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_ts") > 0, F.col("value") / F.count("t_ts")
         ).alias("credit_per_touch"),
     )
+
+
+MAD_K = 3.0  # flag |value - median| > 3 MADs (≈ 2σ for normal data)
+
+_MAD_SQL = f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(m.med, 9) AS med, round(d.mad, 9) AS mad,
+           round((e.value - m.med) / NULLIF(d.mad, 0), 9) AS score
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(e.value - m.med) > {MAD_K} * d.mad
+"""
+
+
+@register("anomaly_mad", oracle=_MAD_SQL)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flagging — `anomaly_zscore`'s
+    ROBUST sibling: the z-score gate breaks down exactly when it is
+    needed most (outliers inflate the mean/σ they are measured
+    against, masking themselves); median and MAD have a 50 %
+    breakdown point, so a telemetry channel where half the readings
+    went bad still flags correctly. Flags events whose |value −
+    per-type median| exceeds MAD_K · MAD, with the signed
+    MAD-normalized score (NULL when MAD = 0: a constant-majority
+    channel has no robust scale to normalize by, though the flag
+    itself still fires on any deviation).
+
+    Exactness: median and MAD are order statistics, not accumulations
+    — Spark's exact ``percentile`` and DuckDB's ``quantile_cont``
+    both linearly interpolate the same two order-adjacent doubles
+    (the bit-parity precedent `window_rolling_median` pins), and the
+    flag compares doubles produced by the identical expression tree
+    on both engines.
+
+    Physics: two aggregation passes over events (per-type median,
+    then per-type MAD of the residuals vs the broadcast |types|-row
+    median relation) and one map-only flagging pass — no window over
+    the corpus, no sort of the full data on one node; exact
+    percentile sorts WITHIN each type's aggregation buffer. At 100 TB
+    swap both order statistics for ``approx_percentile`` (the
+    `agg_percentile` lane) — same plan, sketch-sized state.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 9).alias("med"),
+            F.round("mad", 9).alias("mad"),
+            F.round(
+                F.try_divide(
+                    F.col("value") - F.col("med"),
+                    F.nullif(F.col("mad"), F.lit(0.0)),
+                ),
+                9,
+            ).alias("score"),
+        )
+    )

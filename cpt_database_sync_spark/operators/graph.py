@@ -498,3 +498,212 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dist), F.col("node") == F.col("dnode"), "left")
         .select("n_name", F.col("hops").cast("int").alias("hops"))
     )
+
+
+# Weighted shortest path: cost of an edge is INVERSE trade volume
+# (heavily-traded lanes are "close"), kept integer-exact as
+# SP_COST_NUM div w + 1 (the +1 makes every cost strictly positive, so
+# path costs strictly grow with hop count and relaxation terminates).
+# SP_MAX_EDGES bounds path length, the BFS_MAX_HOPS discipline: the
+# dense trade graph's diameter is ~2, so 4 relaxation rounds are exact
+# for every reachable node at any fixture SF while keeping the oracle's
+# unrolled iteration finite.
+SP_COST_NUM = 1_000_000_000
+SP_MAX_EDGES = 4
+SP_SOURCE_NATION = BFS_SOURCE_NATION
+
+_SP_EDGE_CTES = f"""
+    flows AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM flows UNION SELECT dst FROM flows),
+    e AS (
+      SELECT src, dst, ({SP_COST_NUM} // w) + 1 AS cost FROM flows
+    ),
+    d0 AS (SELECT CAST({SP_SOURCE_NATION} AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS d)
+"""
+
+
+def _sp_iter_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.cost AS d
+        FROM {prev} p JOIN e ON e.src = p.node
+      ) GROUP BY node
+    )"""
+
+
+_SHORTEST_PATH_SQL = (
+    "WITH "
+    + _SP_EDGE_CTES
+    + ","
+    + ",".join(_sp_iter_sql(f"d{i}", f"d{i+1}") for i in range(SP_MAX_EDGES))
+    + f"""
+    SELECT nat.n_name, CAST(d.d AS BIGINT) AS dist
+    FROM nodes n
+    JOIN nation nat ON nat.n_nationkey = n.node
+    LEFT JOIN d{SP_MAX_EDGES} d ON d.node = n.node
+    """
+)
+
+
+@register("shortest_path_weighted", oracle=_SHORTEST_PATH_SQL)
+def shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest path over the nation trade graph
+    (Bellman-Ford relaxation), completing the graph family's distance
+    axis: `bfs_hops` answers "how many hops", this answers "how cheap"
+    under an inverse-volume edge cost — the supply-chain-routing shape
+    (which nations can source from nation SP_SOURCE_NATION through
+    high-volume lanes). NULL dist = unreachable within SP_MAX_EDGES
+    edges.
+
+    Dataflow (the `pagerank_nations` discipline): the fact joins run
+    ONCE into the checkpointed ≤|nations|² edge relation; each of the
+    SP_MAX_EDGES relaxation rounds is a broadcast join of the
+    node-sized distance relation against the edges plus a rollup-sized
+    MIN re-aggregation — distances never touch the driver, and the
+    fact table is never rescanned (plan-gated alongside the other
+    graph ops). Costs are exact BIGINTs (integer div of SP_COST_NUM by
+    the edge weight), so MIN has no float/tie hazard and the oracle's
+    unrolled-CTE iteration is bit-identical. At 100 TB the node set is
+    catalog-sized (domains, ASNs, warehouses); when the distance
+    relation itself outgrows broadcast, the per-round join flips to a
+    co-partitioned shuffle on node id — same plan family as PageRank's
+    documented escape hatch.
+
+    Reference basis: the reference moves tables (`handler/
+    Handler.java:42-55`); graph distance over the moved data is part of
+    the analytics surface it never had.
+    """
+    flows = _trade_flows(spark, sf_dir)
+    e = flows.select(
+        "src",
+        "dst",
+        (F.expr(f"{SP_COST_NUM} div w") + F.lit(1)).cast("long").alias("cost"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.filter(F.col("node") == SP_SOURCE_NATION).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(SP_MAX_EDGES):
+        relaxed = (
+            F.broadcast(dist.withColumnRenamed("node", "src"))
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    nation = load(spark, sf_dir, "nation")
+    dd = dist.select(F.col("node").alias("dnode"), "d")
+    return (
+        nodes.join(F.broadcast(nation), nodes.node == nation.n_nationkey)
+        .join(F.broadcast(dd), F.col("node") == F.col("dnode"), "left")
+        .select("n_name", F.col("d").cast("long").alias("dist"))
+    )
+
+
+_ASSOC_SQL = f"""
+    WITH {_OP_CTE},
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+    ic AS (SELECT pk, count(*) AS c FROM op GROUP BY pk),
+    p AS (
+      SELECT a.pk AS pa, b.pk AS pb, count(*) AS cnt
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_SUPPORT}
+    ),
+    r AS (
+      SELECT pa AS ante, pb AS cons, cnt FROM p
+      UNION ALL
+      SELECT pb AS ante, pa AS cons, cnt FROM p
+    )
+    SELECT r.ante, r.cons, CAST(r.cnt AS BIGINT) AS cnt,
+           CAST(ia.c AS BIGINT) AS n_ante,
+           CAST(ib.c AS BIGINT) AS n_cons,
+           round(CAST(r.cnt AS DOUBLE) / ia.c, 9) AS confidence,
+           round((CAST(r.cnt AS DOUBLE) * (SELECT n_orders FROM n))
+                 / (CAST(ia.c AS DOUBLE) * ib.c), 9) AS lift
+    FROM r
+    JOIN ic ia ON ia.pk = r.ante
+    JOIN ic ib ON ib.pk = r.cons
+"""
+
+
+@register("assoc_rules", oracle=_ASSOC_SQL)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the frequent 2-itemsets — the step after
+    `frequent_pairs` in the A-priori pipeline: each qualifying pair
+    yields BOTH directed rules ante→cons with confidence = cnt(a,b) /
+    cnt(a) (how often the consequent follows) and lift = cnt(a,b)·N /
+    (cnt(a)·cnt(b)) (how far above independence — lift < 1 rules are
+    anti-correlations a recommender must NOT surface, which is why
+    confidence alone is never shipped).
+
+    Exactness: pair/item counts are exact BIGINTs; confidence is one
+    exact-int/exact-int IEEE division and lift is the identical
+    double-product expression tree on both engines (products run in
+    the double lane so no BIGINT overflow exists at any corpus size —
+    cnt·N at 100 TB exceeds int64, doubles carry it with the same
+    rounding on both sides).
+
+    Physics: reuses `_cooccur_pairs`' two map-side-combined shuffles;
+    the item-support relation adds one more combine-collapsed count over
+    the (order, part) incidence. Item supports and the one-row order
+    count join back as broadcasts — |parts|-sized, catalog-scale here;
+    a deployment whose item dimension outgrows broadcast flips the two
+    enrichment joins to co-partitioned shuffles on the part key (same
+    escape hatch as PageRank's distance relation).
+
+    Reference basis: market-basket analytics over the tables the
+    reference syncs (`handler/Handler.java:27-55`); the reference itself
+    has no analytics surface.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pairs = _cooccur_pairs(li).filter(F.col("cnt") >= MIN_SUPPORT)
+    ic = _pair_sets(li).groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = _pair_sets(li).agg(F.countDistinct("ok").alias("n_orders"))
+    rules = pairs.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "cnt"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("ante"), F.col("pa").alias("cons"), "cnt")
+    )
+    ia = ic.select(F.col("pk").alias("ante"), F.col("c").alias("n_ante"))
+    ib = ic.select(F.col("pk").alias("cons"), F.col("c").alias("n_cons"))
+    return (
+        rules.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ib), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("n_ante").cast("long").alias("n_ante"),
+            F.col("n_cons").cast("long").alias("n_cons"),
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_ante"), 9
+            ).alias("confidence"),
+            F.round(
+                (F.col("cnt").cast("double") * F.col("n_orders"))
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                9,
+            ).alias("lift"),
+        )
+    )

@@ -495,3 +495,58 @@ def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_distinct").cast("double") / F.col("src_docs"), 9
         ).alias("src_distinct_ratio"),
     )
+
+
+L_DIVERSITY_THRESHOLD = 3
+
+_LDIV_SQL = f"""
+    WITH sv AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority,
+             COUNT(*) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(MAX(n) AS BIGINT) AS top_cnt,
+           COUNT(*) >= {L_DIVERSITY_THRESHOLD} AS l_diverse
+    FROM sv
+    GROUP BY 1, 2
+"""
+
+
+@register("l_diversity_check", oracle=_LDIV_SQL)
+def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — `kanonymity_check`'s second privacy axis:
+    k-anonymity alone cannot stop the HOMOGENEITY attack (a group of
+    k ≥ 10 customers is still fully re-identifiable in its sensitive
+    attribute if all k share the same value), so a release gate also
+    requires every quasi-identifier group to contain at least l
+    DISTINCT sensitive values. Audits (nationkey, mktsegment) groups
+    against the order-priority attribute reached through the orders
+    join: per group, the covered row count, the distinct-sensitive
+    count (distinct l-diversity), the modal sensitive frequency
+    (top_cnt/n_rows is the homogeneity share driving stronger
+    entropy-/recursive-l variants), and the ≥ l verdict. Customers
+    with no orders contribute no sensitive values and are out of
+    scope by construction (the release is of the joined rows).
+
+    Physics: one map-side-combined count over (QI, sensitive) — the
+    only corpus-sized shuffle — then a |groups|-sized re-aggregation;
+    all outputs are exact BIGINTs/booleans. Same cheapest-audit shape
+    as `kanonymity_check` at any scale.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    sv = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sv.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("n").cast("bigint").alias("top_cnt"),
+        (F.count(F.lit(1)) >= L_DIVERSITY_THRESHOLD).alias("l_diverse"),
+    )

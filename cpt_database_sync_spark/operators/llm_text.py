@@ -1267,3 +1267,142 @@ def write_shuffle_shards(spark: SparkSession, sf_dir: str, out_path: str) -> Non
         .partitionBy("shard")
         .parquet(out_path)
     )
+
+
+# Gopher-rules thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A —
+# public): word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS], mean word
+# length in [GOPHER_MIN_WLEN, GOPHER_MAX_WLEN], symbol-to-word ratio
+# (hash or ellipsis) <= 1/GOPHER_SYM_DIV, >= GOPHER_ALPHA_NUM/
+# GOPHER_ALPHA_DEN of words containing an alphabetic character, and at
+# least GOPHER_MIN_STOP stopwords present.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN = 3
+GOPHER_MAX_WLEN = 10
+GOPHER_SYM_DIV = 10  # ratio <= 0.1  <=>  10 * n_sym <= n_words
+GOPHER_ALPHA_NUM = 4  # frac >= 0.8  <=>  5 * n_alpha >= 4 * n_words
+GOPHER_ALPHA_DEN = 5
+GOPHER_MIN_STOP = 2
+
+_GOPHER_SQL = f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_words,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '{TOKEN_PATTERN}'),
+               w -> length(w))), 0) AS sum_wlen,
+             len(list_filter(regexp_extract_all(text, '{TOKEN_PATTERN}'),
+                             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+             {sql_stopword_count("text", LANG_MARKERS["en"])} AS n_stop
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_wlen AS BIGINT) AS sum_wlen,
+           round(CAST(sum_wlen AS DOUBLE) / NULLIF(n_words, 0), 9)
+             AS mean_wlen,
+           CAST(n_alpha AS BIGINT) AS n_alpha,
+           CAST(n_sym AS BIGINT) AS n_sym,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS words_ok,
+           n_words > 0 AND {GOPHER_MIN_WLEN} * n_words <= sum_wlen
+             AND sum_wlen <= {GOPHER_MAX_WLEN} * n_words AS wlen_ok,
+           {GOPHER_SYM_DIV} * n_sym <= n_words AS sym_ok,
+           n_words > 0 AND {GOPHER_ALPHA_DEN} * n_alpha
+             >= {GOPHER_ALPHA_NUM} * n_words AS alpha_ok,
+           n_stop >= {GOPHER_MIN_STOP} AS stop_ok,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (n_words > 0 AND {GOPHER_MIN_WLEN} * n_words <= sum_wlen
+                  AND sum_wlen <= {GOPHER_MAX_WLEN} * n_words)
+             AND ({GOPHER_SYM_DIV} * n_sym <= n_words)
+             AND (n_words > 0 AND {GOPHER_ALPHA_DEN} * n_alpha
+                  >= {GOPHER_ALPHA_NUM} * n_words)
+             AND (n_stop >= {GOPHER_MIN_STOP}) AS gopher_pass
+    FROM m
+"""
+
+
+@register("quality_gopher_rules", oracle=_GOPHER_SQL)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Appendix A —
+    the public rule set most production pre-training pipelines start
+    from), complementing `quality_score`'s soft score with hard
+    per-rule gates: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# / ellipsis), alphabetic-word fraction, and
+    minimum stopword presence — each surfaced as its own boolean so a
+    corpus dashboard can attribute rejection mass to individual rules
+    (the reason NOT to emit only the conjunction).
+
+    Exactness: every gate is an INTEGER comparison (ratio thresholds
+    cleared of division: 10·n_sym ≤ n_words, 5·n_alpha ≥ 4·n_words,
+    3n ≤ Σlen ≤ 10n), so no float enters any boolean; the one display
+    double (mean word length) is a single exact-int/exact-int division.
+    The word stream is `regexp_extract_all(text, '\\S+')` on both
+    engines and the stopword count reuses the split-membership helper
+    (never a \\b regex — the r8 NFD-unicode lesson). NULL-text rows are
+    out of contract (WHERE text IS NOT NULL both sides): Spark's
+    size(NULL) = -1 legacy vs DuckDB's len(NULL) = NULL makes NULL
+    arrays an engine-divergence surface, and a null document has no
+    quality to gate.
+
+    Physics: map-only scalar HOF expressions over one scan — zero
+    shuffle, whole-stage-codegen'd, embarrassingly parallel at 100 TB
+    (the `corpus_filter` shape). The words array materializes once per
+    row via a projection, not once per derived metric.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0)
+    m = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("sum_wlen"),
+        F.size(
+            F.filter(words, lambda w: F.regexp_count(w, F.lit("[A-Za-z]")) > 0)
+        ).alias("n_alpha"),
+        (
+            F.regexp_count("text", F.lit("#"))
+            + F.regexp_count("text", F.lit(r"\.\.\."))
+        ).alias("n_sym"),
+        stopword_count(F.col("text"), LANG_MARKERS["en"]).alias("n_stop"),
+    )
+    nw = F.col("n_words")
+    words_ok = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+    wlen_ok = (
+        (nw > 0)
+        & (F.lit(GOPHER_MIN_WLEN) * nw <= F.col("sum_wlen"))
+        & (F.col("sum_wlen") <= F.lit(GOPHER_MAX_WLEN) * nw)
+    )
+    sym_ok = F.lit(GOPHER_SYM_DIV) * F.col("n_sym") <= nw
+    alpha_ok = (nw > 0) & (
+        F.lit(GOPHER_ALPHA_DEN) * F.col("n_alpha")
+        >= F.lit(GOPHER_ALPHA_NUM) * nw
+    )
+    stop_ok = F.col("n_stop") >= GOPHER_MIN_STOP
+    return m.select(
+        "doc_id",
+        nw.cast("bigint").alias("n_words"),
+        F.col("sum_wlen").cast("bigint").alias("sum_wlen"),
+        F.round(
+            F.try_divide(
+                F.col("sum_wlen").cast("double"), F.nullif(nw, F.lit(0))
+            ),
+            9,
+        ).alias("mean_wlen"),
+        F.col("n_alpha").cast("bigint").alias("n_alpha"),
+        F.col("n_sym").cast("bigint").alias("n_sym"),
+        F.col("n_stop").cast("bigint").alias("n_stop"),
+        words_ok.alias("words_ok"),
+        wlen_ok.alias("wlen_ok"),
+        sym_ok.alias("sym_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & wlen_ok & sym_ok & alpha_ok & stop_ok).alias(
+            "gopher_pass"
+        ),
+    )

@@ -1306,3 +1306,212 @@ def psi_finalize(counts: DataFrame) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_after"),
         F.round(reduce(lambda a, b: a + b, terms), 9).alias("psi"),
     )
+
+
+# Benford first-digit law: P(d) = log10(1 + 1/d). The probabilities are
+# computed ONCE here in Python and embedded as the SAME literals in both
+# the Spark expression and the DuckDB oracle — transcendental parity by
+# construction (no engine evaluates log10 at query time).
+import math as _math  # noqa: E402
+
+BENFORD_P = {d: round(_math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)}
+
+_BENFORD_VALUES = ", ".join(f"({d}, {p!r})" for d, p in BENFORD_P.items())
+
+_BENFORD_SQL = f"""
+    WITH obs AS (
+      SELECT o_orderpriority AS grp,
+             CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS INT) AS digit,
+             count(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') <> ''
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT grp, SUM(c) AS n FROM obs GROUP BY grp),
+    bp(digit, p) AS (VALUES {_BENFORD_VALUES})
+    SELECT g.grp AS o_orderpriority,
+           CAST(bp.digit AS INT) AS digit,
+           CAST(g.n AS BIGINT) AS n_group,
+           CAST(COALESCE(o.c, 0) AS BIGINT) AS obs,
+           round(CAST(g.n AS DOUBLE) * bp.p, 9) AS expected,
+           round((COALESCE(o.c, 0) - CAST(g.n AS DOUBLE) * bp.p)
+                 * (COALESCE(o.c, 0) - CAST(g.n AS DOUBLE) * bp.p)
+                 / (CAST(g.n AS DOUBLE) * bp.p), 9) AS chi_term
+    FROM g CROSS JOIN bp
+    LEFT JOIN obs o ON o.grp = g.grp AND o.digit = bp.digit
+"""
+
+
+@register("benford_check", oracle=_BENFORD_SQL)
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of order totals per priority
+    class — the classic forensic data-quality screen (fabricated or
+    unit-mangled monetary columns drift from the log-uniform first-digit
+    law long before any range check fires). Emits all 9 digits per
+    group — absent digits surface as obs = 0 rows, which carry the
+    LARGEST evidence of tampering, so an inner join that drops them
+    would hide exactly the signal the audit exists for — with observed
+    count, Benford-expected count, and the per-cell chi-square term;
+    the release gate thresholds Σ chi_term against the χ²(8) critical
+    value.
+
+    Exactness: the first significant digit is extracted from the
+    DECIMAL's string form (format-invariant: the first [1-9] character
+    is the same under any zero-padding convention, and no log10 of the
+    value is ever taken); counts are exact BIGINTs; the Benford
+    probabilities are module-level Python literals shared verbatim by
+    both engines; expected/chi_term are the identical IEEE expression
+    tree on exact operands.
+
+    Physics: ONE map-side-combined count over (priority, digit) — the
+    only corpus-sized stage — then a |groups|-row re-aggregation and a
+    9-row literal cross join. The digit-domain completion is
+    group-sized, never data-sized.
+    """
+    orders = load(spark, sf_dir, "orders")
+    digit = F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+    # obs feeds BOTH the group totals and the domain-completion join;
+    # cut lineage on the (groups x 9)-sized relation so orders is
+    # scanned exactly once — plan-gated.
+    obs = (
+        orders.filter(F.col("o_totalprice").isNotNull() & (digit != ""))
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            digit.cast("int").alias("digit"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    g = obs.groupBy("grp").agg(F.sum("c").alias("n"))
+    bp = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("bd"), F.lit(p).alias("p")
+                    )
+                    for d, p in BENFORD_P.items()
+                ]
+            )
+        ).alias("kv")
+    ).select(F.col("kv.bd").alias("bd"), F.col("kv.p").alias("p"))
+    o2 = obs.select(
+        F.col("grp").alias("o_grp"), F.col("digit").alias("o_digit"), "c"
+    )
+    exp_cnt = F.col("n").cast("double") * F.col("p")
+    dev = F.coalesce(F.col("c"), F.lit(0)) - exp_cnt
+    return (
+        g.crossJoin(F.broadcast(bp))
+        .join(
+            F.broadcast(o2),
+            (F.col("grp") == F.col("o_grp")) & (F.col("bd") == F.col("o_digit")),
+            "left",
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("bd").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n_group"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("obs"),
+            F.round(exp_cnt, 9).alias("expected"),
+            F.round(dev * dev / exp_cnt, 9).alias("chi_term"),
+        )
+    )
+
+
+_MI_SQL = """
+    WITH cells AS (
+      SELECT event_type AS x,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS y,
+             count(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY y),
+    tot AS (SELECT SUM(nxy) AS n FROM cells)
+    SELECT c.x AS event_type,
+           CAST(c.y AS BIGINT) AS dow,
+           CAST(c.nxy AS BIGINT) AS n_xy,
+           CAST(mx.nx AS BIGINT) AS n_x,
+           CAST(my.ny AS BIGINT) AS n_y,
+           CAST(tot.n AS BIGINT) AS n,
+           round(ln((CAST(c.nxy AS DOUBLE) * tot.n)
+                    / (CAST(mx.nx AS DOUBLE) * my.ny)), 9) AS pmi,
+           round((CAST(c.nxy AS DOUBLE) / tot.n)
+                 * ln((CAST(c.nxy AS DOUBLE) * tot.n)
+                      / (CAST(mx.nx AS DOUBLE) * my.ny)), 9) AS mi_term
+    FROM cells c
+    JOIN mx ON mx.x IS NOT DISTINCT FROM c.x
+    JOIN my ON my.y IS NOT DISTINCT FROM c.y
+    CROSS JOIN tot
+"""
+
+
+@register("mutual_info_categorical", oracle=_MI_SQL)
+def mutual_info_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise and aggregate-ready mutual information between two
+    categorical dimensions (event type × day-of-week) — the dependence
+    screen `corr_matrix` cannot run on non-numeric columns: a feature
+    pipeline uses the MI to decide whether a dimension is redundant
+    before encoding, and the per-cell PMI to find WHICH combinations
+    carry the association (pmi > 0: over-represented pairing).
+
+    Emits per-cell rows — cnt triple, PMI, and the cell's MI
+    contribution — rather than a cross-row float sum: summing doubles
+    across cells is accumulation-order-dependent, so the total MI is
+    the consumer's Σ mi_term over this (|x|·|y|)-row relation (the
+    `attribution_linear` per-row doctrine; each emitted double is ONE
+    identical IEEE expression tree on exact integer counts, and the
+    single ln per row rounds identically at 9 dp — the
+    `entropy_profile` precedent). Ratios run in the double lane, so no
+    BIGINT product overflow exists at any corpus size. NULL categories
+    are real groups: both engines join them null-safely
+    (IS NOT DISTINCT FROM ≡ eqNullSafe).
+
+    Physics: ONE map-side-combined count over (x, y) touches the
+    corpus; the marginals and grand total re-aggregate the
+    contingency-table-sized cell relation and join back as broadcasts.
+    Day-of-week is the portable epoch-day % 7 (`seasonality_dow`).
+    """
+    ev = load(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        % 7
+    )
+    # cells feeds FOUR consumers (output join, both marginals, the grand
+    # total); cut lineage on the contingency-sized relation so raw events
+    # are scanned exactly once — the seasonal_decompose discipline,
+    # plan-gated.
+    cells = (
+        ev.groupBy(F.col("event_type").alias("x"), dow.alias("y"))
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .localCheckpoint(eager=False)
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx")).select(
+        F.col("x").alias("mx_x"), "nx"
+    )
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny")).select(
+        F.col("y").alias("my_y"), "ny"
+    )
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    ratio = (F.col("nxy").cast("double") * F.col("n")) / (
+        F.col("nx").cast("double") * F.col("ny")
+    )
+    return (
+        cells.join(F.broadcast(mx), F.col("x").eqNullSafe(F.col("mx_x")))
+        .join(F.broadcast(my), F.col("y").eqNullSafe(F.col("my_y")))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias("event_type"),
+            F.col("y").cast("bigint").alias("dow"),
+            F.col("nxy").cast("bigint").alias("n_xy"),
+            F.col("nx").cast("bigint").alias("n_x"),
+            F.col("ny").cast("bigint").alias("n_y"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.log(ratio), 9).alias("pmi"),
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n")) * F.log(ratio), 9
+            ).alias("mi_term"),
+        )
+    )

@@ -298,3 +298,123 @@ def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(sum_d * F.col("n_all"), F.col("n_days") * total), 9
         ).alias("season_idx"),
     )
+
+
+# Centered moving-average half-width for the additive decomposition:
+# ±3 days = the 7-day window that absorbs exactly one weekly cycle, so
+# the trend line is seasonality-free by construction (the classical
+# decompose choice for daily data with weekly period).
+DECOMP_HALF = 3
+
+_DECOMP_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    t AS (
+      SELECT event_type, dn, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY dn
+                          RANGE BETWEEN {DECOMP_HALF} PRECEDING
+                                AND {DECOMP_HALF} FOLLOWING) AS t7,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY dn
+                            RANGE BETWEEN {DECOMP_HALF} PRECEDING
+                                  AND {DECOMP_HALF} FOLLOWING) AS k7
+      FROM daily
+    ),
+    full7 AS (
+      SELECT event_type, dn, c, t7, 7 * c - t7 AS detr7
+      FROM t WHERE k7 = 7
+    ),
+    season AS (
+      SELECT event_type, dn % 7 AS dow,
+             CAST(SUM(detr7) AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS s_den
+      FROM full7 GROUP BY 1, 2
+    )
+    SELECT f.event_type,
+           CAST(f.dn AS BIGINT) AS dn,
+           CAST(f.c AS BIGINT) AS n_events,
+           CAST(f.t7 AS BIGINT) AS trend7,
+           round(CAST(f.t7 AS DOUBLE) / 7, 9) AS trend,
+           round(CAST(s.s_num AS DOUBLE) / (7 * s.s_den), 9) AS seasonal,
+           round(CAST(f.c AS DOUBLE)
+                 - CAST(f.t7 AS DOUBLE) / 7
+                 - CAST(s.s_num AS DOUBLE) / (7 * s.s_den), 9) AS resid
+    FROM full7 f JOIN season s
+      ON s.event_type = f.event_type AND s.dow = f.dn % 7
+"""
+
+
+@register("seasonal_decompose", oracle=_DECOMP_SQL)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE decomposition of the per-type daily count
+    series — count = trend + seasonal + residual — the standard first
+    look at any product metric (statsmodels' seasonal_decompose with a
+    7-day period): trend is the centered 7-day moving average, the
+    seasonal component is the mean detrended value per day-of-week,
+    and what's left is the residual an alerting pipeline thresholds
+    (`anomaly_zscore`'s input, with the calendar structure removed —
+    `seasonality_dow` reports the weekly SHAPE, this one removes it
+    from the series).
+
+    Exactness (the module discipline): the 7-day window is a
+    calendar-RANGE frame over epoch-day dn with an explicit
+    completeness count, so sparse series drop incomplete/gapped
+    windows rather than average the wrong days; trend and the
+    detrended series stay in scaled-integer lanes (t7 = window sum,
+    detr7 = 7·c − t7 — no division until display), the per-DOW
+    seasonal means are exact integer (num, den) pairs, and every
+    displayed double is ONE identical IEEE expression on exact ints,
+    rounded to 9 dp on both engines.
+
+    Physics: one map-side-combined daily rollup; the window pass and
+    the DOW aggregation run over |days|×|types| rows (calendar-sized,
+    broadcast-scale at any corpus volume); the season join is a
+    broadcast. Nothing rescans raw events after the rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", _dn().alias("dn")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rangeBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    # full7 feeds BOTH the output join and the season aggregate; cut
+    # lineage here (calendar-sized relation, the _trade_flows
+    # discipline) so raw events are scanned exactly once — plan-gated.
+    full7 = (
+        daily.withColumn("t7", F.sum("c").over(w))
+        .withColumn("k7", F.count(F.lit(1)).over(w))
+        .filter(F.col("k7") == 7)
+        .withColumn("detr7", F.lit(7) * F.col("c") - F.col("t7"))
+        .localCheckpoint(eager=False)
+    )
+    # fresh attribute names on the aggregate side: season shares lineage
+    # with full7, so a name-keyed equality would resolve both sides to
+    # the SAME attribute (trivially-true predicate) — the bfs_hops
+    # aliasing discipline
+    season = (
+        full7.groupBy("event_type", (F.col("dn") % 7).alias("dow"))
+        .agg(
+            F.sum("detr7").cast("bigint").alias("s_num"),
+            F.count(F.lit(1)).cast("bigint").alias("s_den"),
+        )
+        .select(
+            F.col("event_type").alias("s_et"), "dow", "s_num", "s_den"
+        )
+    )
+    j = full7.join(
+        F.broadcast(season),
+        (F.col("event_type") == F.col("s_et"))
+        & (F.col("dn") % 7 == F.col("dow")),
+    )
+    trend_d = F.col("t7").cast("double") / 7
+    seas_d = F.col("s_num").cast("double") / (F.lit(7) * F.col("s_den"))
+    return j.select(
+        "event_type",
+        F.col("dn").cast("long").alias("dn"),
+        F.col("c").cast("long").alias("n_events"),
+        F.col("t7").cast("long").alias("trend7"),
+        F.round(trend_d, 9).alias("trend"),
+        F.round(seas_d, 9).alias("seasonal"),
+        F.round(F.col("c").cast("double") - trend_d - seas_d, 9).alias("resid"),
+    )

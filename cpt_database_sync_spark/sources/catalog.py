@@ -201,8 +201,13 @@ def catalog_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(
                 f"{db}.{t}"
             )
+        # listTables(db) ALSO returns session-scoped TEMP VIEWS (they
+        # belong to no database but are listed everywhere); a live temp
+        # view from an unrelated query in the same session would make
+        # the qualified listColumns probe fail. The durable listing is
+        # the non-temporary tables only.
         listed = sorted(
-            t.name for t in spark.catalog.listTables(db)
+            t.name for t in spark.catalog.listTables(db) if not t.isTemporary
         )
         rows = []
         for t in listed:

@@ -1517,3 +1517,121 @@ def test_stream_twa_exact_under_cross_batch_disorder(spark, tmp_path):
         Decimal(num).quantize(Decimal("0.000001"))
     )
     assert got["twa"] == ((num * 10**6) // dur) / 1_000_000
+
+
+def test_shortest_path_iterations_reuse_checkpointed_edges(spark, sf_dir):
+    """shortest_path_weighted follows the graph-family lineage-cut
+    discipline: the fact joins run once into the checkpointed edge
+    relation; no relaxation round may rescan lineitem, each round's
+    distance relation joins in as a broadcast, and no cartesian
+    surface exists."""
+    from cpt_database_sync_spark.operators.graph import shortest_path_weighted
+
+    plan = plan_string(shortest_path_weighted(spark, sf_dir))
+    assert "ExistingRDD" in plan, "edge relation is not checkpoint-materialized"
+    assert "lineitem" not in plan, (
+        "a relaxation round re-scans the fact table past the lineage cut"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "distance relation should broadcast"
+
+
+def test_seasonal_decompose_single_corpus_shuffle(spark, sf_dir):
+    """seasonal_decompose touches raw events exactly once (the map-side-
+    combined daily rollup); the window pass, DOW aggregation and season
+    join all run on the calendar-sized rollup, with the season relation
+    broadcast back — never a second scan or shuffle of events."""
+    import re
+
+    from cpt_database_sync_spark.operators.timeseries import seasonal_decompose
+
+    plan = plan_string(seasonal_decompose(spark, sf_dir))
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans <= 1 and "ExistingRDD" in plan, (
+        f"events must be scanned once into the checkpointed rollup "
+        f"(saw {n_scans} scans)"
+    )
+    assert "BroadcastHashJoin" in plan, "season join-back should broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_mad_broadcasts_order_statistics(spark, sf_dir):
+    """anomaly_mad's median/MAD relations are |event_type|-sized and must
+    join back as broadcasts; the flagging pass is map-only on top of the
+    scan — no corpus-wide window, no sort-merge of events against the
+    statistics."""
+    from cpt_database_sync_spark.operators.analytics import anomaly_mad
+
+    plan = plan_string(anomaly_mad(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan, "no window over the corpus"
+
+
+def test_l_diversity_aggs_map_side_combined(spark, sf_dir):
+    """l_diversity_check is two map-side-combined aggregations over the
+    joined release rows — the kanonymity_check cost shape."""
+    from cpt_database_sync_spark.operators.llm_quality import l_diversity_check
+
+    plan = plan_string(l_diversity_check(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_enrichment_joins_broadcast(spark, sf_dir):
+    """assoc_rules reuses the frequent_pairs HOF expansion (no incidence
+    self-join) and enriches the rule relation with broadcast item
+    supports — never a sort-merge of rules against the item dimension."""
+    from cpt_database_sync_spark.operators.graph import assoc_rules
+
+    plan = plan_string(assoc_rules(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan, "pair/item counts must map-side combine"
+
+
+def test_benford_single_corpus_aggregation(spark, sf_dir):
+    """benford_check's only corpus-sized stage is the map-side-combined
+    (priority, digit) count, checkpoint-materialized once for its two
+    consumers; the digit-domain completion joins as broadcasts on the
+    group-sized relation."""
+    import re
+
+    from cpt_database_sync_spark.operators.stats import benford_check
+
+    plan = plan_string(benford_check(spark, sf_dir))
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 0 and "ExistingRDD" in plan, (
+        f"orders must be scanned once into the checkpointed obs "
+        f"(saw {n_scans} residual scans)"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_mutual_info_single_events_scan(spark, sf_dir):
+    """mutual_info_categorical scans events exactly once into the
+    checkpointed contingency relation; marginals/total re-aggregate it
+    and join back null-safely as broadcasts."""
+    import re
+
+    from cpt_database_sync_spark.operators.stats import mutual_info_categorical
+
+    plan = plan_string(mutual_info_categorical(spark, sf_dir))
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 0 and "ExistingRDD" in plan, (
+        f"events must be scanned once into the checkpointed cells "
+        f"(saw {n_scans} residual scans)"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """quality_gopher_rules is a pure scalar-HOF projection over one
+    scan — zero exchange, fully codegen-able, the corpus_filter shape."""
+    from cpt_database_sync_spark.operators.llm_text import quality_gopher_rules
+
+    df = quality_gopher_rules(spark, sf_dir)
+    plan = plan_string(df)
+    assert "Exchange" not in plan, "gopher gate must be map-only"
+    assert "Scan parquet" in plan

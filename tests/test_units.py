@@ -2197,6 +2197,10 @@ def test_catalog_persist_round_trip(spark, sf_dir):
         catalog_persist,
     )
 
+    # a live temp view from an unrelated query must NOT leak into the
+    # durable listing (listTables(db) returns temp views everywhere —
+    # the r9 full-suite failure mode)
+    spark.range(1).createOrReplaceTempView("_catalog_persist_distractor")
     for _ in range(2):
         got = sorted(map(tuple, catalog_persist(spark, sf_dir).collect()))
         assert got == sorted(_CATALOG_PERSIST_EXPECT)
