@@ -162,6 +162,8 @@ HEADLINE = [
     "benford_check",
     "mutual_info_categorical",
     "quality_gopher_rules",
+    "holt_linear_forecast",
+    "session_path_topk",
 ]
 
 

@@ -1889,3 +1889,134 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+PATH_LEN = 3  # leading events that define a session's path signature
+MIN_PATH_SESS = 3  # report paths taken by at least this many sessions
+
+_PATH_TOPK_SQL = f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_num
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, sess_num,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}],
+               '>') AS path
+      FROM sessions GROUP BY user_id, sess_num
+    ),
+    pc AS (SELECT path, count(*) AS cnt FROM paths GROUP BY path),
+    n AS (SELECT SUM(cnt) AS n_sessions FROM pc)
+    SELECT path,
+           CAST(cnt AS BIGINT) AS n_sess,
+           round(CAST(cnt AS DOUBLE) / (SELECT n_sessions FROM n), 9)
+             AS share
+    FROM pc WHERE cnt >= {MIN_PATH_SESS}
+"""
+
+
+@register("session_path_topk", oracle=_PATH_TOPK_SQL)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common session-opening paths — the sequence-mining rollup behind
+    every "user flow" sankey: each session's signature is its first
+    PATH_LEN event types in time order ('view>click>purchase'), and
+    paths taken by ≥ MIN_PATH_SESS sessions surface with their session
+    count and share of all sessions. `funnel` asks "did the canonical
+    order happen?"; this asks the open-ended converse — WHICH orders
+    actually happen, ranked (the input to funnel design, not the check
+    of it).
+
+    Reuses `sessionize`'s exact windows (gap flag + running sum, the
+    same (ts, event_id) total-order tie-break). Untyped (NULL
+    event_type) events carry no path information and are out of
+    contract on BOTH sides before sessionization — necessary anyway:
+    Spark's collect_list silently skips NULLs while DuckDB's list()
+    keeps them, so an unfiltered path string would diverge. Counts are
+    exact BIGINTs; share is one exact-int/exact-int division against
+    the path-count-summed session total (never a second pass over
+    sessions).
+
+    Physics: one user-keyed shuffle feeds both window passes; the
+    session rollup re-aggregates already-clustered data; the per-path
+    count is map-side combined on a |distinct paths|-sized domain
+    (bounded by |event types|^PATH_LEN, not by the corpus), and the
+    grand total re-aggregates the checkpointed path-count relation —
+    raw sessions are never re-scanned (plan-gated).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_sess").over(wsum).alias("sess_num"),
+    )
+    paths = sessions.groupBy("user_id", "sess_num").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    PATH_LEN,
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    # pc feeds BOTH the output filter and the session grand total; cut
+    # lineage on the |paths|-sized relation so the session pipeline runs
+    # exactly once — plan-gated.
+    pc = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    n = pc.agg(F.sum("cnt").alias("n_sessions"))
+    return (
+        pc.filter(F.col("cnt") >= MIN_PATH_SESS)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "path",
+            F.col("cnt").cast("bigint").alias("n_sess"),
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_sessions"), 9
+            ).alias("share"),
+        )
+    )

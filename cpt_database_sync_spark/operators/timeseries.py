@@ -418,3 +418,120 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seas_d, 9).alias("seasonal"),
         F.round(F.col("c").cast("double") - trend_d - seas_d, 9).alias("resid"),
     )
+
+
+# Holt double-exponential smoothing: level/trend smoothing factors and
+# the forecast horizon. 0.5 is exactly representable in binary, so the
+# per-step arithmetic stays in the "identical IEEE op on identical
+# operands" regime with no representation error in the constants.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+HOLT_H = 7
+
+_HOLT_SQL = f"""
+    WITH RECURSIVE {_DAILY_COUNT_CTE},
+    seq AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY dn) AS i,
+             CAST(c AS DOUBLE) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    h(event_type, i, l, b) AS (
+      SELECT event_type, i, x, CAST(0 AS DOUBLE) FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+             CAST({HOLT_ALPHA} AS DOUBLE) * s.x
+               + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (h.l + h.b),
+             CAST({HOLT_BETA} AS DOUBLE)
+               * ((CAST({HOLT_ALPHA} AS DOUBLE) * s.x
+                   + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST({1 - HOLT_BETA} AS DOUBLE) * h.b
+      FROM h JOIN seq s ON s.event_type = h.event_type AND s.i = h.i + 1
+    ),
+    fin AS (SELECT event_type, MAX(i) AS n_days FROM seq GROUP BY event_type)
+    SELECT f.event_type,
+           CAST(f.n_days AS BIGINT) AS n_days,
+           h.l AS level,
+           h.b AS trend,
+           h.l + {HOLT_H} * h.b AS forecast_h
+    FROM fin f
+    JOIN h ON h.event_type = f.event_type AND h.i = f.n_days
+"""
+
+
+@register("holt_linear_forecast", oracle=_HOLT_SQL)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over the per-type daily count
+    series — the forecasting step that completes the time-series family
+    (autocorr finds the cycle, seasonality/decompose isolate it, CUSUM
+    localizes shifts; THIS extrapolates): level l_t = α·x_t +
+    (1−α)·(l_{t−1}+b_{t−1}), trend b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1},
+    h-step forecast l_n + h·b_n. Initialization l_1 = x_1, b_1 = 0 (the
+    zero-trend start; the x_2−x_1 variant differs only in a constant
+    exponential decay). Gaps in the series are fold steps like any other
+    observation (gap-blind smoothing, the standard business-series
+    treatment — `gapfill_daily` is the densify lane when spacing must be
+    physical).
+
+    Exactness (the `running_balance_clamped` doctrine): exponential
+    smoothing is a non-associative ordered FOLD — no prefix-sum
+    decomposition exists, window functions cannot express it — so both
+    engines replay the IDENTICAL sequential IEEE recurrence over the
+    dn-sorted daily counts: Spark as a HOF ``aggregate`` fold, the
+    oracle as a RECURSIVE CTE stepping i → i+1 (α = β = 0.5 are exact
+    binary constants), giving bit-equal level/trend/forecast with no
+    decimal lane and no display rounding. The oracle deliberately does
+    NOT use DuckDB ``list_reduce``: v1.0.0 updates the accumulator
+    struct field-by-field IN PLACE, so a later field's expression sees
+    an earlier field's NEW value (probed: two identical field
+    expressions evaluate to different results) — the recursive CTE has
+    no such write-order semantics. NULL-day rows (null ts) have no
+    position in a time series, and NULL-type rows no series identity
+    (the oracle's equi-joins would drop the NULL group Spark's groupBy
+    keeps) — both are out of contract on both sides (also sidestepping
+    the Spark-NULLS-FIRST / DuckDB-NULLS-LAST sort divergence).
+
+    Physics: one map-side-combined daily rollup is the only corpus-
+    sized stage; the fold runs over each type's |days|-length array —
+    calendar-sized, thousands of steps at most at any corpus volume.
+    Unbounded-key deployments run the same recurrence as stateful
+    streaming (one (l, b) state row per key, `stream_stateful`'s shape).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+    )
+    newl = (
+        f"CAST({HOLT_ALPHA} AS DOUBLE) * x"
+        f" + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (acc.l + acc.b)"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          transform(sort_array(collect_list(struct(dn, c))),
+                    s -> CAST(s.c AS DOUBLE)),
+          named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+                       'n', CAST(0 AS BIGINT)),
+          (acc, x) -> CASE WHEN acc.n = 0
+            THEN named_struct('l', x, 'b', CAST(0 AS DOUBLE),
+                              'n', CAST(1 AS BIGINT))
+            ELSE named_struct(
+              'l', {newl},
+              'b', CAST({HOLT_BETA} AS DOUBLE) * (({newl}) - acc.l)
+                   + CAST({1 - HOLT_BETA} AS DOUBLE) * acc.b,
+              'n', acc.n + 1)
+          END)
+        """
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        fold.alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.lit(HOLT_H) * F.col("st.b")).alias("forecast_h"),
+    )

@@ -1635,3 +1635,30 @@ def test_gopher_rules_map_only(spark, sf_dir):
     plan = plan_string(df)
     assert "Exchange" not in plan, "gopher gate must be map-only"
     assert "Scan parquet" in plan
+
+
+def test_holt_forecast_single_corpus_shuffle(spark, sf_dir):
+    """holt_linear_forecast's corpus-sized stage is the map-side-combined
+    daily rollup; the fold is a per-group HOF over calendar-sized arrays
+    — no window over raw events, no join at all."""
+    from cpt_database_sync_spark.operators.timeseries import (
+        holt_linear_forecast,
+    )
+
+    plan = plan_string(holt_linear_forecast(spark, sf_dir))
+    assert "partial_count" in plan, "daily rollup must map-side combine"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_session_path_topk_reaggregates_checkpointed_counts(spark, sf_dir):
+    """session_path_topk runs the session pipeline once into the
+    checkpointed path-count relation; the grand total re-aggregates that
+    relation (never the sessions), and joins back as a broadcast."""
+    from cpt_database_sync_spark.operators.analytics import session_path_topk
+
+    plan = plan_string(session_path_topk(spark, sf_dir))
+    assert "ExistingRDD" in plan, "path counts must be checkpoint-materialized"
+    assert "Scan parquet" not in plan, (
+        "the session pipeline must not run past the lineage cut"
+    )
+    assert "SortMergeJoin" not in plan
