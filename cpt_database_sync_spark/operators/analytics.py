@@ -1900,7 +1900,7 @@ _PATH_TOPK_SQL = f"""
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WHERE event_type IS NOT NULL
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -1926,7 +1926,7 @@ _PATH_TOPK_SQL = f"""
 """
 
 
-@register("session_path_topk", oracle=_PATH_TOPK_SQL)
+@register("session_path_topk", oracle=_PATH_TOPK_SQL, tags=("reverify:r10",))
 def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common session-opening paths — the sequence-mining rollup behind
     every "user flow" sankey: each session's signature is its first
@@ -1954,7 +1954,15 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total re-aggregates the checkpointed path-count relation —
     raw sessions are never re-scanned (plan-gated).
     """
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    # ts IS NOT NULL on BOTH sides (ADVICE r10): Spark windows sort
+    # NULLS FIRST, DuckDB NULLS LAST, so a NULL-ts event would take a
+    # different position in the path signature on each engine; a
+    # timestampless event also carries no session position by contract.
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .filter(F.col("ts").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = (
         Window.partitionBy("user_id")

@@ -623,7 +623,11 @@ def shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASSOC_SQL = f"""
     WITH {_OP_CTE},
     n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
-    ic AS (SELECT pk, count(*) AS c FROM op GROUP BY pk),
+    -- ok IS NOT NULL mirrors _pair_sets' NULL-orderkey drop: without it
+    -- the oracle's item supports would count incidence rows from the
+    -- phantom NULL basket that the Spark side (and the pair self-join's
+    -- a.ok = b.ok equi-match) never sees.
+    ic AS (SELECT pk, count(*) AS c FROM op WHERE ok IS NOT NULL GROUP BY pk),
     p AS (
       SELECT a.pk AS pa, b.pk AS pb, count(*) AS cnt
       FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
@@ -647,7 +651,7 @@ _ASSOC_SQL = f"""
 """
 
 
-@register("assoc_rules", oracle=_ASSOC_SQL)
+@register("assoc_rules", oracle=_ASSOC_SQL, tags=("reverify:r10",))
 def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules from the frequent 2-itemsets — the step after
     `frequent_pairs` in the A-priori pipeline: each qualifying pair

@@ -10,6 +10,8 @@ schema — introspection is metadata-only (no data scan).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from cpt_database_sync_spark.plans.registry import register
@@ -153,7 +155,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CATALOG_PERSIST_DB = "cpt_catalog_persist"
+# pid-suffixed (the scratch_dir convention, ADVICE r10): two sessions
+# sharing one metastore must not race each other's create/save/drop
+# CASCADE on a common database name.
+_CATALOG_PERSIST_DB = f"cpt_catalog_persist_{os.getpid()}"
 
 #: The durable-catalog round-trip targets the two smallest fixture
 #: tables; the expected listing is a LITERAL relation, so the oracle
@@ -173,7 +178,7 @@ _CATALOG_PERSIST_SQL = "\nUNION ALL\n".join(
 )
 
 
-@register("catalog_persist", oracle=_CATALOG_PERSIST_SQL)
+@register("catalog_persist", oracle=_CATALOG_PERSIST_SQL, tags=("reverify:r10",))
 def catalog_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable-catalog round-trip — the metastore analogue of the
     reference's information_schema discovery (`handler/Handler.java:

@@ -34,6 +34,7 @@ from collections.abc import Iterator
 from decimal import Decimal
 
 import pandas as pd
+from pyspark.errors import PySparkRuntimeError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -215,9 +216,18 @@ def _user_twa(
             pend.append(
                 (int(ts.value // 1000), int(eid), None if v is None else str(v))
             )
-    try:
-        wm_us = state.getCurrentWatermarkMs() * 1000
-    except Exception:  # no watermark on the stream: nothing finalizes
+    # Only the SPECIFIC no-watermark condition degrades to "nothing
+    # finalizes" (wm=0 keeps every event pending); any other error must
+    # propagate — a blanket except here would silently drop the fast
+    # path and re-fold the full per-user history every batch (ADVICE
+    # r10). `_watermark_present` is the exact flag getCurrentWatermarkMs
+    # gates on; the PySparkRuntimeError catch covers a future rename.
+    if getattr(state, "_watermark_present", True):
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except PySparkRuntimeError:  # no watermark on the stream
+            wm_us = 0
+    else:
         wm_us = 0
     pend.sort(key=lambda e: (e[0], e[1]))
     ripe = [e for e in pend if e[0] <= wm_us]
@@ -262,7 +272,7 @@ def _user_twa(
 from cpt_database_sync_spark.operators.analytics import _TWA_SQL  # noqa: E402
 
 
-@register("stream_time_weighted", oracle=_TWA_SQL, tags=("reverify:r9",))
+@register("stream_time_weighted", oracle=_TWA_SQL, tags=("reverify:r10",))
 def stream_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING time-weighted average — the LOCF accumulator
     (`time_weighted_avg`) maintained by per-user state instead of a

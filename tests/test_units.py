@@ -1312,8 +1312,15 @@ def test_streaming_soak_state_bounded_over_200_batches(spark):
 
     from pyspark.sql import functions as F
 
-    ckpt = "/dev/shm/soak-test-ckpt" if os.path.isdir("/dev/shm") else "/tmp/soak-test-ckpt"
-    shutil.rmtree(ckpt, ignore_errors=True)
+    import tempfile
+
+    # per-run mkdtemp (ADVICE r10): a fixed path would let two concurrent
+    # pytest runs share one structured-streaming checkpoint and corrupt
+    # each other; /dev/shm preferred for RAM-speed state-store commits
+    ckpt = tempfile.mkdtemp(
+        prefix="soak-test-ckpt-",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     n_keys = 50
     stream = (
         spark.readStream.format("rate-micro-batch")
@@ -2226,10 +2233,13 @@ def test_stream_cusum_soak_state_bounded_over_200_batches(spark):
 
     from cpt_database_sync_spark.streaming.windows import cusum_daily_stream
 
-    ckpt = (
-        "/dev/shm/cusum-soak-ckpt" if os.path.isdir("/dev/shm") else "/tmp/cusum-soak-ckpt"
+    import tempfile
+
+    # per-run mkdtemp (ADVICE r10): isolate concurrent pytest runs
+    ckpt = tempfile.mkdtemp(
+        prefix="cusum-soak-ckpt-",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
-    shutil.rmtree(ckpt, ignore_errors=True)
     n_types = 5
     stream = (
         spark.readStream.format("rate-micro-batch")
