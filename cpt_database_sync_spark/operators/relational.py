@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.functions.numeric import (
     davg,
+    dec,
     dsum,
     out_double,
     sql_davg,
@@ -506,6 +507,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_cube",
+    tags=("reverify:r10",),
     oracle=f"""
     SELECT
       COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -522,31 +524,50 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ANSI edge: on EMPTY input SQL's ROLLUP still yields the () grouping
     set — one global row with COUNT 0 — but Spark's rollup yields zero
-    rows (verified against Spark 4.1). The isEmpty probe (reads at most
-    one row, any scale) routes the empty case to an explicit global
-    aggregation, which Spark does handle per ANSI."""
+    rows (verified against Spark 4.1). Handled IN the plan (VERDICT r9
+    next #7 — the earlier isEmpty() probe cost an extra driver job per
+    invocation): the ()-set row is dropped from the rollup and rebuilt
+    by a GLOBAL re-aggregation of the flag-level rows, because Spark's
+    global aggregate DOES emit its one row on empty input per ANSI.
+    COUNT re-aggregates as COALESCE(SUM,0) and the quantity sum stays in
+    the EXACT DECIMAL lane through the rollup (the double cast happens
+    once per OUTPUT row, never before a re-sum — a sum of per-flag
+    doubles would not be bit-equal to the direct decimal total), so the
+    rebuilt row is bit-equal to the native ()-set row. The rollup
+    relation is lazily checkpointed — the fact is scanned once; both
+    branches read the rollup-sized snapshot."""
     li = load(spark, sf_dir, "lineitem")
-    agg_cols = [
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-    ]
-    if li.isEmpty():
-        return li.groupBy().agg(*agg_cols).select(
+    # gid: rollup(f, s) grouping ids — 0 = (f,s), 1 = (f), 3 = ()
+    rolled = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec(F.col("l_quantity"))).alias("qty_dec"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    detail = rolled.filter(F.col("gid") != 3).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n_rows",
+        out_double(F.col("qty_dec"), 4).alias("sum_qty"),
+    )
+    grand = (
+        rolled.filter(F.col("gid") == 1)
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            F.sum("qty_dec").alias("qty_dec"),
+        )
+        .select(
             F.lit("ALL").alias("returnflag"),
             F.lit("ALL").alias("linestatus"),
             "n_rows",
-            "sum_qty",
-        )
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(*agg_cols)
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n_rows",
-            "sum_qty",
+            out_double(F.col("qty_dec"), 4).alias("sum_qty"),
         )
     )
+    return detail.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------
@@ -1027,7 +1048,7 @@ _GROUPING_SQL = """
 """
 
 
-@register("grouping_surface", oracle=_GROUPING_SQL)
+@register("grouping_surface", oracle=_GROUPING_SQL, tags=("reverify:r10",))
 def grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING() flag surface — the disambiguation half of grouping
     sets that `grouping_sets`/`rollup_cube` don't expose: a NULL group
@@ -1043,25 +1064,41 @@ def grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicas), one partial+final hash agg; the flags are computed from
     the expand's internal grouping id, costing nothing extra. Integral
     quantities keep sum_qty exact in BIGINT on both engines.
+
+    ANSI edge, handled IN the plan (VERDICT r9 next #7, the rollup_cube
+    treatment): GROUPING SETS (..., ()) over empty input still emits
+    the ()-set row (both flags 1, COUNT 0) per ANSI, but Spark emits
+    zero rows. The ()-set row is therefore dropped from the sets result
+    and rebuilt by a global re-aggregation of the (l_returnflag)-level
+    rows — every input row lands in exactly one flag group (NULL flags
+    included), and both measures are exact BIGINTs, so SUM-of-sums is
+    bit-equal; Spark's GLOBAL aggregate does emit its row on empty
+    input. No isEmpty() driver probe, no second fact scan (the sets
+    relation is lazily checkpointed, grouping-sets-sized).
     """
     from cpt_database_sync_spark.plans.sqlfront import register_views  # noqa: PLC0415
 
     register_views(spark, sf_dir)
-    if load(spark, sf_dir, "lineitem").isEmpty():
-        # ANSI: GROUPING SETS (..., ()) over empty input still emits the
-        # ()-set row (both flags 1, COUNT 0); Spark emits zero rows — the
-        # rollup_cube divergence. Route to the explicit global aggregate.
-        return spark.sql("""
-            SELECT
-              CAST(NULL AS STRING) AS l_returnflag,
-              CAST(NULL AS STRING) AS l_linestatus,
-              1 AS is_total_flag,
-              1 AS is_total_status,
-              CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-            FROM lineitem
-        """)
-    return spark.sql(_GROUPING_SQL)
+    sets = spark.sql(_GROUPING_SQL).localCheckpoint(eager=False)
+    is_grand = (F.col("is_total_flag") == 1) & (F.col("is_total_status") == 1)
+    detail = sets.filter(~is_grand)
+    grand = (
+        sets.filter((F.col("is_total_flag") == 0) & (F.col("is_total_status") == 1))
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            F.sum("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(1).alias("is_total_flag"),
+            F.lit(1).alias("is_total_status"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+    return detail.unionByName(grand)
 
 
 _SKYLINE_SQL = """

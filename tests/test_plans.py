@@ -1662,3 +1662,26 @@ def test_session_path_topk_reaggregates_checkpointed_counts(spark, sf_dir):
         "the session pipeline must not run past the lineage cut"
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_cube_ansi_empty_row_without_driver_probe(spark, sf_dir):
+    """rollup_cube / grouping_surface (VERDICT r9 next #7): the ANSI
+    ()-set row is rebuilt in the plan (drop + global re-agg of the
+    flag-level rows), replacing the per-invocation isEmpty() driver
+    probe. The fact must be scanned exactly once: construction
+    materializes the grouping relation into the lineage-cut snapshot,
+    and the served plan re-aggregates that snapshot only."""
+    from cpt_database_sync_spark.operators.relational import (
+        grouping_surface,
+        rollup_cube,
+    )
+
+    for op in (rollup_cube, grouping_surface):
+        plan = plan_string(op(spark, sf_dir))
+        assert "ExistingRDD" in plan, "grouping relation must be checkpoint-cut"
+        assert "Scan parquet" not in plan, (
+            "the served plan must not rescan the fact past the lineage cut"
+        )
+        # the ()-set rebuild is a re-aggregation of grouping rows — no
+        # second Expand may appear downstream of the cut
+        assert "Expand" not in plan
