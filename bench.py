@@ -164,6 +164,8 @@ HEADLINE = [
     "quality_gopher_rules",
     "holt_linear_forecast",
     "session_path_topk",
+    "stream_holt",
+    "anomaly_mad_approx",
 ]
 
 
@@ -276,6 +278,51 @@ def run_worker(shard: int, n_shards: int, out_path: str) -> None:
     spark.stop()
 
 
+def run_isolated(name: str, out_path: str) -> None:
+    """One query, alone, in a fresh JVM — the adjudication lane
+    (VERDICT r9 next #1): when a key's sharded min moves round-over-round,
+    the isolated number mechanically distinguishes host steal / shard
+    cohabitation (isolated ≈ previous round) from a genuine plan change
+    (isolated ≈ the new sharded min). Same warmup + best-of-N protocol as
+    the shard sweep, minus the JVM history of every other query."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    spark = get_spark(app_name=f"bench-isolated-{name}")
+    fn = all_queries()[name]
+    fn(spark, "/root/testdata/sf0.001").count()
+    samples = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    with open(out_path, "w") as f:
+        json.dump({"min": round(min(samples), 3)}, f)
+    spark.stop()
+
+
+#: Isolated-lane trigger: sharded min moved by more than this factor vs
+#: the previous round's min (either direction — a suspicious speedup is
+#: re-timed too), with an absolute floor so sub-100ms jitter never pages.
+ISOLATE_RATIO = 1.5
+ISOLATE_FLOOR_SEC = 0.2
+ISOLATE_MAX_KEYS = 12  # bound the lane's wall-clock; slowest movers first
+
+
+def pick_movers(prev: dict[str, float], cur: dict[str, float]) -> list[str]:
+    movers = []
+    for k, v in cur.items():
+        p = prev.get(k)
+        if p is None:
+            continue  # new key this round: no like-for-like baseline
+        if max(v, p) < ISOLATE_FLOOR_SEC:
+            continue
+        r = v / p if p > 0 else float("inf")
+        if r > ISOLATE_RATIO or r < 1.0 / ISOLATE_RATIO:
+            movers.append(k)
+    movers.sort(key=lambda k: -cur[k])
+    return movers[:ISOLATE_MAX_KEYS]
+
+
 LINE_BUDGET = 1900  # chars; the driver keeps only the last ~2000 of stdout
 
 
@@ -359,6 +406,44 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
     fixture = fixture_fingerprint(sf_dir)
+
+    # Isolated adjudication lane: re-time round-over-round movers in a
+    # fresh single-query JVM (see run_isolated). The PREVIOUS round's
+    # per-query mins are whatever BENCH_DETAIL.json held before this run
+    # overwrites it; a fixture-fingerprint change is recorded alongside
+    # (cross-fingerprint deltas are only suggestive — memory:
+    # driver-contract-gotchas).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    isolated: dict[str, dict] = {}
+    prev_fixture = None
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        prev_fixture = (prev.get("fixture") or {}).get("hash")
+        prev_mins = prev.get("queries") or {}
+    except (OSError, ValueError):
+        prev_mins = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+        with tempfile.TemporaryDirectory(prefix="bench-isolated-") as tmp:
+            for name in pick_movers(prev_mins, timings):
+                out = os.path.join(tmp, "iso.json")
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--isolated", name, out],
+                    stdout=sys.stderr,
+                    stderr=sys.stderr,
+                )
+                if proc.returncode == 0 and os.path.exists(out):
+                    with open(out) as f:
+                        iso_min = json.load(f)["min"]
+                    isolated[name] = {
+                        "prev_min": prev_mins[name],
+                        "sharded_min": timings[name],
+                        "isolated_min": iso_min,
+                    }
+                    os.remove(out)
     # Full detail to a sidecar file: the driver snapshots only a bounded
     # tail of stdout, so the printed line must stay compact (per-query
     # MINs + fingerprint); medians/spread/fixture inventory live here.
@@ -373,11 +458,10 @@ def main() -> None:
         "shards": n_shards,
         "sf": float(sf),
         "fixture": fixture,
+        "isolated": isolated,
+        "prev_fixture": prev_fixture,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(
         headline_line(timings, total, total_median, trials, float(sf), fixture["hash"])
@@ -387,5 +471,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--worker":
         run_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--isolated":
+        run_isolated(sys.argv[2], sys.argv[3])
     else:
         main()

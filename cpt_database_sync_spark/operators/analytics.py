@@ -2028,3 +2028,155 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+ANOM_ACC = 10000  # GK sketch accuracy for the approx robust-stats lane
+
+_MAD_APPROX_SQL = f"""
+    WITH med AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(value) AS BIGINT) AS nv,
+             quantile_cont(value, 0.5) AS med
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY e.event_type
+    ),
+    flags AS (
+      SELECT e.event_type,
+             CAST(COUNT(CASE WHEN abs(e.value - m.med) > {MAD_K} * d.mad
+                        THEN 1 END) AS BIGINT) AS n_flagged
+      FROM events e
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n, m.nv,
+           round(m.med, 9) AS med, round(d.mad, 9) AS mad,
+           COALESCE(f.n_flagged, 0) AS n_flagged,
+           TRUE AS approx_med_ok, TRUE AS approx_mad_ok
+    FROM med m
+    LEFT JOIN mad d USING (event_type)
+    LEFT JOIN flags f USING (event_type)
+"""
+# LEFT joins: a channel whose values are all NULL has a count row but no
+# residual distribution — med/mad NULL, zero flags, rank flags vacuously
+# TRUE (both sides).
+
+
+@register("anomaly_mad_approx", oracle=_MAD_APPROX_SQL)
+def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`anomaly_mad`'s documented 100 TB lane made checkable (VERDICT r9
+    next #5): both order statistics swapped for ``percentile_approx``
+    (Greenwald-Khanna — constant memory per group, mergeable partials;
+    the exact percentile re-buffers each group's values every run), with
+    the sketch contract converted into exact pass/fail flags the oracle
+    asserts — the ``agg_approx_percentile`` discipline applied to the
+    robust-stats gate:
+
+    - ``approx_med_ok`` / ``approx_mad_ok``: each sketch value's exact
+      rank interval [count< + 1, count<=] must intersect the target
+      rank ± nv/ACC (+1 row of slop below one-row windows). Rank
+      counting is one map-only pass against the broadcast sketch row —
+      never a second sort.
+    - ``n_flagged``: the anomaly gate count itself (|value − med| >
+      K·mad), exact and oracle-stated BIGINT — the gate pass stays in
+      the plan (broadcast stats, map-side-combined count), proving the
+      plan shape the approx swap preserves.
+
+    Emitted values are the EXACT stats (bit-checkable); sketch outputs
+    appear only inside the rank flags — GK results can vary with
+    partition merge order, so they are contract-checked, never
+    hash-compared (the ``agg_approx_distinct`` precedent). The MAD
+    sketch runs over residuals about the exact median so the oracle can
+    restate its rank contract; a production gate bases both statistics
+    on the sketches — identical plan, identical contract structure.
+    NULL event_type carries no channel identity and is out of contract
+    on both sides (the oracle's USING joins would drop the NULL group
+    Spark's groupBy keeps).
+
+    Physics (unchanged from anomaly_mad, the "Done" condition): two
+    aggregation passes over events plus one map-only gate/rank pass,
+    every statistics relation |types|-sized and broadcast — no window
+    over the corpus, no corpus sort; the sketch swap is what removes
+    the exact percentile's per-group value buffer at 100 TB.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    # pass 1: per-type counts, exact median, median sketch
+    p1 = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("nv"),
+        F.percentile("value", 0.5).alias("med"),
+        F.percentile_approx("value", 0.5, ANOM_ACC).alias("a_med"),
+    )
+    s1 = p1.select(F.col("event_type").alias("t1"), "a_med", "med")
+    # pass 2: residuals about the exact median — exact MAD, the MAD
+    # sketch, and the a_med rank counts, in one aggregation
+    resid = F.abs(F.col("value") - F.col("med"))
+    p2 = (
+        ev.join(F.broadcast(s1), F.col("event_type") == F.col("t1"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.percentile(resid, 0.5).alias("mad"),
+            F.percentile_approx(resid, 0.5, ANOM_ACC).alias("a_mad"),
+            F.sum((F.col("value") < F.col("a_med")).cast("long")).alias("lt_med"),
+            F.sum((F.col("value") <= F.col("a_med")).cast("long")).alias("le_med"),
+        )
+        .withColumnRenamed("event_type", "t2")
+    )
+    stats = p1.join(
+        F.broadcast(p2), F.col("event_type") == F.col("t2"), "left"
+    ).drop("t2")
+    sb = stats.select(
+        F.col("event_type").alias("t3"), "med", "mad", "a_mad"
+    )
+    # pass 3 (the map-only gate + a_mad rank counts): one broadcast
+    # join, one map-side-combined aggregation
+    r3 = F.abs(F.col("value") - F.col("med"))
+    p3 = (
+        ev.join(F.broadcast(sb), F.col("event_type") == F.col("t3"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("value").isNotNull() & (r3 > MAD_K * F.col("mad")))
+                .cast("long")
+            ).alias("n_flagged"),
+            F.sum(
+                (F.col("value").isNotNull() & (r3 < F.col("a_mad"))).cast("long")
+            ).alias("lt_mad"),
+            F.sum(
+                (F.col("value").isNotNull() & (r3 <= F.col("a_mad"))).cast("long")
+            ).alias("le_mad"),
+        )
+        .withColumnRenamed("event_type", "t4")
+    )
+    out = stats.join(
+        F.broadcast(p3), F.col("event_type") == F.col("t4"), "left"
+    )
+
+    def rank_ok(lt: str, le: str, sketch: str) -> F.Column:
+        target = F.lit(0.5) * F.col("nv")
+        err = F.col("nv") / F.lit(ANOM_ACC) + 1
+        cond = (F.col(lt) + 1 <= target + err) & (F.col(le) >= target - err)
+        return F.when(F.col(sketch).isNull(), F.lit(True)).otherwise(cond)
+
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("nv").cast("long").alias("nv"),
+        F.round("med", 9).alias("med"),
+        F.round("mad", 9).alias("mad"),
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+        rank_ok("lt_med", "le_med", "a_med").alias("approx_med_ok"),
+        rank_ok("lt_mad", "le_mad", "a_mad").alias("approx_mad_ok"),
+    )

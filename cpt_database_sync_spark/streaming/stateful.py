@@ -529,3 +529,189 @@ def stream_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt double-exponential smoothing (VERDICT r9 next #3)
+# ---------------------------------------------------------------------------
+
+_HOLT_OUT_SCHEMA = (
+    "event_type string, n_days bigint, level double, trend double, "
+    "forecast_h double"
+)
+# state: finalized Holt accumulator (level, trend as float-repr strings —
+# the state store has no "exact double" contract across encoders, repr()
+# round-trips IEEE doubles exactly), folded-day count, the finalized
+# frontier day (late-data guard), plus the PENDING per-day partial
+# counts for days the watermark has not closed, encoded "dn:c|dn:c".
+_HOLT_STATE_SCHEMA = "l string, b string, nd bigint, ld bigint, pend string"
+
+#: Watermark delay for the Holt stream — same contract as
+#: TWA_MAX_DISORDER: a day's count may only finalize into the
+#: non-associative fold once the watermark guarantees no more events for
+#: it can arrive. Sized past the fixture span so ANY micro-batch split
+#: of the fixture re-folds exactly; production sets the real disorder
+#: bound, which is what bounds the pending map (delay days per key).
+HOLT_MAX_DISORDER = "45 days"
+
+
+def _holt_step(l: float, b: float, n: int, x: float) -> tuple[float, float, int]:
+    """One Holt recurrence step — the IDENTICAL IEEE expression tree as
+    the batch HOF fold and the oracle's recursive CTE (α = β = 0.5 are
+    exact binary constants; Python floats are the same IEEE doubles)."""
+    from cpt_database_sync_spark.operators.timeseries import (  # noqa: PLC0415
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    if n == 0:
+        return x, 0.0, 1
+    nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+    nb = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+    return nl, nb, n + 1
+
+
+def _holt_decode(pend_s: str | None) -> dict[int, int]:
+    if not pend_s:
+        return {}
+    out: dict[int, int] = {}
+    for item in pend_s.split("|"):
+        dn, c = item.split(":")
+        out[int(dn)] = int(c)
+    return out
+
+
+def _holt_encode(pend: dict[int, int]) -> str | None:
+    if not pend:
+        return None
+    return "|".join(f"{dn}:{pend[dn]}" for dn in sorted(pend))
+
+
+def _type_holt(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-type Holt state machine, watermark-delayed like ``_user_twa``:
+    the recurrence is a non-associative ordered fold over DAILY counts,
+    and a day's count can still grow while events for it may arrive —
+    so per-day partials accumulate in a pending map, only days the
+    watermark has CLOSED (wm ≥ end of day) finalize into the (l, b, n)
+    accumulator (in dn order, exactly once), and every emission re-folds
+    the still-open days on top of the finalized state. The emitted row
+    is therefore the type's exact batch-Holt value over everything seen,
+    under ANY chronological micro-batch split and any within-watermark
+    disorder. A day older than the finalized frontier arriving past the
+    watermark is dropped (the late-data contract). State = O(1)
+    accumulator + O(delay days) pending entries per key."""
+    if state.exists:
+        l_s, b_s, nd, ld, pend_s = state.get
+        lv = float(l_s) if l_s is not None else 0.0
+        bv = float(b_s) if b_s is not None else 0.0
+        pend = _holt_decode(pend_s)
+    else:
+        lv, bv, nd, ld = 0.0, 0.0, 0, None
+        pend = {}
+    for pdf in pdfs:
+        for dn, c in pdf.groupby("dn").size().items():
+            pend[int(dn)] = pend.get(int(dn), 0) + int(c)
+    if getattr(state, "_watermark_present", True):
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except PySparkRuntimeError:  # no watermark on the stream
+            wm_us = 0
+    else:
+        wm_us = 0
+    day_us = 86_400_000_000
+    ripe = sorted(dn for dn in pend if (dn + 1) * day_us <= wm_us)
+    for dn in ripe:
+        c = pend.pop(dn)
+        if ld is not None and dn <= ld:
+            # a partial for an already-finalized day arrived beyond the
+            # watermark delay: dropped (the late-data contract — folding
+            # it would need rewriting already-finalized steps)
+            continue
+        lv, bv, nd = _holt_step(lv, bv, nd, float(c))
+        ld = dn
+    state.update((repr(lv), repr(bv), nd, ld, _holt_encode(pend)))
+    # emission: finalized accumulator + re-fold of the open days
+    el, eb, en = lv, bv, nd
+    for dn in sorted(pend):
+        el, eb, en = _holt_step(el, eb, en, float(pend[dn]))
+    if en > 0:
+        from cpt_database_sync_spark.operators.timeseries import (  # noqa: PLC0415
+            HOLT_H,
+        )
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [en],
+                "level": [el],
+                "trend": [eb],
+                "forecast_h": [el + HOLT_H * eb],
+            }
+        )
+
+
+from cpt_database_sync_spark.operators.timeseries import _HOLT_SQL  # noqa: E402
+
+
+@register("stream_holt", oracle=_HOLT_SQL)
+def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Holt double-exponential forecast — the batch
+    ``holt_linear_forecast`` recurrence maintained as per-type state
+    (the docstring's own "unbounded keys run it as stateful streaming"
+    lane, timeseries.py): one (level, trend, n_days) row per key plus
+    the watermark-pending per-day counts, updated each micro-batch.
+    The batch twin replays the whole daily series every run; the stream
+    folds only the days the watermark just closed — the
+    continuously-updated-forecast shape a capacity-planning pipeline
+    serves.
+
+    Exactness: the ORACLE IS THE BATCH ORACLE, verbatim (the
+    batch≡stream discipline of stream_cusum / stream_drift_psi). Daily
+    counts assemble exactly from per-batch integer partials; the fold
+    steps are the identical IEEE double expression tree as the batch
+    HOF ``aggregate`` and the oracle's recursive CTE, in the identical
+    dn order (see ``_type_holt`` for the watermark-delayed finalize +
+    re-fold that makes this hold under ANY chronological micro-batch
+    split and within-watermark disorder — gated by the split-invariance
+    test in tests/test_units.py). NULL ts / NULL event_type rows are
+    out of contract on both sides, as in the batch op.
+
+    Serving: cumulative per-type rows through the keyed MERGE sink
+    (``serve_keyed_stream`` on event_type, update mode) — exactly one
+    current forecast row per type at all times.
+
+    Scale: the per-type state is O(1) + O(watermark-delay days); keys
+    (types/metrics/SKUs) shard across state-store partitions. The raw
+    event shuffle to per-key tasks is the one corpus-sized exchange —
+    a deployment with few huge keys pre-aggregates (key, day) partials
+    map-side first (the daily rollup is algebraic; only the FOLD is
+    order-bound), then folds the tiny day relation: same state machine,
+    same oracle.
+    """
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .withWatermark("ts", HOLT_MAX_DISORDER)
+        .withColumn(
+            "dn",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")),
+        )
+        .select("event_type", "ts", "dn")
+    )
+    folded = ev.groupBy("event_type").applyInPandasWithState(
+        _type_holt,
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from cpt_database_sync_spark.streaming.windows import (  # noqa: PLC0415
+        serve_keyed_stream,
+    )
+
+    served, _ = serve_keyed_stream(
+        folded, ["event_type"], "stream_holt_", varchar_lengths={"event_type": 64}
+    )
+    return served

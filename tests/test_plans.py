@@ -1666,22 +1666,82 @@ def test_session_path_topk_reaggregates_checkpointed_counts(spark, sf_dir):
 
 def test_rollup_cube_ansi_empty_row_without_driver_probe(spark, sf_dir):
     """rollup_cube / grouping_surface (VERDICT r9 next #7): the ANSI
-    ()-set row is rebuilt in the plan (drop + global re-agg of the
-    flag-level rows), replacing the per-invocation isEmpty() driver
-    probe. The fact must be scanned exactly once: construction
-    materializes the grouping relation into the lineage-cut snapshot,
-    and the served plan re-aggregates that snapshot only."""
+    ()-set row is guaranteed by the sentinel-row device inside the one
+    grouping aggregation — no isEmpty() driver probe, no checkpoint, no
+    second branch. The plan must hold exactly ONE fact scan and ONE
+    Expand, and CONSTRUCTING the DataFrame must launch no Spark job
+    beyond the loader's parquet listing."""
     from cpt_database_sync_spark.operators.relational import (
         grouping_surface,
         rollup_cube,
     )
 
+    from cpt_database_sync_spark.plans.sqlfront import register_views
+
+    register_views(spark, sf_dir)  # view setup jobs are not the probe
+    sc = spark.sparkContext
     for op in (rollup_cube, grouping_surface):
-        plan = plan_string(op(spark, sf_dir))
-        assert "ExistingRDD" in plan, "grouping relation must be checkpoint-cut"
-        assert "Scan parquet" not in plan, (
-            "the served plan must not rescan the fact past the lineage cut"
+        group = f"gate-{op.__name__}"
+        sc.setJobGroup(group, "plan gate")
+        try:
+            df = op(spark, sf_dir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) <= 1, (
+            f"{op.__name__}: construction ran {len(jobs)} jobs — the "
+            "isEmpty/checkpoint probe is back"
         )
-        # the ()-set rebuild is a re-aggregation of grouping rows — no
-        # second Expand may appear downstream of the cut
-        assert "Expand" not in plan
+        # "simple" mode prints each node once (formatted repeats nodes in
+        # the detail section, so counts there double)
+        plan = plan_string(df, "simple")
+        assert plan.count("Scan parquet") == 1, "fact must be scanned once"
+        assert plan.count("Expand") == 1, "one grouping aggregation only"
+        assert "Union" in plan, "sentinel row must union into the input"
+
+
+def test_graph_copartitioned_hatch_bit_identical_and_shuffled(spark, sf_dir):
+    """VERDICT r9 next #6: the broadcast→co-partitioned flip for the
+    iterative graph ops' per-round join. Forcing the node hint above
+    GRAPH_BCAST_NODE_CEILING must (a) produce BIT-IDENTICAL results to
+    the broadcast lane for both PageRank and weighted shortest path, and
+    (b) actually take the shuffled form: the initial physical plan of
+    the iteration carries a hash-partitioned (non-broadcast) join on the
+    node key where the broadcast lane shows BroadcastHashJoin."""
+    from cpt_database_sync_spark.operators.graph import (
+        GRAPH_BCAST_NODE_CEILING,
+        pagerank_nations,
+        shortest_path_weighted,
+    )
+
+    huge = GRAPH_BCAST_NODE_CEILING + 1
+    for op in (pagerank_nations, shortest_path_weighted):
+        bc = sorted(map(tuple, op(spark, sf_dir).collect()))
+        sh_df = op(spark, sf_dir, n_nodes_hint=huge)
+        sh = sorted(map(tuple, sh_df.collect()))
+        assert bc == sh, f"{op.__name__}: shuffled lane diverged from broadcast"
+        assert len(bc) > 0
+    # plan shape of ONE round's join (the per-round joins sit behind the
+    # distance relation's checkpoint cuts, so the op's final plan cannot
+    # show them): the shuffled lane must exchange the iterate relation on
+    # the node key with no broadcast; the broadcast lane must broadcast.
+    from pyspark.sql import functions as F
+    from cpt_database_sync_spark.operators.graph import (
+        _iteration_edges,
+        _trade_flows,
+    )
+
+    e = _trade_flows(spark, sf_dir).select("src", "dst", "w")
+    dist0 = e.select(F.col("src").alias("node"), F.lit(0).alias("d")).limit(1)
+    _, join_sh = _iteration_edges(e, "src", huge)
+    plan = plan_string(join_sh(dist0.withColumnRenamed("node", "src")))
+    assert "hashpartitioning(src" in plan, (
+        "co-partitioned lane must exchange on the node join key"
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    _, join_bc = _iteration_edges(e, "src", 25)
+    bc_plan = plan_string(join_bc(dist0.withColumnRenamed("node", "src")))
+    assert "BroadcastHashJoin" in bc_plan, (
+        "broadcast lane must broadcast the iterate relation"
+    )

@@ -2289,3 +2289,241 @@ def test_stream_cusum_soak_state_bounded_over_200_batches(spark):
     late = [seen[b][0] for b in bids if b >= bids[-1] // 2]
     assert late and max(late) <= bound, "late-run state exceeded steady-state bound"
     assert sum(seen[b][1] for b in bids) > 0, "no day-window eviction observed"
+
+
+class _FakeGroupState:
+    """Driver-side stand-in for pyspark's GroupState exposing exactly the
+    surface the stateful handlers consume (exists/get/update/
+    getCurrentWatermarkMs/_watermark_present) — lets the pend-buffer
+    soaks run hundreds of simulated micro-batches in milliseconds
+    instead of spinning real streaming queries."""
+
+    def __init__(self):
+        self._val = None
+        self._watermark_present = True
+        self.wm_ms = 0
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def update(self, v):
+        self._val = tuple(v)
+
+
+def test_stream_holt_invariant_under_batch_splits(spark, sf_dir):
+    """stream_holt serves CUMULATIVE per-type forecast rows through the
+    keyed MERGE sink; a multi-batch chronological split must produce a
+    serving table BIT-EQUAL to the batch holt_linear_forecast (the
+    batch≡stream discipline — oracle is the batch oracle verbatim)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cpt_database_sync_spark.operators.timeseries import holt_linear_forecast
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _HOLT_OUT_SCHEMA,
+        _HOLT_STATE_SCHEMA,
+        HOLT_MAX_DISORDER,
+        _type_holt,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+
+    sweep_scratch("holt_split_")
+    workdir = os.path.join(scratch_dir(), "holt_split_src")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "ts")
+    )
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "holt_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))  # pin batch order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .withWatermark("ts", HOLT_MAX_DISORDER)
+        .withColumn(
+            "dn",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")),
+        )
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _type_holt,
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, progresses = serve_keyed_stream(
+        folded, ["event_type"], "holt_split_serve_",
+        varchar_lengths={"event_type": 64},
+    )
+    multi = {tuple(r) for r in served.collect()}
+    assert sum(p["numInputRows"] for p in progresses if p) > 0
+    batch = {tuple(r) for r in holt_linear_forecast(spark, sf_dir).collect()}
+    assert multi == batch, (
+        f"split stream diverged from batch: only-stream={multi - batch} "
+        f"only-batch={batch - multi}"
+    )
+
+
+def test_stream_holt_pend_buffer_soak_bounded_under_disorder():
+    """300 simulated micro-batches of sustained cross-batch disorder
+    (each batch delivers partial counts for the last DISORDER+1 days
+    behind a steadily advancing frontier, watermark trailing DISORDER
+    days): the pending map must stay watermark-bounded (≤ DISORDER+2
+    days) the whole run — never the calendar — and the finalized fold
+    must equal the reference batch recurrence over the total per-day
+    counts."""
+    from cpt_database_sync_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from cpt_database_sync_spark.streaming.stateful import (
+        _holt_decode,
+        _type_holt,
+    )
+    import pandas as pd
+
+    DISORDER = 3  # days of event-time disorder the watermark absorbs
+    day_ms = 86_400_000
+    state = _FakeGroupState()
+    totals: dict[int, int] = {}
+    max_pend = 0
+    n_batches = 300
+    for batch in range(n_batches):
+        frontier = 20_000 + batch  # advancing newest day
+        rows = []
+        for back in range(DISORDER + 1):
+            dn = frontier - back
+            c = 1 + (batch + back) % 3  # deterministic partials
+            rows.extend([dn] * c)
+            totals[dn] = totals.get(dn, 0) + c
+        # watermark = end of (frontier - DISORDER - 1): everything older
+        # than the disorder window is closed
+        state.wm_ms = (frontier - DISORDER) * day_ms
+        pdf = pd.DataFrame({"dn": rows})
+        list(_type_holt(("t0",), iter([pdf]), state))
+        pend = _holt_decode(state.get[4])
+        max_pend = max(max_pend, len(pend))
+        assert len(pend) <= DISORDER + 2, (
+            f"pend grew past the disorder window at batch {batch}: "
+            f"{len(pend)} days"
+        )
+    # drain: advance the watermark past everything and compare the fold
+    state.wm_ms = (max(totals) + 2) * day_ms
+    out = list(_type_holt(("t0",), iter([pd.DataFrame({"dn": []})]), state))
+    l = b = 0.0
+    n = 0
+    for dn in sorted(totals):
+        x = float(totals[dn])
+        if n == 0:
+            l, b, n = x, 0.0, 1
+        else:
+            nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+            l, n = nl, n + 1
+    assert out[0]["n_days"][0] == n == len(totals)
+    assert out[0]["level"][0] == l and out[0]["trend"][0] == b
+    assert max_pend >= DISORDER  # the soak genuinely exercised the buffer
+
+
+def test_stream_twa_pend_buffer_soak_bounded_under_disorder():
+    """VERDICT r9 next #4: the TWA re-fold's pending buffer observed over
+    250 micro-batches of sustained cross-batch disorder — each batch
+    delivers events up to DISORDER_S seconds older than the advancing
+    frontier while the watermark trails by exactly DISORDER_S. The
+    buffer must hold only events newer than the watermark (≤ the events
+    emitted within the trailing window), never the history, and the
+    finalized accumulator must equal the batch fold of all events."""
+    from decimal import Decimal
+
+    from cpt_database_sync_spark.streaming.stateful import (
+        _twa_decode,
+        _twa_fold,
+        _user_twa,
+    )
+    import pandas as pd
+
+    DISORDER_S = 30
+    EVENTS_PER_BATCH = 4
+    state = _FakeGroupState()
+    all_events = []  # (us, eid, val_str)
+    max_pend = 0
+    eid = 0
+    n_batches = 250
+    for batch in range(n_batches):
+        frontier_s = 100_000 + batch * 10  # +10 s event time per batch
+        rows_ts, rows_eid, rows_v = [], [], []
+        for k in range(EVENTS_PER_BATCH):
+            # alternate fresh and DISORDER_S-stale events
+            ts_s = frontier_s - (k % 2) * DISORDER_S
+            v = f"{(batch + k) % 7}.500000"
+            rows_ts.append(pd.Timestamp(ts_s, unit="s"))
+            rows_eid.append(eid)
+            rows_v.append(v)
+            all_events.append((ts_s * 1_000_000, eid, v))
+            eid += 1
+        state.wm_ms = (frontier_s - DISORDER_S) * 1000
+        pdf = pd.DataFrame(
+            {"ts": rows_ts, "event_id": rows_eid, "value_dec": rows_v}
+        )
+        list(_user_twa((7,), iter([pdf]), state))
+        pend = _twa_decode(state.get[4])
+        max_pend = max(max_pend, len(pend))
+        # events within the trailing DISORDER_S window: at most
+        # (DISORDER_S / 10s-per-batch + 1) batches' worth
+        bound = EVENTS_PER_BATCH * (DISORDER_S // 10 + 2)
+        assert len(pend) <= bound, (
+            f"pend grew past the disorder window at batch {batch}: "
+            f"{len(pend)} events > {bound}"
+        )
+    # drain and compare against the batch fold of the full history
+    state.wm_ms = (100_000 + n_batches * 10 + DISORDER_S + 10) * 1000
+    out = list(
+        _user_twa(
+            (7,),
+            iter([pd.DataFrame({"ts": [], "event_id": [], "value_dec": []})]),
+            state,
+        )
+    )
+    ref = _twa_fold(
+        (None, None, None, 0),
+        sorted(all_events, key=lambda e: (e[0], e[1])),
+    )
+    _, _, ref_num, ref_dur = ref
+    assert _twa_decode(state.get[4]) == []  # buffer fully drained
+    assert out[0]["dur_us_total"][0] == ref_dur
+    assert out[0]["twa_num"][0] == str(
+        ref_num.quantize(Decimal("0.000001"))
+    )
+    assert max_pend >= EVENTS_PER_BATCH  # the buffer was genuinely exercised
