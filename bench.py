@@ -166,6 +166,14 @@ HEADLINE = [
     "session_path_topk",
     "stream_holt",
     "anomaly_mad_approx",
+    "winsorize_approx",
+    "connected_components",
+    "interval_coverage",
+    "gini_concentration",
+    "hhi_concentration",
+    "rolling_corr",
+    "cross_correlation_lag",
+    "rfm_segments",
 ]
 
 

@@ -2180,3 +2180,237 @@ def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("lt_med", "le_med", "a_med").alias("approx_med_ok"),
         rank_ok("lt_mad", "le_mad", "a_mad").alias("approx_mad_ok"),
     )
+
+
+# interval_coverage: each event holds the channel for a deterministic
+# (event_id % 90) + 1 minutes — the synthetic-interval device
+# null_handling's injected NULLs established (the slim fixture carries
+# no natural end-timestamp column). Half-open [s, e) union semantics:
+# intervals touching end-to-start merge.
+IC_MOD_MIN = 90
+
+_INTERVAL_COVERAGE_SQL = f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % {IC_MOD_MIN}) + 1) * 60000000 AS e
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, isl, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n
+      FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+           CAST(MAX(me) - MIN(ms) AS BIGINT) AS span_us
+    FROM merged GROUP BY user_id
+"""
+
+
+@register("interval_coverage", oracle=_INTERVAL_COVERAGE_SQL)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user — the gaps-and-islands union
+    the sessionize family doesn't cover: each event holds the channel
+    for a deterministic duration, overlapping/touching holds MERGE
+    (half-open [s, e) semantics), and the report is events, merged
+    islands, total covered time and first-to-last span per user. This
+    is the utilization/SLA primitive (machine busy time, call-center
+    occupancy, GPU allocation coverage) — `time_weighted_avg` weights a
+    VALUE by holding time; this measures the holding-set union itself.
+
+    Exactness: all arithmetic is BIGINT µs (unix_micros ≡ epoch_us);
+    island detection compares s against the running MAX(e) over a
+    TOTALLY ordered frame (s, e, event_id — the sessionize tie-break
+    discipline), so both engines mark identical islands; NULL ts /
+    event_id rows have no interval and are out of contract on both
+    sides (also sidestepping NULLS FIRST/LAST divergence).
+
+    Physics: ONE user-keyed shuffle feeds both window passes (same
+    clustering); the island rollup and the per-user rollup re-aggregate
+    already-clustered data map-side. At 100 TB this is the canonical
+    window shape — no self-join (the naive overlap-pairs formulation is
+    quadratic per user), no corpus sort, partitions bounded by the
+    user-day clustering of the landing layout.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    s = F.unix_micros("ts")
+    e = s + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pm = F.max("e").over(w_prev)
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(pm.isNull() | (F.col("s") > pm), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("isl")
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+        (F.max("me") - F.min("ms")).cast("long").alias("span_us"),
+    )
+
+
+RFM_BUCKETS = 4  # quartile scores per dimension
+
+_RFM_SQL = f"""
+    WITH o AS (
+      SELECT o_custkey, o_totalprice,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS dn
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    ),
+    ref AS (SELECT MAX(dn) AS refdn FROM o),
+    rfm AS (
+      SELECT o_custkey,
+             (SELECT refdn FROM ref) - MAX(dn) AS r_days,
+             COUNT(*) AS f_orders,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) * 100
+                  AS BIGINT) AS m_cents
+      FROM o GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, r_days, f_orders, m_cents,
+             NTILE({RFM_BUCKETS}) OVER (ORDER BY r_days DESC, o_custkey)
+               AS r_score,
+             NTILE({RFM_BUCKETS}) OVER (ORDER BY f_orders, o_custkey)
+               AS f_score,
+             NTILE({RFM_BUCKETS}) OVER (ORDER BY m_cents, o_custkey)
+               AS m_score
+      FROM rfm
+    )
+    SELECT o_custkey AS custkey,
+           CAST(r_days AS BIGINT) AS r_days,
+           CAST(f_orders AS BIGINT) AS f_orders,
+           m_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+    FROM scored
+"""
+
+
+@register("rfm_segments", oracle=_RFM_SQL)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the standard customer-value grid (Recency /
+    Frequency / Monetary, each scored into quartiles, higher = better):
+    r_days since last order vs the corpus reference date (MAX order
+    day — reproducible, unlike wall-clock now()), order count, and
+    lifetime spend in exact cents, with the composite cell id (444 =
+    champions, 111 = lost). `retention` tracks cohorts over time; this
+    snapshots where every customer stands today.
+
+    Exactness: days/counts/cents are exact integers; NTILE is
+    deterministic once the order is TOTAL — every score orders by
+    (metric, custkey), and both engines share NTILE's remainder rule
+    (first buckets take the extras). Orders without a date or customer
+    key carry no R/F/M information and are out of contract on both
+    sides (also pinning the Spark-DESC-NULLS-LAST vs DuckDB-DESC-
+    NULLS-FIRST divergence out of existence).
+
+    Physics: one map-side-combined per-customer rollup over orders; the
+    three NTILEs run over the |customers|-sized rollup — rank
+    statistics need a sort, but of the DIMENSION, never the fact; the
+    reference date joins as a one-row broadcast. At 100 TB with a
+    billion customers the quartile boundaries come from
+    approx_percentile instead and scoring becomes a map-only broadcast
+    gate (the winsorize_approx lane, documented trade).
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull())
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("dn"),
+        )
+    )
+    ref = o.agg(F.max("dn").alias("refdn"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("dn").alias("lastdn"),
+            F.count(F.lit(1)).alias("f_orders"),
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            (F.col("refdn") - F.col("lastdn")).alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    wr = Window.orderBy(F.col("r_days").desc(), F.col("o_custkey"))
+    wf = Window.orderBy("f_orders", "o_custkey")
+    wm = Window.orderBy("m_cents", "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        F.ntile(RFM_BUCKETS).over(wr).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(wf).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(wm).alias("m_score"),
+    )
+    return scored.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("r_days").cast("long").alias("r_days"),
+        F.col("f_orders").cast("long").alias("f_orders"),
+        "m_cents",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_cell"),
+    )

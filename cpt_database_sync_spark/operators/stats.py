@@ -1515,3 +1515,280 @@ def mutual_info_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_term"),
         )
     )
+
+
+WINSOR_ACC = 10000  # GK accuracy for the approx winsorize lane
+
+_WINSOR_APPROX_SQL = """
+    WITH bounds AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS BIGINT) AS nv,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           b.nv,
+           b.p05,
+           b.p95,
+           CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo,
+           CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi,
+           CAST(CAST(SUM(CAST(
+                 CASE WHEN e.value < b.p05 THEN b.p05
+                      WHEN e.value > b.p95 THEN b.p95
+                      ELSE e.value END AS DECIMAL(14,6)))
+               AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*) AS win_mean,
+           TRUE AS approx_p05_ok,
+           TRUE AS approx_p95_ok
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.nv, b.p05, b.p95
+"""
+
+
+@register("winsorize_approx", oracle=_WINSOR_APPROX_SQL)
+def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`winsorize_scale`'s documented 100 TB lane made checkable — the
+    second half of VERDICT r9 next #5 (`anomaly_mad_approx` is the
+    first): the p05/p95 clamp bounds swapped for ``percentile_approx``
+    sketches (constant per-group memory, mergeable partials — the exact
+    percentile re-buffers every group's values each run), with the GK
+    rank contract converted into flags the oracle asserts. The emitted
+    winsorized statistics stay EXACT (bit-checkable, identical to
+    winsorize_scale's lanes); the sketch bounds appear only inside the
+    rank flags, since GK output can vary with partition merge order
+    (``agg_approx_distinct`` discipline).
+
+    Rank contract per flag: the sketch value's exact rank interval
+    [count< + 1, count<=] must intersect p·nv ± nv/ACC (+1 row of slop
+    below one-row windows), counted in the SAME pass that clamps — no
+    extra scan, no sort. NULL event_type is out of contract on both
+    sides (the oracle's equi-join drops it).
+
+    Physics: two passes exactly like winsorize_scale — per-group bounds
+    (now carrying two sketches beside the exact percentiles), then one
+    broadcast-join + map-side-combined re-aggregation doing clamp
+    counts, the winsorized decimal mean, and the four rank counts
+    together. At 100 TB the exact percentile lanes drop and the sketch
+    bounds drive the clamp — same plan, same flags.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.count("value").alias("nv"),
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile_approx("value", 0.05, WINSOR_ACC).alias("a05"),
+        F.percentile_approx("value", 0.95, WINSOR_ACC).alias("a95"),
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    wv = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .cast("decimal(14,6)")
+    )
+    agg = joined.groupBy("event_type", "nv", "p05", "p95").agg(
+        F.sum((F.col("value") < F.col("p05")).cast("long")).alias("n_lo"),
+        F.sum((F.col("value") > F.col("p95")).cast("long")).alias("n_hi"),
+        (
+            F.sum(wv).cast("decimal(18,6)").cast("double") / F.count(F.lit(1))
+        ).alias("win_mean"),
+        F.sum((F.col("value") < F.col("a05")).cast("long")).alias("lt05"),
+        F.sum((F.col("value") <= F.col("a05")).cast("long")).alias("le05"),
+        F.sum((F.col("value") < F.col("a95")).cast("long")).alias("lt95"),
+        F.sum((F.col("value") <= F.col("a95")).cast("long")).alias("le95"),
+        F.max("a05").alias("a05"),
+        F.max("a95").alias("a95"),
+    )
+
+    def rank_ok(lt: str, le: str, p: float, sketch: str) -> Column:
+        target = F.lit(p) * F.col("nv")
+        err = F.col("nv") / F.lit(WINSOR_ACC) + 1
+        cond = (F.col(lt) + 1 <= target + err) & (F.col(le) >= target - err)
+        return F.when(F.col(sketch).isNull(), F.lit(True)).otherwise(cond)
+
+    return agg.select(
+        "event_type",
+        F.col("nv").cast("long").alias("nv"),
+        "p05",
+        "p95",
+        "n_lo",
+        "n_hi",
+        "win_mean",
+        rank_ok("lt05", "le05", 0.05, "a05").alias("approx_p05_ok"),
+        rank_ok("lt95", "le95", 0.95, "a95").alias("approx_p95_ok"),
+    )
+
+
+_GINI_EXPR = (
+    "round((2 * CAST(s1 AS DOUBLE)"
+    " - (n_customers + 1) * CAST(total_cents AS DOUBLE))"
+    " / NULLIF(CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE),"
+    " CAST(0 AS DOUBLE)), 9)"
+)
+
+_GINI_SQL = f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0)
+                  * 100 AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             SUM(CAST(i AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS s1
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_nationkey, n_customers, total_cents,
+           {_GINI_EXPR} AS gini
+    FROM agg
+"""
+
+
+@register("gini_concentration", oracle=_GINI_SQL)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the inequality/
+    concentration rollup a marketplace-health dashboard runs (is revenue
+    spread across the base or carried by whales?): G = (2·Σ i·xᵢ −
+    (n+1)·Σxᵢ) / (n·Σxᵢ) over the ascending-sorted spends, the standard
+    rank formula. Zero-order customers count with spend 0 (a nation
+    where most customers never bought IS concentrated — dropping them
+    would hide exactly the signal).
+
+    Exactness: spend runs in the DECIMAL(12,2) money lane and lands as
+    exact BIGINT cents; the rank-weighted sum Σ i·xᵢ runs in
+    DECIMAL(19,0)×DECIMAL(19,0) products (BIGINT i·cents would overflow
+    near 9.2e18 at deployment row counts — the PageRank precondition
+    discipline, solved in-plan here); rank ties (equal spends) cannot
+    perturb Σ i·xᵢ because a tied block contributes x·Σi regardless of
+    internal order, and the order is pinned (cents, custkey) anyway.
+    The one double division is the identical expression tree on both
+    engines (shared _GINI_EXPR text), NULL on an all-zero nation.
+
+    Physics: one customer-keyed outer join + rollup (spend), one
+    nation-keyed window sort over |customers| rows (the unavoidable
+    rank statistic — but partitioned by nation, never a global sort),
+    one map-side-combined per-nation aggregation. At 100 TB the spend
+    rollup is the only corpus-sized stage; the window runs over the
+    customer dimension.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")),
+                    F.lit(0),
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = spend.select(
+        "c_nationkey", "cents", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("s1"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_customers",
+        "total_cents",
+        F.expr(_GINI_EXPR).alias("gini"),
+    )
+
+
+_HHI_EXPR = (
+    "round(CAST(sumsq AS DOUBLE)"
+    " / NULLIF(CAST(market_q AS DOUBLE) * CAST(market_q AS DOUBLE),"
+    " CAST(0 AS DOUBLE)), 9)"
+)
+
+_HHI_SQL = f"""
+    WITH sq AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,4))) * 10000 AS BIGINT)
+               AS q
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(q) AS BIGINT) AS market_q,
+             SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sumsq
+      FROM sq GROUP BY 1
+    )
+    SELECT s_nationkey, n_suppliers, market_q, {_HHI_EXPR} AS hhi
+    FROM m
+"""
+
+
+@register("hhi_concentration", oracle=_HHI_SQL)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier concentration per nation
+    market — the antitrust-grade concentration score (Σ shareᵢ², 1/n =
+    perfect competition … 1.0 = monopoly) that complements
+    `gini_concentration`: Gini measures inequality of the distribution,
+    HHI measures how few hands hold it — a data-sourcing pipeline runs
+    the same score over corpus provenance (is the training set
+    dominated by one domain?).
+
+    Exactness: shares are never materialized — HHI = Σqᵢ²/Q² needs ONE
+    terminal division: per-supplier quantities land as exact scaled
+    BIGINTs (DECIMAL(12,4)·10⁴), the squared sum runs in
+    DECIMAL(19,0)×DECIMAL(19,0) (BIGINT q² would overflow at ~3e9
+    units — the gini_concentration lane), and the single double
+    division is the identical expression tree on both engines (shared
+    _HHI_EXPR text), NULL for an all-NULL-quantity market.
+
+    Physics: one fact-sized aggregation (supplier×nation rollup,
+    map-side combined, supplier dimension broadcast) then a
+    |suppliers|-sized re-aggregation. No window, no sort, no second
+    fact pass.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sq = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(12,4)")) * 10000)
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    m = sq.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("q").cast("bigint").alias("market_q"),
+        F.sum(
+            F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")
+        ).alias("sumsq"),
+    )
+    return m.select(
+        "s_nationkey", "n_suppliers", "market_q", F.expr(_HHI_EXPR).alias("hhi")
+    )

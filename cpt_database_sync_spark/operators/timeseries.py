@@ -535,3 +535,201 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend"),
         (F.col("st.l") + F.lit(HOLT_H) * F.col("st.b")).alias("forecast_h"),
     )
+
+
+ROLLCORR_DAYS = 14  # trailing window width (calendar RANGE frame)
+
+_ROLLCORR_EXPR = (
+    "round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), CAST(0 AS DOUBLE)), 9)"
+)
+
+_ROLLCORR_SQL = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS dn,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    win AS (
+      SELECT dn, x, y,
+             COUNT(*) OVER w AS k,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) OVER w AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER w AS syy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY dn
+                   RANGE BETWEEN {ROLLCORR_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(dn AS BIGINT) AS dn,
+           CAST(x AS BIGINT) AS clicks,
+           CAST(y AS BIGINT) AS purchases,
+           {_ROLLCORR_EXPR} AS corr14
+    FROM win WHERE k = {ROLLCORR_DAYS}
+"""
+
+
+@register("rolling_corr", oracle=_ROLLCORR_SQL)
+def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLLCORR_DAYS}-day Pearson correlation between the
+    click and purchase daily series — the co-movement monitor behind
+    "did conversions decouple from traffic?" alerts (`autocorr_daily`
+    correlates a series with itself; this correlates two): r =
+    (kΣxy − ΣxΣy) / √((kΣx² − (Σx)²)(kΣy² − (Σy)²)) over a calendar
+    RANGE frame with an explicit completeness gate, so sparse/gapped
+    calendars drop incomplete windows rather than correlate the wrong
+    days (the seasonal_decompose discipline).
+
+    Exactness: daily counts are exact ints; all six window sums are
+    exact (products in DECIMAL(19,0)² — BIGINT x·y overflows near 3e9
+    events/day at deployment scale); the one display expression (four
+    subtractions, a multiply, a correctly-rounded IEEE sqrt, one
+    division) is the identical tree on both engines (shared
+    _ROLLCORR_EXPR text), NULL on a zero-variance window. Spark's own
+    ``corr`` window aggregate is NOT used: its streaming accumulation
+    is float-order-dependent, unverifiable bit-for-bit.
+
+    Physics: one map-side-combined daily rollup is the only
+    corpus-sized stage; the window runs over the |days|-sized calendar
+    relation (an unpartitioned window is correct HERE because the input
+    is calendar-sized, never the corpus — same argument as
+    seasonal_decompose's trend pass). NULL ts rows carry no calendar
+    position and are out of contract on both sides.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # when/otherwise, not a bare boolean cast: NULL event_type must count
+    # 0 like the oracle's CASE (a NULL-typed day would otherwise sum NULL)
+    daily = ev.groupBy(_dn().alias("dn")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("dn").rangeBetween(-(ROLLCORR_DAYS - 1), 0)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    win = daily.select(
+        "dn",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+        F.sum(xd * yd).over(w).alias("sxy"),
+    )
+    return win.filter(F.col("k") == ROLLCORR_DAYS).select(
+        F.col("dn").cast("long").alias("dn"),
+        F.col("x").cast("long").alias("clicks"),
+        F.col("y").cast("long").alias("purchases"),
+        F.expr(_ROLLCORR_EXPR).alias("corr14"),
+    )
+
+
+XCORR_MAX_LAG = 7  # sweep purchase-vs-click alignment over ±7 days
+
+_XCORR_EXPR = (
+    "round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), CAST(0 AS DOUBLE)), 9)"
+)
+
+_XCORR_SQL = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS dn,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    lags AS (SELECT (i - {XCORR_MAX_LAG}) AS lag
+             FROM range({2 * XCORR_MAX_LAG + 1}) t(i)),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.dn = a.dn + l.lag
+    ),
+    agg AS (
+      SELECT lag,
+             COUNT(*) AS k,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(k AS BIGINT) AS n_days,
+           {_XCORR_EXPR} AS xcorr
+    FROM agg
+"""
+
+
+@register("cross_correlation_lag", oracle=_XCORR_SQL)
+def cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation sweep of purchases against clicks over ±{XCORR_MAX_LAG}
+    days of alignment — the lead/lag detector ("purchases follow clicks
+    by how many days?") that turns `rolling_corr`'s co-movement monitor
+    into an alignment measurement: for each lag L, Pearson r between
+    click[t] and purchase[t+L] over all aligned calendar days; the
+    argmax lag is the conversion delay a forecasting feature encodes.
+
+    Exactness: the rolling_corr lanes verbatim — exact integer daily
+    counts, exact DECIMAL(19,0)² product sums, one shared display
+    expression with a correctly-rounded sqrt, NULL on zero variance.
+    The lag dimension is generated (range), not data-dependent, so both
+    engines sweep identical lags even on an empty calendar (zero output
+    rows both sides — the join has no days to align).
+
+    Physics: one map-side-combined daily rollup; the sweep is a
+    broadcast of the 15-row lag dimension against the |days|-sized
+    calendar relation joined to itself on a shifted key — all
+    calendar-scale, nothing corpus-sized past the rollup. At 100 TB
+    the shape is unchanged: lag sweeps run over rollups, never events.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(_dn().alias("dn")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    lags = spark.range(2 * XCORR_MAX_LAG + 1).select(
+        (F.col("id") - XCORR_MAX_LAG).cast("int").alias("lag")
+    )
+    a = daily.select(F.col("dn").alias("adn"), "x")
+    b = daily.select(F.col("dn").alias("bdn"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bdn") == F.col("adn") + F.col("lag"))
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").cast("long").alias("n_days"),
+        F.expr(_XCORR_EXPR).alias("xcorr"),
+    )
