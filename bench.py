@@ -174,6 +174,8 @@ HEADLINE = [
     "rolling_corr",
     "cross_correlation_lag",
     "rfm_segments",
+    "quantile_normalize",
+    "lorenz_deciles",
 ]
 
 

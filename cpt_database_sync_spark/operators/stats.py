@@ -1593,8 +1593,15 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(14,6)")
     )
     agg = joined.groupBy("event_type", "nv", "p05", "p95").agg(
-        F.sum((F.col("value") < F.col("p05")).cast("long")).alias("n_lo"),
-        F.sum((F.col("value") > F.col("p95")).cast("long")).alias("n_hi"),
+        # when/otherwise, not a bare boolean cast: an all-NULL group's
+        # comparisons are all NULL and SUM would return NULL where the
+        # oracle's CASE...ELSE 0 returns 0 (degenerate-fixture class)
+        F.sum(
+            F.when(F.col("value") < F.col("p05"), 1).otherwise(0)
+        ).cast("long").alias("n_lo"),
+        F.sum(
+            F.when(F.col("value") > F.col("p95"), 1).otherwise(0)
+        ).cast("long").alias("n_hi"),
         (
             F.sum(wv).cast("decimal(18,6)").cast("double") / F.count(F.lit(1))
         ).alias("win_mean"),
@@ -1791,4 +1798,161 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "s_nationkey", "n_suppliers", "market_q", F.expr(_HHI_EXPR).alias("hhi")
+    )
+
+
+@register(
+    "quantile_normalize",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS qn
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank/CDF) normalization per channel — the
+    distribution-free feature transform (map each value to its within-group
+    percentile position, qn = (rank−1)/(n−1)) a feature pipeline
+    applies when channels have incomparable scales and outliers make
+    z-scaling useless (`winsorize_scale` bounds outliers; this erases
+    scale entirely — the two standard robust alternatives).
+
+    Exactness: percent_rank is pure rank arithmetic — (rank−1)/(n−1)
+    with SQL rank semantics (ties share the min rank of the peer
+    group), so tied values get identical qn REGARDLESS of tie order
+    and the one division is exact-int/exact-int IEEE on both engines;
+    the single-row-group convention (0.0) was probed identical on
+    Spark and DuckDB. NULL values have no rank position and are out of
+    contract on both sides; NULL event_type is a real group (window
+    partitions keep it on both engines).
+
+    Physics: ONE type-keyed shuffle and a within-partition sort — the
+    canonical window shape; at 100 TB the sort is per-channel, never
+    global, and a skewed channel switches to the approx-CDF transform
+    (percentile_approx grid + broadcast interpolation — the
+    winsorize_approx lane).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("qn"),
+    )
+
+
+LORENZ_DECILES = 10
+
+_LORENZ_SQL = f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0)
+                  * 100 AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT c_nationkey, cents,
+             NTILE({LORENZ_DECILES}) OVER (PARTITION BY c_nationkey
+                                           ORDER BY cents, c_custkey) AS decile
+      FROM spend
+    ),
+    per_decile AS (
+      SELECT c_nationkey, decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents
+      FROM bucketed GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_nationkey, decile, n_customers, decile_cents,
+             CAST(SUM(decile_cents) OVER (PARTITION BY c_nationkey
+                                          ORDER BY decile
+                                          ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_cents,
+             CAST(SUM(decile_cents) OVER (PARTITION BY c_nationkey)
+                  AS BIGINT) AS total_cents
+      FROM per_decile
+    )
+    SELECT c_nationkey, CAST(decile AS INT) AS decile,
+           n_customers, decile_cents, cum_cents,
+           round(CAST(cum_cents AS DOUBLE)
+                 / NULLIF(CAST(total_cents AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+             AS cum_share
+    FROM cum
+"""
+
+
+@register("lorenz_deciles", oracle=_LORENZ_SQL)
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by spend decile per nation — `gini_concentration`'s
+    companion VIEW (Gini is the area summary; this is the curve a
+    dashboard draws): customers sorted by spend split into 10 pinned
+    deciles, each with its customer count, decile spend, cumulative
+    spend, and cumulative share of the nation's total ("the bottom 50%
+    hold 9% of spend"). Zero-order customers sit in the bottom deciles
+    at exact 0.
+
+    Exactness: spend in exact BIGINT cents; NTILE deterministic via the
+    TOTAL (cents, custkey) order; cumulative sums are BIGINT window
+    sums over the 10-row decile relation; the one share division is the
+    identical expression tree on both engines, NULL for an all-zero
+    nation.
+
+    Physics: one per-customer rollup (the gini_concentration stage),
+    one nation-partitioned dimension sort for NTILE, then everything
+    runs on the |nations|×10 decile relation — broadcast-scale
+    regardless of corpus size.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")),
+                    F.lit(0),
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wb = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    bucketed = spend.select(
+        "c_nationkey", "cents", F.ntile(LORENZ_DECILES).over(wb).alias("decile")
+    )
+    per_decile = bucketed.groupBy("c_nationkey", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    wc = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("c_nationkey")
+    cum = per_decile.select(
+        "c_nationkey",
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.sum("decile_cents").over(wc).cast("bigint").alias("cum_cents"),
+        F.sum("decile_cents").over(wt).cast("bigint").alias("total_cents"),
+    )
+    return cum.select(
+        "c_nationkey",
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "decile_cents",
+        "cum_cents",
+        F.round(
+            F.col("cum_cents").cast("double")
+            / F.nullif(F.col("total_cents").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("cum_share"),
     )
