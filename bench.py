@@ -176,6 +176,9 @@ HEADLINE = [
     "rfm_segments",
     "quantile_normalize",
     "lorenz_deciles",
+    "binseg_changepoints",
+    "concurrency_peak",
+    "stream_interval_coverage",
 ]
 
 

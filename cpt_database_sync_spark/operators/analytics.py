@@ -2414,3 +2414,109 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rfm_cell"),
     )
+
+
+_CONCURRENCY_SQL = f"""
+    WITH iv AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % {IC_MOD_MIN}) + 1) * 60000000 AS e
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+      SELECT event_type, t, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM pts
+    ),
+    peak AS (
+      SELECT event_type, CAST(MAX(running) AS BIGINT) AS peak,
+             CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+      FROM run GROUP BY event_type
+    )
+    SELECT r.event_type,
+           p.peak,
+           CAST(MIN(r.t) AS BIGINT) AS first_peak_us,
+           p.n_intervals
+    FROM run r
+    JOIN peak p ON p.event_type = r.event_type AND r.running = p.peak
+    GROUP BY r.event_type, p.peak, p.n_intervals
+"""
+
+
+@register("concurrency_peak", oracle=_CONCURRENCY_SQL)
+def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per channel — the capacity question
+    `interval_coverage` doesn't answer (union length says how LONG the
+    channel was busy; this says how DEEP it stacked): over the same
+    deterministic holding intervals, the classic ±1 endpoint sweep —
+    +1 at each open, −1 at each close, running sum over the totally
+    ordered endpoint stream — reports the maximum simultaneous holds
+    and the first microsecond it was reached. Sizing licenses,
+    connection pools, GPU slots: all this query.
+
+    Exactness: all BIGINT µs and integer deltas. The endpoint order is
+    (t, delta, event_id) with −1 < +1, so a close at time T processes
+    before an open at T — exactly the half-open [s, e) contract shared
+    with interval_coverage. The peak and its first time are provably
+    invariant to tie order WITHIN an equal-(t, delta) block (a +1 block
+    is monotone rising — its max sits at the block end; a −1 block at
+    its start), and the order is pinned anyway. NULL ts / event_id /
+    event_type rows carry no interval and are out of contract both
+    sides.
+
+    Physics: one type-keyed shuffle of 2×|events| endpoint rows, one
+    within-partition sort, map-side-combined rollups after — the
+    canonical sweep-line-as-window shape; no self-join (the
+    interval-overlap-pairs formulation is quadratic), nothing
+    corpus-sized past the window.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    s = F.unix_micros("ts")
+    e = s + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+    iv = ev.select("event_type", "event_id", s.alias("s"), e.alias("e"))
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "event_type", "t", "delta", F.sum("delta").over(w).alias("running")
+    )
+    peak = run.groupBy("event_type").agg(
+        F.max("running").cast("bigint").alias("peak"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+    )
+    pk = peak.select(F.col("event_type").alias("pt"), "peak", "n_intervals")
+    return (
+        run.join(
+            F.broadcast(pk),
+            (F.col("event_type") == F.col("pt"))
+            & (F.col("running") == F.col("peak")),
+        )
+        .groupBy("event_type", "peak", "n_intervals")
+        .agg(F.min("t").cast("bigint").alias("first_peak_us"))
+        .select("event_type", "peak", "first_peak_us", "n_intervals")
+    )

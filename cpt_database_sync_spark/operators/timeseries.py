@@ -733,3 +733,155 @@ def cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_days"),
         F.expr(_XCORR_EXPR).alias("xcorr"),
     )
+
+
+_BINSEG_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    walk AS (
+      SELECT event_type, dn,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dn
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY dn)
+                  AS BIGINT) AS j,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily
+    ),
+    cp1 AS (
+      SELECT event_type, j AS j1, prefix AS prefix1
+      FROM (
+        SELECT event_type, j, prefix,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY abs(n * prefix - j * total) DESC, dn) AS rnk
+        FROM walk
+      ) WHERE rnk = 1
+    ),
+    seg AS (
+      SELECT w.event_type, w.dn, w.j, w.prefix, w.n, w.total,
+             c.j1, c.prefix1,
+             CASE WHEN w.j <= c.j1 THEN 'left' ELSE 'right' END AS side,
+             CASE WHEN w.j <= c.j1
+                  THEN c.j1 * w.prefix - w.j * c.prefix1
+                  ELSE (w.n - c.j1) * (w.prefix - c.prefix1)
+                       - (w.j - c.j1) * (w.total - c.prefix1)
+             END AS ns2
+      FROM walk w JOIN cp1 c USING (event_type)
+    ),
+    lvl2 AS (
+      SELECT event_type, side, dn, ns2,
+             row_number() OVER (PARTITION BY event_type, side
+                                ORDER BY abs(ns2) DESC, dn) AS rnk
+      FROM seg
+    ),
+    lvl1 AS (
+      SELECT w.event_type, 1 AS lvl, 'all' AS side, w.dn,
+             w.n * w.prefix - w.j * w.total AS ns
+      FROM walk w JOIN cp1 c USING (event_type) WHERE w.j = c.j1
+    )
+    SELECT event_type, CAST(lvl AS INT) AS lvl, side,
+           CAST(dn AS BIGINT) AS cp_dn, CAST(ns AS BIGINT) AS ns
+    FROM (
+      SELECT * FROM lvl1
+      UNION ALL
+      SELECT event_type, 2 AS lvl, side, dn, ns2 AS ns
+      FROM lvl2 WHERE rnk = 1
+    )
+"""
+
+
+@register("binseg_changepoints", oracle=_BINSEG_SQL)
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY SEGMENTATION over the per-type daily series — the
+    multi-changepoint extension of `cusum_changepoint` (one shift is
+    rarely the whole story: a ramp-up AND a regression look like one
+    smeared shift to single-CUSUM): level 1 is the global CUSUM argmax;
+    the series then splits there and each side reports ITS OWN argmax
+    of the segment-relative statistic ns'_j = len·(prefix_j −
+    prefix_{a−1}) − pos·(segment total) — the classic top-down
+    segmentation step, emitted as (type, level, side, day, ns).
+
+    Exactness (the cusum_changepoint doctrine, recursively applied):
+    every statistic is an exact BIGINT product difference — no mean, no
+    division, no float anywhere; argmax ties break to the earliest day
+    at both levels; both engines rank identical integers. A
+    single-day series yields ns = 0 rows at every level (no shift
+    detectable); segment statistics are IDENTICALLY defined on both
+    sides, so empty right segments (changepoint at the last day)
+    vanish identically.
+
+    Physics: the daily rollup is the only raw-data shuffle; the walk,
+    the level-1 argmax, the broadcast of the |types|-row cp1 relation,
+    and both level-2 argmaxes all run over calendar-sized data
+    clustered by the same event_type key. Deeper trees repeat the same
+    broadcast-join + rank step — depth scales with changepoints
+    sought, never with volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", _dn().alias("dn")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("dn")
+    walk = (
+        daily.select("event_type", "dn", "c")
+        .withColumn(
+            "prefix",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .withColumn("j", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type")).cast("bigint")
+        )
+        .withColumn(
+            "total", F.sum("c").over(Window.partitionBy("event_type")).cast("bigint")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ns1 = F.col("n") * F.col("prefix") - F.col("j") * F.col("total")
+    rnk1 = Window.partitionBy("event_type").orderBy(F.abs(ns1).desc(), "dn")
+    cp1 = (
+        walk.withColumn("rnk", F.row_number().over(rnk1))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("event_type").alias("ct"),
+            F.col("j").alias("j1"),
+            F.col("prefix").alias("prefix1"),
+        )
+    )
+    seg = walk.join(F.broadcast(cp1), F.col("event_type") == F.col("ct"))
+    is_left = F.col("j") <= F.col("j1")
+    ns2 = F.when(
+        is_left,
+        F.col("j1") * F.col("prefix") - F.col("j") * F.col("prefix1"),
+    ).otherwise(
+        (F.col("n") - F.col("j1")) * (F.col("prefix") - F.col("prefix1"))
+        - (F.col("j") - F.col("j1")) * (F.col("total") - F.col("prefix1"))
+    )
+    lvl2_base = seg.select(
+        "event_type",
+        F.when(is_left, F.lit("left")).otherwise(F.lit("right")).alias("side"),
+        "dn",
+        ns2.alias("ns2"),
+    )
+    rnk2 = Window.partitionBy("event_type", "side").orderBy(
+        F.abs(F.col("ns2")).desc(), "dn"
+    )
+    lvl2 = (
+        lvl2_base.withColumn("rnk", F.row_number().over(rnk2))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.lit(2).cast("int").alias("lvl"),
+            "side",
+            F.col("dn").cast("long").alias("cp_dn"),
+            F.col("ns2").cast("long").alias("ns"),
+        )
+    )
+    lvl1 = seg.filter(F.col("j") == F.col("j1")).select(
+        "event_type",
+        F.lit(1).cast("int").alias("lvl"),
+        F.lit("all").alias("side"),
+        F.col("dn").cast("long").alias("cp_dn"),
+        ns1.cast("long").alias("ns"),
+    )
+    return lvl1.unionByName(lvl2)

@@ -715,3 +715,175 @@ def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded, ["event_type"], "stream_holt_", varchar_lengths={"event_type": 64}
     )
     return served
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval-coverage (gaps-and-islands union as per-user state)
+# ---------------------------------------------------------------------------
+
+_IC_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, n_islands bigint, "
+    "covered_us bigint, span_us bigint"
+)
+# state: closed-island totals (ne, ni, cov), the OPEN island (os, oe),
+# global span endpoints (fs, me), the finalized frontier fr (late-data
+# guard), and the pending buffer "s,e,eid|..." of events newer than the
+# watermark.
+_IC_STATE_SCHEMA = (
+    "ne bigint, ni bigint, cov bigint, os bigint, oe bigint, "
+    "fs bigint, me bigint, fr bigint, pend string"
+)
+
+IC_MAX_DISORDER = "45 days"  # the TWA_MAX_DISORDER sizing argument
+
+
+def _ic_fold(acc: tuple, events: list[tuple[int, int, int]]) -> tuple:
+    """Fold (s, e, event_id)-sorted intervals into the island
+    accumulator. Sorted-by-s input makes the open island's max end THE
+    running max end (a new island only ever starts past every previous
+    end), so `s <= oe` is exactly the batch window's
+    `s <= max(e) over preceding` merge test."""
+    ne, ni, cov, os_, oe, fs, me = acc
+    for s, e, _eid in events:
+        ne += 1
+        fs = s if fs is None else min(fs, s)
+        me = e if me is None else max(me, e)
+        if os_ is None:
+            os_, oe = s, e
+        elif s <= oe:
+            oe = max(oe, e)
+        else:
+            ni += 1
+            cov += oe - os_
+            os_, oe = s, e
+    return ne, ni, cov, os_, oe, fs, me
+
+
+def _ic_decode(pend_s: str | None) -> list[tuple[int, int, int]]:
+    if not pend_s:
+        return []
+    out = []
+    for item in pend_s.split("|"):
+        s, e, eid = item.split(",")
+        out.append((int(s), int(e), int(eid)))
+    return out
+
+
+def _ic_encode(pend: list[tuple[int, int, int]]) -> str | None:
+    if not pend:
+        return None
+    return "|".join(f"{s},{e},{eid}" for s, e, eid in pend)
+
+
+def _user_islands(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-delayed island fold (the `_user_twa` machinery applied
+    to interval union): events the watermark passed finalize into the
+    closed/open-island accumulator exactly once in (s, e, event_id)
+    order; newer events pend and re-fold at every emission, so the
+    emitted row is the user's exact batch interval_coverage over
+    everything seen, under any chronological micro-batch split and any
+    within-watermark disorder. An event starting before the finalized
+    frontier arriving past the delay is dropped (the late-data
+    contract). State = O(1) accumulator + watermark-bounded buffer."""
+    if state.exists:
+        ne, ni, cov, os_, oe, fs, me, fr, pend_s = state.get
+        pend = _ic_decode(pend_s)
+    else:
+        ne, ni, cov, os_, oe, fs, me, fr = 0, 0, 0, None, None, None, None, None
+        pend = []
+    for pdf in pdfs:
+        for s, e, eid in zip(pdf["s"], pdf["e"], pdf["event_id"]):
+            pend.append((int(s), int(e), int(eid)))
+    if getattr(state, "_watermark_present", True):
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except PySparkRuntimeError:  # no watermark on the stream
+            wm_us = 0
+    else:
+        wm_us = 0
+    pend.sort()
+    ripe = [ev for ev in pend if ev[0] <= wm_us]
+    pend = [ev for ev in pend if ev[0] > wm_us]
+    if fr is not None:
+        ripe = [ev for ev in ripe if ev[0] >= fr]
+    acc = _ic_fold((ne, ni, cov, os_, oe, fs, me), ripe)
+    ne, ni, cov, os_, oe, fs, me = acc
+    fr = ripe[-1][0] if ripe else fr
+    state.update((ne, ni, cov, os_, oe, fs, me, fr, _ic_encode(pend)))
+    tne, tni, tcov, tos, toe, tfs, tme = _ic_fold(acc, pend)
+    if tne > 0:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [tne],
+                "n_islands": [tni + (1 if tos is not None else 0)],
+                "covered_us": [tcov + ((toe - tos) if tos is not None else 0)],
+                "span_us": [tme - tfs],
+            }
+        )
+
+
+from cpt_database_sync_spark.operators.analytics import (  # noqa: E402
+    _INTERVAL_COVERAGE_SQL,
+    IC_MOD_MIN,
+)
+
+
+@register("stream_interval_coverage", oracle=_INTERVAL_COVERAGE_SQL)
+def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING merged-interval coverage — `interval_coverage`'s
+    gaps-and-islands union maintained as per-user state instead of a
+    batch window pass: the state carries the closed-island totals plus
+    the one OPEN island, each arriving hold either extends the open
+    island or closes it and opens the next. The utilization/SLA counter
+    a metering pipeline serves continuously — the batch twin re-sorts
+    every user's full history each run; the stream folds only the
+    events the watermark just closed.
+
+    Exactness: the ORACLE IS THE BATCH ORACLE, verbatim (the
+    stream_holt / stream_time_weighted batch≡stream discipline). All
+    arithmetic is BIGINT µs; the fold consumes events in the exact
+    (s, e, event_id) total order the batch window uses, and the
+    sorted-by-s invariant makes the open island's end the running max
+    end — the same merge test, row for row (see ``_ic_fold``).
+    Cross-batch disorder is absorbed by the watermark-delayed
+    finalize + pend re-fold (``_user_islands``); the split-invariance
+    gate runs in tests/test_units.py.
+
+    Serving: cumulative per-user rows through the keyed MERGE sink —
+    one current coverage row per user at all times (update mode).
+
+    Scale: O(1) state + O(delay-window events) pend per user; users
+    shard across state-store partitions; the one corpus-sized exchange
+    is the per-key shuffle every stateful op pays.
+    """
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .withWatermark("ts", IC_MAX_DISORDER)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+            ).alias("e"),
+        )
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _user_islands,
+        outputStructType=_IC_OUT_SCHEMA,
+        stateStructType=_IC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from cpt_database_sync_spark.streaming.windows import (  # noqa: PLC0415
+        serve_keyed_stream,
+    )
+
+    served, _ = serve_keyed_stream(folded, ["user_id"], "stream_ic_")
+    return served

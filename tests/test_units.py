@@ -2527,3 +2527,87 @@ def test_stream_twa_pend_buffer_soak_bounded_under_disorder():
         ref_num.quantize(Decimal("0.000001"))
     )
     assert max_pend >= EVENTS_PER_BATCH  # the buffer was genuinely exercised
+
+
+def test_stream_interval_coverage_invariant_under_batch_splits(spark, sf_dir):
+    """stream_interval_coverage serves CUMULATIVE per-user island rows
+    through the keyed MERGE sink; a multi-batch chronological split must
+    produce a serving table BIT-EQUAL to the batch interval_coverage
+    (the batch≡stream discipline — oracle is the batch oracle)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cpt_database_sync_spark.operators.analytics import (
+        IC_MOD_MIN,
+        interval_coverage,
+    )
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _IC_OUT_SCHEMA,
+        _IC_STATE_SCHEMA,
+        IC_MAX_DISORDER,
+        _user_islands,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+
+    sweep_scratch("ic_split_")
+    workdir = os.path.join(scratch_dir(), "ic_split_src")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "ic_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .withWatermark("ts", IC_MAX_DISORDER)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+            ).alias("e"),
+        )
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _user_islands,
+        outputStructType=_IC_OUT_SCHEMA,
+        stateStructType=_IC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, progresses = serve_keyed_stream(folded, ["user_id"], "ic_split_serve_")
+    multi = {tuple(r) for r in served.collect()}
+    assert sum(p["numInputRows"] for p in progresses if p) > 0
+    batch = {tuple(r) for r in interval_coverage(spark, sf_dir).collect()}
+    assert multi == batch, (
+        f"split stream diverged from batch: only-stream={multi - batch} "
+        f"only-batch={batch - multi}"
+    )
