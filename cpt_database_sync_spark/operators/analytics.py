@@ -2102,9 +2102,11 @@ def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physics (unchanged from anomaly_mad, the "Done" condition): two
     aggregation passes over events plus one map-only gate/rank pass,
-    every statistics relation |types|-sized and broadcast — no window
-    over the corpus, no corpus sort; the sketch swap is what removes
-    the exact percentile's per-group value buffer at 100 TB.
+    every statistics relation |types|-sized, lineage-cut (so the
+    multi-consumer DAG provably re-reads the tiny snapshots, never the
+    corpus — plan-gated at exactly one live fact scan) and broadcast —
+    no window over the corpus, no corpus sort; the sketch swap is what
+    removes the exact percentile's per-group value buffer at 100 TB.
     """
     ev = (
         load(spark, sf_dir, "events")
@@ -2117,7 +2119,7 @@ def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("nv"),
         F.percentile("value", 0.5).alias("med"),
         F.percentile_approx("value", 0.5, ANOM_ACC).alias("a_med"),
-    )
+    ).localCheckpoint(eager=False)
     s1 = p1.select(F.col("event_type").alias("t1"), "a_med", "med")
     # pass 2: residuals about the exact median — exact MAD, the MAD
     # sketch, and the a_med rank counts, in one aggregation
@@ -2133,6 +2135,7 @@ def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") <= F.col("a_med")).cast("long")).alias("le_med"),
         )
         .withColumnRenamed("event_type", "t2")
+        .localCheckpoint(eager=False)
     )
     stats = p1.join(
         F.broadcast(p2), F.col("event_type") == F.col("t2"), "left"
@@ -2367,22 +2370,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dn"),
         )
     )
-    ref = o.agg(F.max("dn").alias("refdn"))
-    rfm = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max("dn").alias("lastdn"),
-            F.count(F.lit(1)).alias("f_orders"),
-            (
-                F.coalesce(
-                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)
-                )
-                * 100
+    base = o.groupBy("o_custkey").agg(
+        F.max("dn").alias("lastdn"),
+        F.count(F.lit(1)).alias("f_orders"),
+        (
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)
             )
-            .cast("bigint")
-            .alias("m_cents"),
+            * 100
         )
-        .crossJoin(F.broadcast(ref))
+        .cast("bigint")
+        .alias("m_cents"),
+    ).localCheckpoint(eager=False)
+    # reference date from the ROLLUP (max of per-customer last days ≡
+    # global max day): orders are scanned exactly once — a second
+    # fact-scan branch for one scalar is the shape the plan gates ban
+    ref = base.agg(F.max("lastdn").alias("refdn"))
+    rfm = (
+        base.crossJoin(F.broadcast(ref))
         .select(
             "o_custkey",
             (F.col("refdn") - F.col("lastdn")).alias("r_days"),
@@ -2431,24 +2436,23 @@ _CONCURRENCY_SQL = f"""
       SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
     ),
     run AS (
-      SELECT event_type, t, delta,
+      SELECT event_type, t,
              SUM(delta) OVER (PARTITION BY event_type
                               ORDER BY t, delta, event_id
                               ROWS UNBOUNDED PRECEDING) AS running
       FROM pts
     ),
-    peak AS (
-      SELECT event_type, CAST(MAX(running) AS BIGINT) AS peak,
-             CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
-      FROM run GROUP BY event_type
+    run2 AS (
+      SELECT event_type, t, running,
+             MAX(running) OVER (PARTITION BY event_type) AS mr
+      FROM run
     )
-    SELECT r.event_type,
-           p.peak,
-           CAST(MIN(r.t) AS BIGINT) AS first_peak_us,
-           p.n_intervals
-    FROM run r
-    JOIN peak p ON p.event_type = r.event_type AND r.running = p.peak
-    GROUP BY r.event_type, p.peak, p.n_intervals
+    SELECT event_type,
+           CAST(MAX(running) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN running = mr THEN t END) AS BIGINT)
+             AS first_peak_us,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+    FROM run2 GROUP BY event_type
 """
 
 
@@ -2486,37 +2490,39 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.unix_micros("ts")
     e = s + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
-    iv = ev.select("event_type", "event_id", s.alias("s"), e.alias("e"))
-    pts = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
-    ).unionByName(
-        iv.select(
-            "event_type",
-            F.col("e").alias("t"),
-            F.lit(-1).alias("delta"),
-            "event_id",
-        )
-    )
+    # endpoint expansion via explode, NOT a two-branch union: the union
+    # form scans events twice; this keeps ONE scan with a 2× generator
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    s.alias("t"), F.lit(1).alias("delta"),
+                    F.col("event_id").alias("event_id"),
+                ),
+                F.struct(
+                    e.alias("t"), F.lit(-1).alias("delta"),
+                    F.col("event_id").alias("event_id"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.delta", "p.event_id")
     w = (
         Window.partitionBy("event_type")
         .orderBy("t", "delta", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # single-branch argmin trick: the partition-wide max rides the SAME
+    # sorted window pass (unbounded frame over the identical partition
+    # spec — no extra exchange, no second corpus branch to re-expand)
+    wp = Window.partitionBy("event_type")
     run = pts.select(
-        "event_type", "t", "delta", F.sum("delta").over(w).alias("running")
-    )
-    peak = run.groupBy("event_type").agg(
+        "event_type", "t", F.sum("delta").over(w).alias("running")
+    ).withColumn("mr", F.max("running").over(wp))
+    return run.groupBy("event_type").agg(
         F.max("running").cast("bigint").alias("peak"),
+        F.min(F.when(F.col("running") == F.col("mr"), F.col("t")))
+        .cast("bigint")
+        .alias("first_peak_us"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
-    )
-    pk = peak.select(F.col("event_type").alias("pt"), "peak", "n_intervals")
-    return (
-        run.join(
-            F.broadcast(pk),
-            (F.col("event_type") == F.col("pt"))
-            & (F.col("running") == F.col("peak")),
-        )
-        .groupBy("event_type", "peak", "n_intervals")
-        .agg(F.min("t").cast("bigint").alias("first_peak_us"))
-        .select("event_type", "peak", "first_peak_us", "n_intervals")
     )

@@ -1584,7 +1584,7 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.95).alias("p95"),
         F.percentile_approx("value", 0.05, WINSOR_ACC).alias("a05"),
         F.percentile_approx("value", 0.95, WINSOR_ACC).alias("a95"),
-    )
+    ).localCheckpoint(eager=False)
     joined = ev.join(F.broadcast(bounds), "event_type")
     wv = (
         F.when(F.col("value") < F.col("p05"), F.col("p05"))

@@ -1745,3 +1745,87 @@ def test_graph_copartitioned_hatch_bit_identical_and_shuffled(spark, sf_dir):
     assert "BroadcastHashJoin" in bc_plan, (
         "broadcast lane must broadcast the iterate relation"
     )
+
+
+def test_r10_keys_plan_physics(spark, sf_dir):
+    """One physics gate per r10 operator (the per-addition plan-gate
+    doctrine): scan counts prove single-pass claims, broadcast/exchange
+    shapes prove the documented join/shuffle structure. Counts use
+    'simple' explain mode (each node printed once)."""
+    from cpt_database_sync_spark.operators.analytics import (
+        anomaly_mad_approx,
+        concurrency_peak,
+        interval_coverage,
+        rfm_segments,
+    )
+    from cpt_database_sync_spark.operators.graph import connected_components
+    from cpt_database_sync_spark.operators.stats import (
+        gini_concentration,
+        hhi_concentration,
+        lorenz_deciles,
+        quantile_normalize,
+        winsorize_approx,
+    )
+    from cpt_database_sync_spark.operators.timeseries import (
+        binseg_changepoints,
+        cross_correlation_lag,
+        rolling_corr,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # approx robust-stats lanes: N documented passes, stats broadcast
+    # lineage-cut stats snapshots: the served plan holds exactly ONE
+    # live fact scan (the final gate/clamp pass); earlier passes live
+    # behind their checkpoint cuts, so the multi-consumer DAG can never
+    # re-expand a corpus subtree
+    p = plan(anomaly_mad_approx)
+    assert p.count("Scan parquet") == 1 and "ExistingRDD" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = plan(winsorize_approx)
+    assert p.count("Scan parquet") == 1 and "ExistingRDD" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # graph components: fact consumed once via the checkpointed flows
+    p = plan(connected_components)
+    assert "ExistingRDD" in p and "lineitem" not in p
+    assert p.count("Scan parquet") == 1, "only the nation dim is scanned"
+
+    # island union: ONE user-keyed exchange, no join anywhere
+    p = plan(interval_coverage)
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+    # concentration family: dimension scans only, documented joins
+    p = plan(gini_concentration)
+    assert p.count("Scan parquet") == 2  # customer + orders, once each
+    p = plan(hhi_concentration)
+    assert p.count("Scan parquet") == 2 and "BroadcastHashJoin" in p
+    p = plan(lorenz_deciles)
+    assert p.count("Scan parquet") == 2
+
+    # correlation family: one corpus rollup; the lag sweep never
+    # re-touches events (checkpointed daily relation)
+    p = plan(rolling_corr)
+    assert p.count("Scan parquet") == 1
+    p = plan(cross_correlation_lag)
+    assert "ExistingRDD" in p and p.count("Scan parquet") == 0
+    assert "BroadcastHashJoin" in p  # 15-row lag dimension broadcasts
+
+    # rank-statistic family
+    p = plan(quantile_normalize)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1
+    p = plan(rfm_segments)
+    assert "ExistingRDD" in p and p.count("Scan parquet") == 0, (
+        "orders must be scanned once, at the rollup checkpoint"
+    )
+
+    # binary segmentation: the walk is computed once
+    p = plan(binseg_changepoints)
+    assert "ExistingRDD" in p and p.count("Scan parquet") == 0
+
+    # endpoint sweep: one scan, generator expansion (not a 2-branch union)
+    p = plan(concurrency_peak)
+    assert p.count("Scan parquet") == 1 and "Generate explode" in p
+    assert "Union" not in p
