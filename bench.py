@@ -179,6 +179,7 @@ HEADLINE = [
     "binseg_changepoints",
     "concurrency_peak",
     "stream_interval_coverage",
+    "ngram_novelty",
 ]
 
 

@@ -1440,3 +1440,89 @@ def dedup_substring_excise(
             ).alias("cleaned_text"),
         )
     )
+
+
+_NOVELTY_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {SHINGLE_K}
+                  THEN list_distinct(list_transform(range(1, len(w) - {SHINGLE_K - 2}),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    firsts AS (SELECT g, MIN(doc_id) AS first_id FROM e GROUP BY g),
+    per AS (
+      SELECT e.doc_id,
+             SUM(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM e JOIN firsts f USING (g) GROUP BY e.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM s)
+    SELECT z.doc_id,
+           CAST(z.n AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(COALESCE(p.n_novel, 0) AS DOUBLE)
+                 / NULLIF(CAST(z.n AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+             AS novelty
+    FROM sizes z LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("ngram_novelty", oracle=_NOVELTY_SQL)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the curation-order metric the dedup
+    family doesn't report: for each doc, the share of its word
+    3-shingles whose FIRST corpus occurrence (minimum doc_id) is this
+    doc. Documents near 0 are recombinations of earlier material even
+    when no single near-duplicate exists (`dedup_minhash` finds pairwise
+    twins; this finds diffuse redundancy) — the standard signal for
+    ordering/down-weighting scraped corpora and for memorization audits.
+
+    Exactness: shingle sets reuse the `dedup_ngram` definition verbatim
+    (SHINGLE_K distinct word shingles, the shared s/e CTE shape); first
+    occurrence is an exact MIN over doc ids; counts are exact BIGINTs
+    and the one novelty division is exact-int/exact-int on both engines
+    (NULL for a doc with < SHINGLE_K words — no shingles, no novelty).
+    NULL doc_id docs surface with their shingle count and 0 novel
+    (a NULL id can never equal a MIN) on both sides.
+
+    Physics: one explode of the shingle relation, ONE map-side-combined
+    MIN per shingle (the heavy, dedup-shaped exchange — hash-partitioned
+    on the shingle, the same key the join back needs, so Catalyst reuses
+    the partitioning), one per-doc re-aggregation. No pair join exists
+    anywhere — novelty is linear in corpus shingles where the exact
+    pairwise Jaccard is quadratic. At 100 TB the exchange carries
+    xxhash64(shingle) 8-byte keys instead of shingle strings (the
+    `dedup_substring` hashed-window-key upgrade, documented there);
+    hot-shingle skew rides AQE's skew split.
+    """
+    d = load(spark, sf_dir, "documents")
+    sets = shingle_sets(d)
+    e = sets.select("doc_id", F.explode("sh").alias("g"))
+    firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    per = (
+        e.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel")
+        )
+        .withColumnRenamed("doc_id", "p_id")
+    )
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
+    return (
+        sizes.join(per, sizes.doc_id == F.col("p_id"), "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("novelty"),
+        )
+    )
