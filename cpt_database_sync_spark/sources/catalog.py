@@ -200,6 +200,12 @@ def catalog_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``schema_introspect``).
     """
     db = _CATALOG_PERSIST_DB
+    # Reap any stale database left by a DEAD prior process (ADVICE r10:
+    # pids recycle, so a crash before the finally-DROP could leave a
+    # same-named database with unexpected contents) — dropping our own
+    # name before creating it makes the round-trip self-healing without
+    # scanning the whole metastore.
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     try:
         for t in ("nation", "region"):

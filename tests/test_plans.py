@@ -1014,6 +1014,67 @@ def test_dedup_substring_plan_shape(spark, sf_dir):
     )
 
 
+def test_ngram_novelty_hashed_exchange_plan_shape(spark, sf_dir):
+    """ngram_novelty's at-scale contract (VERDICT r10 next #4): the hot
+    full-corpus exchange keys on xxhash64(shingle) — 8 bytes, string
+    pruned — and the literal shingle string appears ONLY in the
+    bucket-local (h, g) verify aggregate over the multi-doc candidate
+    slice. No pair join anywhere."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_dedup import ngram_novelty
+
+    plan = plan_string(ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan, "shingle key must be hashed for the hot exchange"
+    key_sets = [
+        [k.strip() for k in m.split(",")]
+        for m in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    ]
+    g_keyed = [ks for ks in key_sets if any(k.startswith("g#") for k in ks)]
+    assert g_keyed and all(len(ks) == 2 for ks in g_keyed), (
+        f"string shingle key may only appear in the (h, g) verify agg: {key_sets}"
+    )
+    assert re.search(r"hashpartitioning\(h#\d+L?, \d+\)", plan), (
+        "hot exchange must partition on the hash key alone"
+    )
+
+
+def test_dedup_cluster_edge_source_banded_plan_shape(spark, sf_dir):
+    """The cluster-stage 100 TB edge source (VERDICT r10 next #1): above
+    DEDUP_PAIR_DOC_CEILING, near_dup_pairs must plan the banded-MinHash
+    candidate join (band_hash equality) with NO shingle self-join — no
+    aggregate or join keyed on a shingle string column anywhere (the
+    banded lane works entirely on int64-hashed shingle sets), and no
+    cartesian/nested-loop form."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        DEDUP_PAIR_DOC_CEILING,
+        JACCARD_THRESHOLD,
+        near_dup_pairs,
+    )
+    from cpt_database_sync_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_string(
+        near_dup_pairs(docs, JACCARD_THRESHOLD, DEDUP_PAIR_DOC_CEILING + 1)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan, "candidates must come from LSH banding"
+    key_sets = [
+        [k.strip() for k in m.split(",")]
+        for m in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    ]
+    assert not any(
+        k.startswith("g#") or k.startswith("win#")
+        for ks in key_sets
+        for k in ks
+    ), f"banded lane must never key on a shingle string: {key_sets}"
+
+
 def test_dedup_substring_excise_plan_shape(spark, sf_dir):
     """Same linear-pass contract as the detector, plus the kept-token
     reassembly must be a map-only HOF projection (no per-token shuffle:

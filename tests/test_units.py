@@ -2193,6 +2193,55 @@ def test_substring_dedup_hashed_lane_matches_string_lane(spark, sf_dir):
     assert exc_h == exc_s
 
 
+def test_ngram_novelty_hashed_lane_matches_string_lane(spark, sf_dir):
+    """Differential gate for the novelty at-scale lane (VERDICT r10
+    next #4): the hashed formulation (xxhash64 hot exchange, single-doc
+    buckets credited without a join back, bucket-local string verify on
+    the multi-doc slice) must produce byte-identical output to the
+    direct string-keyed formulation. Any collision-handling bug (a
+    merged bucket mis-crediting a first occurrence) breaks equality."""
+    from cpt_database_sync_spark.operators.llm_dedup import ngram_novelty
+
+    nov_h = sorted(
+        map(tuple, ngram_novelty(spark, sf_dir, hashed=True).collect())
+    )
+    nov_s = sorted(
+        map(tuple, ngram_novelty(spark, sf_dir, hashed=False).collect())
+    )
+    assert nov_h == nov_s
+    assert any(
+        r[3] is not None and r[3] < 1.0 for r in nov_h
+    ), "fixture must exercise at least one repeated (non-novel) shingle"
+
+
+def test_dedup_cluster_stage_banded_lane_matches_exact(spark, sf_dir):
+    """Differential gate for the cluster-stage edge-source dispatch
+    (VERDICT r10 next #1): above DEDUP_PAIR_DOC_CEILING the CC edges
+    come from banded-MinHash candidates + exact-Jaccard verify instead
+    of the quadratic shingle self-join. Clusters AND keepers must be
+    identical across lanes — banding recall at J >= threshold is 1.0 on
+    this corpus (probed; any fixture regeneration that breaks recall
+    surfaces here, not in production)."""
+    from cpt_database_sync_spark.operators.llm_dedup import (
+        DEDUP_PAIR_DOC_CEILING,
+        dedup_canonical,
+        dedup_clusters,
+    )
+
+    big = DEDUP_PAIR_DOC_CEILING + 1
+    cl_exact = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+    cl_banded = sorted(
+        map(tuple, dedup_clusters(spark, sf_dir, n_docs_hint=big).collect())
+    )
+    assert cl_exact == cl_banded
+    assert cl_exact, "fixture must exercise at least one duplicate cluster"
+    ca_exact = sorted(map(tuple, dedup_canonical(spark, sf_dir).collect()))
+    ca_banded = sorted(
+        map(tuple, dedup_canonical(spark, sf_dir, n_docs_hint=big).collect())
+    )
+    assert ca_exact == ca_banded
+
+
 def test_catalog_persist_round_trip(spark, sf_dir):
     """catalog_persist must (a) produce exactly the literal expected
     listing, (b) be idempotent — mode('overwrite') makes a second
