@@ -2227,7 +2227,7 @@ _INTERVAL_COVERAGE_SQL = f"""
 """
 
 
-@register("interval_coverage", oracle=_INTERVAL_COVERAGE_SQL)
+@register("interval_coverage", oracle=_INTERVAL_COVERAGE_SQL, tags=("reverify:r11",))
 def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-interval coverage per user — the gaps-and-islands union
     the sessionize family doesn't cover: each event holds the channel
@@ -2458,8 +2458,28 @@ _CONCURRENCY_SQL = f"""
 """
 
 
-@register("concurrency_peak", oracle=_CONCURRENCY_SQL)
-def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-key endpoint-volume ceiling for the single-window sweep: the ±1
+# endpoint sweep's parallelism is bounded by |event_type|, and one
+# dominant type funnels 2×|its events| endpoint rows through a single
+# task's sort (VERDICT r10 scale finding #2). Above the ceiling the
+# sweep runs TWO-LEVEL (the distributed prefix-sum shape): endpoints
+# chunk by time range, each (type, chunk) computes its delta sum +
+# local running max + first-max time in parallel, a second window over
+# the CHUNK AGGREGATES (|chunks| rows per type, not |events|) prefixes
+# the incoming balance, and the global peak/first-time assemble from
+# per-chunk (balance + local max). Bit-identical to the window form
+# (differential-tested): chunks are contiguous time ranges, so
+# (chunk, t, delta, event_id) is the same total order, the local max
+# plus incoming balance is the chunk's global running max, and the
+# earliest chunk attaining the global peak holds the earliest peak row.
+CONCURRENCY_WINDOW_ROW_CEILING = 50_000_000
+CONCURRENCY_CHUNK_US = 6 * 3_600_000_000  # 6 h endpoint chunks
+
+
+@register("concurrency_peak", oracle=_CONCURRENCY_SQL, tags=("reverify:r11",))
+def concurrency_peak(
+    spark: SparkSession, sf_dir: str, n_per_key_hint: int = 0
+) -> DataFrame:
     """Peak concurrency per channel — the capacity question
     `interval_coverage` doesn't answer (union length says how LONG the
     channel was busy; this says how DEEP it stacked): over the same
@@ -2509,6 +2529,60 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("event_type", "p.t", "p.delta", "p.event_id")
+    if n_per_key_hint > CONCURRENCY_WINDOW_ROW_CEILING:
+        # Two-level sweep: chunk-local partials over (type, time-chunk)
+        # — parallelism |type|×|chunks| — then a prefix window over the
+        # chunk AGGREGATES only (see CONCURRENCY_WINDOW_ROW_CEILING).
+        pts = pts.withColumn(
+            "c", F.floor(F.col("t") / CONCURRENCY_CHUNK_US)
+        )
+        w_local = (
+            Window.partitionBy("event_type", "c")
+            .orderBy("t", "delta", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wp_local = Window.partitionBy("event_type", "c")
+        local = pts.select(
+            "event_type",
+            "c",
+            "t",
+            "delta",
+            F.sum("delta").over(w_local).alias("lr"),
+        ).withColumn("lm", F.max("lr").over(wp_local))
+        chunk_agg = local.groupBy("event_type", "c").agg(
+            F.sum("delta").alias("sd"),
+            F.max("lr").alias("lm"),
+            F.min(F.when(F.col("lr") == F.col("lm"), F.col("t"))).alias(
+                "t_first"
+            ),
+            F.count(F.lit(1)).alias("n_pts"),
+        )
+        w_prefix = (
+            Window.partitionBy("event_type")
+            .orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        chunk2 = (
+            chunk_agg.withColumn(
+                "b", F.coalesce(F.sum("sd").over(w_prefix), F.lit(0))
+            )
+            .withColumn("gm", F.col("b") + F.col("lm"))
+            .withColumn(
+                "gpeak", F.max("gm").over(Window.partitionBy("event_type"))
+            )
+        )
+        return chunk2.groupBy("event_type").agg(
+            F.max("gm").cast("bigint").alias("peak"),
+            F.min(
+                F.when(
+                    F.col("gm") == F.col("gpeak"),
+                    F.struct(F.col("c"), F.col("t_first")),
+                )
+            )["t_first"]
+            .cast("bigint")
+            .alias("first_peak_us"),
+            (F.sum("n_pts") / 2).cast("bigint").alias("n_intervals"),
+        )
     w = (
         Window.partitionBy("event_type")
         .orderBy("t", "delta", "event_id")

@@ -531,6 +531,7 @@ def cc_oracle(pairs_sql: str, id_col: str) -> str:
     oracle=cc_oracle(
         f"WITH {_NGRAM_PAIR_CTES} SELECT a_id, b_id FROM pairs", "doc_id"
     ),
+    tags=("reverify:r11",),
 )
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, n_docs_hint: int = 0
@@ -924,7 +925,7 @@ def _canonical_oracle() -> str:
     """
 
 
-@register("dedup_canonical", oracle=_canonical_oracle())
+@register("dedup_canonical", oracle=_canonical_oracle(), tags=("reverify:r11",))
 def dedup_canonical(
     spark: SparkSession, sf_dir: str, n_docs_hint: int = 0
 ) -> DataFrame:

@@ -178,7 +178,7 @@ _CATALOG_PERSIST_SQL = "\nUNION ALL\n".join(
 )
 
 
-@register("catalog_persist", oracle=_CATALOG_PERSIST_SQL, tags=("reverify:r10",))
+@register("catalog_persist", oracle=_CATALOG_PERSIST_SQL, tags=("reverify:r11",))
 def catalog_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable-catalog round-trip — the metastore analogue of the
     reference's information_schema discovery (`handler/Handler.java:

@@ -1075,6 +1075,35 @@ def test_dedup_cluster_edge_source_banded_plan_shape(spark, sf_dir):
     ), f"banded lane must never key on a shingle string: {key_sets}"
 
 
+def test_concurrency_peak_two_level_plan_shape(spark, sf_dir):
+    """The two-level sweep's physics (VERDICT r10 next #6): the
+    corpus-sized window pass must partition by (event_type, chunk) —
+    parallelism |type|×|chunks|, no single-task funnel for a dominant
+    type — and the only window partitioned by event_type alone runs
+    over the chunk AGGREGATES (post-aggregation, |chunks| rows/type).
+    The chunk aggregation itself must be map-side combined."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import (
+        CONCURRENCY_WINDOW_ROW_CEILING,
+        concurrency_peak,
+    )
+
+    plan = plan_string(
+        concurrency_peak(
+            spark, sf_dir, n_per_key_hint=CONCURRENCY_WINDOW_ROW_CEILING + 1
+        )
+    )
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, c#\d+L", plan
+    ), f"corpus window must partition by (event_type, chunk):\n{plan}"
+    assert "partial_sum" in plan or "partial_count" in plan, (
+        "chunk aggregation is not map-side combined"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_substring_excise_plan_shape(spark, sf_dir):
     """Same linear-pass contract as the detector, plus the kept-token
     reassembly must be a map-only HOF projection (no per-token shuffle:

@@ -2242,6 +2242,32 @@ def test_dedup_cluster_stage_banded_lane_matches_exact(spark, sf_dir):
     assert ca_exact == ca_banded
 
 
+def test_concurrency_peak_two_level_matches_window_form(spark, sf_dir):
+    """Differential gate for the hot-key scale lane (VERDICT r10 next
+    #6): above CONCURRENCY_WINDOW_ROW_CEILING the sweep runs two-level
+    (chunk-local delta partials → prefix over chunk aggregates) instead
+    of one per-type ordered window over all endpoints. Peaks, first-peak
+    times and interval counts must be bit-identical across lanes."""
+    from cpt_database_sync_spark.operators.analytics import (
+        CONCURRENCY_WINDOW_ROW_CEILING,
+        concurrency_peak,
+    )
+
+    win = sorted(map(tuple, concurrency_peak(spark, sf_dir).collect()))
+    two = sorted(
+        map(
+            tuple,
+            concurrency_peak(
+                spark, sf_dir, n_per_key_hint=CONCURRENCY_WINDOW_ROW_CEILING + 1
+            ).collect(),
+        )
+    )
+    assert win == two
+    assert win and any(r[1] > 1 for r in win), (
+        "fixture must exercise a stacked (peak > 1) channel"
+    )
+
+
 def test_catalog_persist_round_trip(spark, sf_dir):
     """catalog_persist must (a) produce exactly the literal expected
     listing, (b) be idempotent — mode('overwrite') makes a second
@@ -2576,6 +2602,101 @@ def test_stream_twa_pend_buffer_soak_bounded_under_disorder():
         ref_num.quantize(Decimal("0.000001"))
     )
     assert max_pend >= EVENTS_PER_BATCH  # the buffer was genuinely exercised
+
+
+def test_stream_interval_coverage_pend_buffer_soak_bounded_under_disorder():
+    """VERDICT r10 next #5: the interval-coverage pend buffer observed
+    over 250 micro-batches of sustained 45-day event-time disorder —
+    each batch delivers one fresh event at the advancing frontier, one
+    mid-window straggler 20 days stale, and one event exactly AT the
+    trailing watermark (ripe immediately), while the watermark trails
+    the frontier by the full IC_MAX_DISORDER. The pend buffer must hold
+    EXACTLY the delivered events newer than the watermark (never the
+    finalized history — the bound is disorder-window events per user),
+    and after a drain the accumulator must equal the batch
+    gaps-and-islands fold of the complete event history."""
+    import pandas as pd
+
+    from cpt_database_sync_spark.streaming.stateful import (
+        _ic_decode,
+        _user_islands,
+    )
+
+    DAY_US = 86_400_000_000
+    DISORDER_US = 45 * DAY_US  # IC_MAX_DISORDER
+    state = _FakeGroupState()
+    all_events = []  # (s, e, eid)
+    max_pend = 0
+    eid = 0
+    n_batches = 250
+    for batch in range(n_batches):
+        frontier = (1_000 + batch) * DAY_US
+        wm_us = frontier - DISORDER_US
+        batch_events = []
+        for s in (
+            frontier,  # fresh
+            frontier - 20 * DAY_US + (batch % 7) * 3_600_000_000,  # straggler
+            wm_us,  # at the watermark: ripe in this very batch
+        ):
+            # durations up to 90 min (islands) plus every 9th event held
+            # 30 h so consecutive days sometimes merge into one island
+            dur = (
+                30 * 3_600_000_000
+                if eid % 9 == 0
+                else ((eid % 90) + 1) * 60_000_000
+            )
+            batch_events.append((s, s + dur, eid))
+            eid += 1
+        all_events.extend(batch_events)
+        state.wm_ms = wm_us // 1000
+        pdf = pd.DataFrame(
+            {
+                "s": [e[0] for e in batch_events],
+                "e": [e[1] for e in batch_events],
+                "event_id": [e[2] for e in batch_events],
+            }
+        )
+        list(_user_islands((7,), iter([pdf]), state))
+        pend = _ic_decode(state.get[8])
+        max_pend = max(max_pend, len(pend))
+        expected = sorted(ev for ev in all_events if ev[0] > wm_us)
+        assert sorted(pend) == expected, (
+            f"pend buffer diverged from the within-window event set at "
+            f"batch {batch}: {len(pend)} vs {len(expected)}"
+        )
+    # bound statement: fresh events pend for 45 batches (1 day/batch),
+    # stragglers for 25 — the buffer never exceeds the disorder window
+    assert max_pend <= 45 + 25 + 2
+    # drain: watermark past everything, then compare to the batch fold
+    state.wm_ms = (all_events[-1][0] + DISORDER_US + DAY_US) // 1000
+    out = list(
+        _user_islands(
+            (7,),
+            iter([pd.DataFrame({"s": [], "e": [], "event_id": []})]),
+            state,
+        )
+    )
+    assert _ic_decode(state.get[8]) == []  # buffer fully drained
+    evs = sorted(all_events)
+    ne, ni, cov = len(evs), 0, 0
+    os_, oe = None, None
+    for s, e, _ in evs:
+        if os_ is None:
+            os_, oe = s, e
+        elif s <= oe:
+            oe = max(oe, e)
+        else:
+            ni += 1
+            cov += oe - os_
+            os_, oe = s, e
+    ni += 1
+    cov += oe - os_
+    span = max(e for _, e, _ in evs) - min(s for s, _, _ in evs)
+    assert out[0]["n_events"][0] == ne
+    assert out[0]["n_islands"][0] == ni
+    assert out[0]["covered_us"][0] == cov
+    assert out[0]["span_us"][0] == span
+    assert ni > 1 and max_pend >= 45  # the soak genuinely exercised both
 
 
 def test_stream_interval_coverage_invariant_under_batch_splits(spark, sf_dir):
