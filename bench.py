@@ -180,6 +180,13 @@ HEADLINE = [
     "concurrency_peak",
     "stream_interval_coverage",
     "ngram_novelty",
+    "interval_gaps",
+    "concurrency_histogram",
+    "kalman_filter_1d",
+    "theil_sen_trend",
+    "drift_ks",
+    "chi2_independence",
+    "stream_concurrency",
 ]
 
 

@@ -2294,6 +2294,232 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_GAPS_SQL = f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % {IC_MOD_MIN}) + 1) * 60000000 AS e
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    marked AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, e, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, isl, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, isl
+    ),
+    gaps AS (
+      SELECT user_id, me,
+             LEAD(ms) OVER (PARTITION BY user_id ORDER BY isl) AS next_ms
+      FROM merged
+    )
+    SELECT user_id,
+           CAST(COUNT(next_ms) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(SUM(next_ms - me), 0) AS BIGINT) AS gap_total_us,
+           CAST(MAX(next_ms - me) AS BIGINT) AS gap_max_us
+    FROM gaps GROUP BY user_id
+"""
+
+
+@register("interval_gaps", oracle=_INTERVAL_GAPS_SQL)
+def interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-gap profile per user — the COMPLEMENT of
+    `interval_coverage`: where coverage measures the holding-set union,
+    this measures the holes between merged islands (count, total idle
+    µs, longest single outage). The downtime/starvation primitive: SLA
+    reports quote both "how long was it busy" and "how long and how
+    often was it dark", and the longest gap is the headline incident
+    number. Single-island users report 0 gaps (NULL max — no gap
+    exists to have a length, distinct from a zero-length one, which
+    half-open merge semantics make impossible).
+
+    Exactness: the island derivation is `interval_coverage`'s verbatim
+    (same totally ordered (s, e, event_id) frames, same BIGINT µs
+    lanes); gaps are LEAD(ms) − me over the islands, strictly positive
+    by the merge invariant. NULL ts / event_id rows are out of contract
+    on both sides.
+
+    Physics: the SAME one user-keyed shuffle feeds every window pass
+    (island marking, running island id, the per-user island LEAD) —
+    the merged-island relation is |islands| rows per user, so the gap
+    window runs over already-clustered reduced data; nothing
+    corpus-sized follows the first exchange.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    s = F.unix_micros("ts")
+    e = s + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pm = F.max("e").over(w_prev)
+    marked = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(pm.isNull() | (F.col("s") > pm), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("isl")
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("isl")
+    gaps = merged.select(
+        "user_id", "me", F.lead("ms").over(w_isl).alias("next_ms")
+    )
+    g = F.col("next_ms") - F.col("me")
+    return gaps.groupBy("user_id").agg(
+        F.count("next_ms").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum(g), F.lit(0)).cast("long").alias("gap_total_us"),
+        F.max(g).cast("long").alias("gap_max_us"),
+    )
+
+
+_CONC_HIST_SQL = f"""
+    WITH iv AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % {IC_MOD_MIN}) + 1) * 60000000 AS e
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+      SELECT event_type, t,
+             SUM(delta) OVER w AS running,
+             LEAD(t) OVER w AS next_t,
+             MAX(t) OVER (PARTITION BY event_type)
+               - MIN(t) OVER (PARTITION BY event_type) AS span_us
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           CAST(running AS BIGINT) AS depth,
+           CAST(SUM(next_t - t) AS BIGINT) AS dur_us,
+           round(CAST(SUM(next_t - t) AS DOUBLE)
+                 / CAST(MAX(span_us) AS DOUBLE), 9) AS share
+    FROM run
+    WHERE next_t IS NOT NULL
+    GROUP BY event_type, running
+    HAVING SUM(next_t - t) > 0
+"""
+
+
+@register("concurrency_histogram", oracle=_CONC_HIST_SQL)
+def concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted concurrency-DEPTH histogram per channel —
+    `concurrency_peak` answers "how deep did it stack and when"; this
+    answers "how long did it spend at EVERY depth" (depth 0 = idle time
+    inside the observed span): after each endpoint in the ±1 sweep the
+    running depth holds until the next endpoint, so total time at depth
+    d is Σ(next_t − t) over sweep rows with running = d. Capacity
+    planning reads this directly (p-th busiest depth, idle share,
+    overflow exposure above a license count) where the peak alone
+    over-provisions.
+
+    Exactness: the endpoint stream, its (t, delta, event_id) total
+    order and BIGINT µs lanes are `concurrency_peak`'s verbatim; LEAD
+    rides the identical window frame on both engines, so every
+    (depth, duration) cell is bit-equal. Zero-duration cells (depths
+    crossed transiently inside an equal-t tie block — artifacts of tie
+    order, not occupancy) are excluded by the HAVING on both sides; the
+    share divides two exact BIGINTs in one rounded double op. The last
+    endpoint (depth 0 forever after) has no next and is out of the
+    span by construction.
+
+    Physics: identical to the peak sweep — one type-keyed shuffle, one
+    within-partition sort feeding running sum + LEAD + span extrema in
+    the SAME window pass, then a map-side-combined rollup over (type,
+    depth). The hot-key escape hatch is the peak's two-level chunk
+    device (CONCURRENCY_WINDOW_ROW_CEILING): per-chunk local histograms
+    need only the chunk's incoming balance — the same prefix over chunk
+    aggregates — to shift local depths to global ones.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    s = F.unix_micros("ts")
+    e = s + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    s.alias("t"), F.lit(1).alias("delta"),
+                    F.col("event_id").alias("event_id"),
+                ),
+                F.struct(
+                    e.alias("t"), F.lit(-1).alias("delta"),
+                    F.col("event_id").alias("event_id"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.delta", "p.event_id")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("event_type").orderBy(
+        "t", "delta", "event_id"
+    )
+    wp = Window.partitionBy("event_type")
+    run = pts.select(
+        "event_type",
+        "t",
+        F.sum("delta").over(w).alias("running"),
+        F.lead("t").over(w_lead).alias("next_t"),
+        (F.max("t").over(wp) - F.min("t").over(wp)).alias("span_us"),
+    )
+    d = F.col("next_t") - F.col("t")
+    return (
+        run.filter(F.col("next_t").isNotNull())
+        .groupBy("event_type", F.col("running").alias("depth"))
+        .agg(
+            F.sum(d).cast("long").alias("dur_us"),
+            F.round(
+                F.sum(d).cast("double") / F.max("span_us").cast("double"), 9
+            ).alias("share"),
+        )
+        .filter(F.col("dur_us") > 0)
+        .select("event_type", F.col("depth").cast("long"), "dur_us", "share")
+    )
+
+
 RFM_BUCKETS = 4  # quartile scores per dimension
 
 _RFM_SQL = f"""

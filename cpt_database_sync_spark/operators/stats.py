@@ -1956,3 +1956,266 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cum_share"),
     )
+
+
+# Exact two-sample Kolmogorov–Smirnov drift, before/after the SAME
+# calibration cutoff drift_psi uses — the two monitors pair: PSI is the
+# binned, smoothed index (robust, thresholdable); KS is the exact
+# sup-CDF-gap with a distribution-free critical value. α = 0.05 →
+# c(α) = 1.358 (the classic Smirnov asymptotic constant).
+KS_CRIT = 1.358
+
+_DRIFT_KS_SQL = f"""
+    WITH v AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{PSI_CUTOFF}' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE value IS NOT NULL AND isfinite(value)
+        AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, value,
+             SUM(a) AS ca, SUM(1 - a) AS cb
+      FROM v GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, value,
+             SUM(ca) OVER w AS cua, SUM(cb) OVER w AS cub,
+             SUM(ca) OVER wt AS na, SUM(cb) OVER wt AS nb
+      FROM per_v
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING),
+             wt AS (PARTITION BY event_type)
+    ),
+    d AS (
+      SELECT event_type, MAX(na) AS n_before, MAX(nb) AS n_after,
+             MAX(abs(CAST(cua AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cub AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat
+      FROM cum WHERE na > 0 AND nb > 0
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT) AS n_after,
+           d_stat,
+           d_stat > {KS_CRIT} * sqrt(
+             CAST(n_before + n_after AS DOUBLE)
+             / (CAST(n_before AS DOUBLE) * CAST(n_after AS DOUBLE))
+           ) AS drifted
+    FROM d
+"""
+
+
+@register("drift_ks", oracle=_DRIFT_KS_SQL)
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per event type —
+    `drift_psi`'s companion monitor over the SAME before/after cutoff:
+    PSI bins and smooths (robust, but its value depends on the bin
+    calibration); KS is binning-free — D = sup_x |F̂_before(x) −
+    F̂_after(x)| over the empirical CDFs — with the distribution-free
+    Smirnov threshold c(α)·√((n+m)/(n·m)), so `drifted` is an actual
+    hypothesis test, not a rule of thumb. The pair is the standard
+    drift dashboard: PSI for trend lines, KS for alarms.
+
+    Exactness: per distinct value the before/after counts are exact
+    BIGINTs; each CDF gap is two exact-integer divisions, one subtract,
+    one abs — identical IEEE ops on identical operands (no
+    transcendentals, so no libm-ulp hedge needed; the MAX over
+    identical float sets is identical). NaN/±Inf values are quarantined
+    by the non-finite doctrine; NULL value / ts / type rows are out of
+    contract on both sides. Types with an empty side have no defined D
+    and are excluded (WHERE na > 0 AND nb > 0).
+
+    Physics: one type-keyed exchange of the (type, value)-deduplicated
+    counts feeds both the ordered cumulative window and the totals;
+    everything upstream is a map-side-combined groupBy. The per-type
+    sort is over DISTINCT values. A key whose distinct-value count
+    explodes swaps in the GK-sketch lane (`winsorize_approx`'s
+    documented trade: D to within the sketch's rank ε) or the two-level
+    chunked prefix (`concurrency_peak`'s device) — both shapes already
+    in the engine.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.abs("value") != float("inf"))
+    )
+    a = (F.col("ts") < F.lit(PSI_CUTOFF).cast("timestamp")).cast("long")
+    per_v = ev.groupBy("event_type", "value").agg(
+        F.sum(a).alias("ca"), F.sum(1 - a).alias("cb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = per_v.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cua"),
+        F.sum("cb").over(w).alias("cub"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cua").cast("double") / F.col("na").cast("double")
+        - F.col("cub").cast("double") / F.col("nb").cast("double")
+    )
+    d = (
+        cum.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_before"),
+            F.max("nb").cast("long").alias("n_after"),
+            F.max(gap).alias("d_stat"),
+        )
+    )
+    crit = F.lit(KS_CRIT) * F.sqrt(
+        (F.col("n_before") + F.col("n_after")).cast("double")
+        / (
+            F.col("n_before").cast("double")
+            * F.col("n_after").cast("double")
+        )
+    )
+    return d.select(
+        "event_type",
+        "n_before",
+        "n_after",
+        "d_stat",
+        (F.col("d_stat") > crit).alias("drifted"),
+    )
+
+
+_CHI2_SQL = """
+    WITH cells AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             COUNT(*) AS n_obs
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT prio, status, n_obs,
+             SUM(n_obs) OVER (PARTITION BY prio) AS r_tot,
+             SUM(n_obs) OVER (PARTITION BY status) AS c_tot,
+             SUM(n_obs) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT prio, status, n,
+             (CAST(n_obs AS DOUBLE)
+              - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS g
+      FROM m
+    ),
+    folded AS (
+      SELECT MAX(n) AS n,
+             COUNT(DISTINCT prio) AS n_prio,
+             COUNT(DISTINCT status) AS n_status,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(g ORDER BY prio, status)),
+               (acc, x) -> acc + x) AS chi2
+      FROM contrib
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_prio AS INT) AS n_prio,
+           CAST(n_status AS INT) AS n_status,
+           CAST((n_prio - 1) * (n_status - 1) AS INT) AS dof,
+           chi2,
+           sqrt(chi2 / (CAST(n AS DOUBLE)
+                        * CAST(least(n_prio, n_status) - 1 AS DOUBLE)))
+             AS cramers_v
+    FROM folded
+"""
+
+
+@register("chi2_independence", oracle=_CHI2_SQL)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence over the order-priority ×
+    order-status contingency table, with Cramér's V effect size — the
+    categorical-association screen `mutual_info_categorical` (bits)
+    and `corr_matrix` (numeric) don't provide in test-statistic form:
+    χ² = Σ_cells (O − E)²/E with E = row·col/N, dof = (r−1)(c−1),
+    V = √(χ²/(N·(min(r,c)−1))). The feature-audit primitive — "is this
+    categorical column informative about that one" with a calibrated
+    null.
+
+    Exactness: observed counts and margins are exact BIGINTs from ONE
+    cell rollup (margins via windows over the CELLS, never a second
+    corpus pass); each expected value and cell contribution is a fixed
+    IEEE expression over exact integers; and the cross-cell sum — the
+    one float AGGREGATION — is a LEFT FOLD over the (prio, status)-
+    sorted cell list on BOTH engines (Spark HOF ``aggregate``, DuckDB
+    ``list_reduce`` with a SCALAR accumulator — the safe case; float
+    addition is non-associative, so an agg-based SUM would be
+    partition-order-dependent — the drift_psi doctrine). sqrt is
+    correctly rounded per IEEE-754, so chi2 and cramers_v are raw
+    bit-equal doubles. NULL categories are excluded as out of contract.
+
+    Physics: one map-side-combined corpus rollup to r×c cells;
+    everything after runs on the cell relation (r×c rows — catalog-
+    sized at any corpus volume). The fold list is r×c long; at 100 TB
+    nothing changes.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    m = cells.select(
+        "prio",
+        "status",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("prio")).alias("r_tot"),
+        F.sum("n_obs").over(Window.partitionBy("status")).alias("c_tot"),
+        F.sum("n_obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = (
+        F.col("r_tot").cast("double")
+        * F.col("c_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    g = (F.col("n_obs").cast("double") - e) * (
+        F.col("n_obs").cast("double") - e
+    ) / e
+    contrib = m.select("prio", "status", "n", g.alias("g"))
+    folded = contrib.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("prio").alias("n_prio"),
+        F.countDistinct("status").alias("n_status"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(prio, status, g))), s -> s.g), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("chi2"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_prio").cast("int").alias("n_prio"),
+        F.col("n_status").cast("int").alias("n_status"),
+        ((F.col("n_prio") - 1) * (F.col("n_status") - 1))
+        .cast("int")
+        .alias("dof"),
+        "chi2",
+        # try_divide: a 1×c or r×1 table has min(r,c)−1 = 0 — V is
+        # undefined (NULL), matching DuckDB's x/0 → NULL (degenerate-
+        # fixture gate; ANSI division would abort instead).
+        F.sqrt(
+            F.try_divide(
+                F.col("chi2"),
+                F.col("n").cast("double")
+                * (F.least("n_prio", "n_status") - 1).cast("double"),
+            )
+        ).alias("cramers_v"),
+    )

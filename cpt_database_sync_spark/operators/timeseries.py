@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 # Autocorrelation horizon: one week of daily lags captures the weekly
@@ -534,6 +535,226 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.l").alias("level"),
         F.col("st.b").alias("trend"),
         (F.col("st.l") + F.lit(HOLT_H) * F.col("st.b")).alias("forecast_h"),
+    )
+
+
+# Scalar Kalman filter (random-walk state, noisy observation): process
+# variance Q and observation variance R are exact binary constants so
+# the per-step arithmetic stays in the identical-IEEE-ops regime.
+KALMAN_Q = 0.25
+KALMAN_R = 1.0
+
+_KALMAN_STEP = {
+    # the predicted variance, gain, level and posterior variance — ONE
+    # canonical expression text per quantity, substituted into both the
+    # Spark HOF fold and the recursive-CTE oracle so the two engines
+    # run the IDENTICAL IEEE op sequence (the holt_linear_forecast
+    # doctrine). {p}/{l}/{x} are the accumulator/observation slots.
+    "pp": f"({{p}} + CAST({KALMAN_Q} AS DOUBLE))",
+    "k": f"(({{p}} + CAST({KALMAN_Q} AS DOUBLE))"
+    f" / (({{p}} + CAST({KALMAN_Q} AS DOUBLE)) + CAST({KALMAN_R} AS DOUBLE)))",
+}
+_KALMAN_L = "({l} + {k} * ({x} - {l}))"
+_KALMAN_P = "((CAST(1 AS DOUBLE) - {k}) * {pp})"
+
+
+def _kalman_exprs(l: str, p: str, x: str) -> tuple[str, str, str]:
+    """(l', p', k) step expressions over accumulator slots l, p and
+    observation x — one definition feeding both engines."""
+    pp = _KALMAN_STEP["pp"].format(p=p)
+    k = _KALMAN_STEP["k"].format(p=p)
+    return (
+        _KALMAN_L.format(l=l, k=k, x=x),
+        _KALMAN_P.format(k=k, pp=pp),
+        k,
+    )
+
+
+def _kalman_sql() -> str:
+    nl, np_, nk = _kalman_exprs("h.l", "h.p", "s.x")
+    return f"""
+    WITH RECURSIVE {_DAILY_COUNT_CTE},
+    seq AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY dn) AS i,
+             CAST(c AS DOUBLE) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    h(event_type, i, l, p, k) AS (
+      SELECT event_type, i, x, CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i, {nl}, {np_}, {nk}
+      FROM h JOIN seq s ON s.event_type = h.event_type AND s.i = h.i + 1
+    ),
+    fin AS (SELECT event_type, MAX(i) AS n_days FROM seq GROUP BY event_type)
+    SELECT f.event_type,
+           CAST(f.n_days AS BIGINT) AS n_days,
+           h.l AS level,
+           h.p AS var_post,
+           h.k AS gain
+    FROM fin f
+    JOIN h ON h.event_type = f.event_type AND h.i = f.n_days
+"""
+
+
+@register("kalman_filter_1d", oracle=_kalman_sql())
+def kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter over the per-type daily count series — the
+    optimal-gain counterpart to the FIXED-gain smoothers already in the
+    family (`ewma_smoothing` α is constant; `holt_linear_forecast` adds
+    a trend but keeps α, β constant): random-walk state with process
+    noise Q and observation noise R, per step the predicted variance
+    pp = p + Q sets the gain k = pp/(pp+R), the level moves k of the
+    way to the observation, and the posterior variance contracts to
+    (1−k)·pp. The gain therefore ANNEALS — large while the estimate is
+    uncertain, converging to the steady-state Riccati fixed point — the
+    standard sensor-fusion / metric-denoising primitive. Init l₁ = x₁,
+    p₁ = 1, k₁ = 0.
+
+    Exactness: a non-associative ordered fold, same doctrine as
+    `holt_linear_forecast` — Spark replays it as a HOF ``aggregate``
+    over the dn-sorted daily array, the oracle as a recursive CTE
+    stepping i → i+1, and BOTH substitute the same canonical step
+    expression text (``_kalman_exprs``) so each step runs the identical
+    IEEE op sequence and the outputs are bit-equal raw doubles (Q, R
+    are exact binary constants; no list_reduce — DuckDB v1.0.0 mutates
+    struct accumulators field-by-field). NULL-day / NULL-type rows are
+    out of contract on both sides as in every series op.
+
+    Physics: one map-side-combined daily rollup is the only
+    corpus-sized stage; the fold is calendar-sized per type. Unbounded
+    keys run the recurrence as stateful streaming ((l, p) state row per
+    key — `stream_holt`'s shape).
+
+    Reference has no time-series surface at all (SURVEY §2B); this is
+    BASELINE-mandated analytics closure.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+    )
+    nl, np_, nk = _kalman_exprs("acc.l", "acc.p", "x")
+    fold = F.expr(
+        f"""
+        aggregate(
+          transform(sort_array(collect_list(struct(dn, c))),
+                    s -> CAST(s.c AS DOUBLE)),
+          named_struct('l', CAST(0 AS DOUBLE), 'p', CAST(0 AS DOUBLE),
+                       'k', CAST(0 AS DOUBLE), 'n', CAST(0 AS BIGINT)),
+          (acc, x) -> CASE WHEN acc.n = 0
+            THEN named_struct('l', x, 'p', CAST(1 AS DOUBLE),
+                              'k', CAST(0 AS DOUBLE), 'n', CAST(1 AS BIGINT))
+            ELSE named_struct('l', {nl}, 'p', {np_}, 'k', {nk},
+                              'n', acc.n + 1)
+          END)
+        """
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        fold.alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.p").alias("var_post"),
+        F.col("st.k").alias("gain"),
+    )
+
+
+_THEIL_SEN_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS DOUBLE) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) / CAST(b.dn - a.dn AS DOUBLE) AS s
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.dn < b.dn
+    ),
+    fit AS (
+      SELECT event_type,
+             COUNT(*) AS n_pairs,
+             quantile_cont(s, 0.5) AS slope
+      FROM slopes GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(f.n_pairs) AS BIGINT) AS n_pairs,
+           MAX(f.slope) AS slope,
+           quantile_cont(d.x - f.slope * CAST(d.dn AS DOUBLE), 0.5)
+             AS intercept
+    FROM fit f JOIN d ON d.event_type = f.event_type
+    GROUP BY f.event_type
+"""
+
+
+@register("theil_sen_trend", oracle=_THEIL_SEN_SQL)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise slopes over the daily count series, with the median-
+    residual intercept: the robust counterpart to `trend_fit`'s OLS
+    (29% breakdown point — a spiked day drags a least-squares slope but
+    not the slope MEDIAN), the standard trend estimator for noisy ops
+    series.
+
+    Exactness: each pairwise slope is one exact-integer-count
+    subtraction and one IEEE division; the median is the same
+    ``percentile`` ↔ ``quantile_cont`` interpolation pairing
+    `agg_percentile` pins; the intercept pass reuses the now-scalar
+    slope per type (one broadcast join), so every float op runs on
+    identical operands in identical order — raw doubles, no rounding
+    hedge. NULL-day/-type rows are out of series contract as in every
+    ts op.
+
+    Physics: the pair join runs over the DAILY relation — calendar-
+    sized (|days|² per type, ~400 pairs per type-month), never the
+    corpus; one map-side-combined rollup is the only corpus-sized
+    stage, and the intercept join broadcasts a |types|-row fit
+    relation. At planetary day counts (10⁴ days = 5·10⁷ pairs/key) the
+    same shape holds; beyond that the repeated-median variant samples
+    pairs per point — documented swap, not needed at any realistic
+    calendar span.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("double").alias("x"))
+    )
+    daily = bounded_cache("theil_sen.daily", daily)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.dn") < F.col("b.dn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / (F.col("b.dn") - F.col("a.dn")).cast("double")
+        ).alias("s"),
+    )
+    fit = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("s", 0.5).alias("slope"),
+    ).withColumnRenamed("event_type", "f_et")
+    j = daily.join(
+        F.broadcast(fit), F.col("event_type") == F.col("f_et")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.max("slope").alias("slope"),
+        F.percentile(
+            F.col("x") - F.col("slope") * F.col("dn").cast("double"), 0.5
+        ).alias("intercept"),
     )
 
 

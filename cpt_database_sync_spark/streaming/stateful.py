@@ -887,3 +887,183 @@ def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     served, _ = serve_keyed_stream(folded, ["user_id"], "stream_ic_")
     return served
+
+
+# ---------------------------------------------------------------------------
+# Streaming peak concurrency (the ±1 endpoint sweep as per-type state)
+# ---------------------------------------------------------------------------
+
+_CONC_OUT_SCHEMA = (
+    "event_type string, peak bigint, first_peak_us bigint, "
+    "n_intervals bigint"
+)
+# state: current depth after the finalized endpoint prefix, the peak so
+# far with its first attainment time, finalized endpoint count, the
+# finalized frontier (late-endpoint guard) and the pending buffer
+# "t,d,eid|..." of endpoints newer than the watermark.
+_CONC_STATE_SCHEMA = (
+    "running bigint, peak bigint, fp bigint, np bigint, fr bigint, "
+    "pend string"
+)
+
+
+def _conc_fold(acc: tuple, pts: list[tuple[int, int, int]]) -> tuple:
+    """Fold (t, delta, event_id)-sorted endpoints into the sweep
+    accumulator. The first time the running depth EXCEEDS the peak is
+    the batch window's MIN(t | running = max) — in a monotone scan the
+    max is first attained by a strict increase, and order is by t."""
+    running, peak, fp, np_ = acc
+    for t, d, _eid in pts:
+        running += d
+        np_ += 1
+        if running > peak:
+            peak, fp = running, t
+    return running, peak, fp, np_
+
+
+def _conc_decode(pend_s: str | None) -> list[tuple[int, int, int]]:
+    if not pend_s:
+        return []
+    out = []
+    for item in pend_s.split("|"):
+        t, d, eid = item.split(",")
+        out.append((int(t), int(d), int(eid)))
+    return out
+
+
+def _conc_encode(pend: list[tuple[int, int, int]]) -> str | None:
+    if not pend:
+        return None
+    return "|".join(f"{t},{d},{eid}" for t, d, eid in pend)
+
+
+def _type_sweep(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-delayed endpoint sweep (the `_user_islands` machinery
+    applied to depth counting): endpoints the watermark passed finalize
+    into the (running, peak, first-time) accumulator exactly once in
+    (t, delta, event_id) order — a close sorts before an open at the
+    same t (−1 < +1, the half-open [s, e) contract) — and newer
+    endpoints pend and re-fold at every emission, so the emitted row is
+    the type's exact batch concurrency_peak over everything seen, under
+    any chronological micro-batch split. An endpoint older than the
+    finalized frontier is dropped (late-data contract). State = O(1)
+    accumulator + watermark-bounded buffer (both endpoints of an event
+    trail its ts by at most the max holding duration, so the buffer is
+    bounded by disorder-window + 90 min of endpoints)."""
+    if state.exists:
+        running, peak, fp, np_, fr, pend_s = state.get
+        pend = _conc_decode(pend_s)
+    else:
+        running, peak, fp, np_, fr = 0, 0, None, 0, None
+        pend = []
+    for pdf in pdfs:
+        for s, e, eid in zip(pdf["s"], pdf["e"], pdf["event_id"]):
+            pend.append((int(s), 1, int(eid)))
+            pend.append((int(e), -1, int(eid)))
+    if getattr(state, "_watermark_present", True):
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except PySparkRuntimeError:  # no watermark on the stream
+            wm_us = 0
+    else:
+        wm_us = 0
+    pend.sort()
+    ripe = [p for p in pend if p[0] <= wm_us]
+    pend = [p for p in pend if p[0] > wm_us]
+    if fr is not None:
+        ripe = [p for p in ripe if p[0] >= fr]
+    running, peak, fp, np_ = _conc_fold((running, peak, fp, np_), ripe)
+    fr = ripe[-1][0] if ripe else fr
+    state.update((running, peak, fp, np_, fr, _conc_encode(pend)))
+    trun, tpeak, tfp, tnp = _conc_fold((running, peak, fp, np_), pend)
+    if tnp > 0:
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "peak": [tpeak],
+                "first_peak_us": [tfp],
+                "n_intervals": [tnp // 2],
+            }
+        )
+
+
+from cpt_database_sync_spark.operators.analytics import (  # noqa: E402
+    _CONCURRENCY_SQL,
+    IC_MOD_MIN as _CONC_MOD_MIN,
+)
+
+
+@register("stream_concurrency", oracle=_CONCURRENCY_SQL)
+def stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING peak concurrency — `concurrency_peak`'s ±1 endpoint
+    sweep maintained as per-type state instead of a batch window pass:
+    each event contributes its open (+1) and close (−1) endpoints to
+    the pending buffer; endpoints the watermark closes fold into a
+    constant-size (depth, peak, first-time) accumulator in the exact
+    batch total order. The live capacity gauge a licensing/pool/GPU
+    scheduler serves continuously — the batch twin re-sorts every
+    type's full endpoint history each run; the stream folds only what
+    the watermark just closed.
+
+    Exactness: the ORACLE IS THE BATCH ORACLE, verbatim (the
+    `stream_interval_coverage` batch≡stream discipline). All BIGINT µs
+    and integer deltas; the fold consumes endpoints in the identical
+    (t, delta, event_id) order (−1 before +1 at equal t — half-open
+    semantics), and "first strict increase to the max" in a monotone
+    scan is provably the batch MIN(t | running = max). Cross-batch
+    disorder is absorbed by the watermark-delayed finalize + pend
+    re-fold; split invariance is gated in tests/test_units.py and the
+    pend bound is soaked under 45-day disorder alongside the IC state
+    machine's.
+
+    Serving: cumulative per-type rows through the keyed MERGE sink —
+    one current (peak, first time, interval count) row per type at all
+    times (update mode).
+
+    Scale: O(1) state + O(delay-window + max-duration endpoints) pend
+    per type; types shard across state-store partitions; the one
+    corpus-sized exchange is the per-key shuffle every stateful op
+    pays. A single dominant type funnels only its ENDPOINT STREAM
+    through one state partition — the same key-cardinality bound as
+    the batch window form; the batch two-level chunk device is the
+    rebalance lane when a key outgrows a partition.
+    """
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withWatermark("ts", IC_MAX_DISORDER)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + ((F.col("event_id") % _CONC_MOD_MIN) + 1) * 60_000_000
+            ).alias("e"),
+        )
+    )
+    folded = ev.groupBy("event_type").applyInPandasWithState(
+        _type_sweep,
+        outputStructType=_CONC_OUT_SCHEMA,
+        stateStructType=_CONC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from cpt_database_sync_spark.streaming.windows import (  # noqa: PLC0415
+        serve_keyed_stream,
+    )
+
+    served, _ = serve_keyed_stream(
+        folded,
+        ["event_type"],
+        "stream_conc_",
+        varchar_lengths={"event_type": 64},
+    )
+    return served

@@ -1,0 +1,120 @@
+"""Heavy-tail scale STEP-UP sweep (VERDICT r10 next #7): time the most
+expensive registry keys at two scale factors and differentially verify
+the larger one, converting 100 TB design claims into measured scaling
+curves.
+
+    python tests/stepup.py [small_dir] [big_dir] [key ...]
+
+Defaults: sf0.1 → /tmp/sf1 (build it first with make_scale_fixture.py)
+over STEPUP_KEYS. For each key: best-of-2 wall time at each dir (fresh
+fixture-independent engine session, count() materialization — the bench
+protocol), then the full DuckDB parity compare at the BIG dir.
+Golden-fingerprint-keyed oracles (committed expectations for the
+driver's corpora only) are timed but reported oracle=golden-skip — the
+differential gate cannot re-derive them for a generated corpus.
+
+Prints one JSON line at the end for SURVEY §5.2 #11.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Top of BENCH_DETAIL r10 by per-key min, plus the newest scale-claim
+# operators the verdict names (CC, binseg, novelty, concurrency).
+STEPUP_KEYS = [
+    "stream_join_outer",
+    "dedup_canonical",
+    "triangle_count",
+    "connected_components",
+    "stream_drift_psi",
+    "stream_sessionize_stateful",
+    "stream_minhash_index",
+    "anomaly_mad_approx",
+    "benford_check",
+    "dedup_substring",
+    "bpe_learn",
+    "join_skew_aqe",
+    "shortest_path_weighted",
+    "stream_holt",
+    "stream_interval_coverage",
+    "stream_cusum",
+    "assoc_rules",
+    "kmeans_spherical",
+    "anomaly_mad",
+    "frequent_pairs",
+    "binseg_changepoints",
+    "ngram_novelty",
+    "concurrency_peak",
+    "interval_coverage",
+]
+
+
+def time_key(fn, spark, sf_dir: str, trials: int = 2) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    import duckdb
+
+    from cpt_database_sync_spark.plans.registry import all_specs
+    from cpt_database_sync_spark.session import get_spark
+    from cpt_database_sync_spark.sources.tables import ALL_TABLES
+    from tests.parity import run_query_pair
+
+    argv = sys.argv[1:]
+    small = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    big = argv[1] if len(argv) > 1 else "/tmp/sf1"
+    keys = argv[2:] or STEPUP_KEYS
+
+    specs = all_specs()
+    spark = get_spark(app_name="stepup")
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{big}/{t}.parquet'")
+
+    out: dict[str, dict] = {}
+    for name in keys:
+        spec = specs[name]
+        # warmup at the smallest fixture (bench protocol)
+        spec.fn(spark, "/root/testdata/sf0.001").count()
+        t_small = time_key(spec.fn, spark, small)
+        t_big = time_key(spec.fn, spark, big)
+        golden = spec.oracle and "corpus_md5" in spec.oracle
+        if spec.oracle and not golden:
+            problems, nrows = run_query_pair(
+                spark, con, spec.fn, spec.oracle, big
+            )
+            status = "pass" if not problems else "FAIL"
+            if problems:
+                print(f"  {name} PARITY PROBLEMS: {problems[:2]}")
+        else:
+            nrows = spec.fn(spark, big).count()
+            status = "golden-skip" if golden else "rows-only"
+        ratio = round(t_big / t_small, 2) if t_small > 0 else None
+        out[name] = {
+            "t_small": t_small,
+            "t_big": t_big,
+            "ratio": ratio,
+            "parity": status,
+            "rows_big": nrows,
+        }
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s (x{ratio}) "
+            f"[{status}, {nrows} rows]"
+        )
+    print(json.dumps({"small": small, "big": big, "stepup": out}))
+
+
+if __name__ == "__main__":
+    main()

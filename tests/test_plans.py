@@ -1919,3 +1919,64 @@ def test_r10_keys_plan_physics(spark, sf_dir):
     p = plan(concurrency_peak)
     assert p.count("Scan parquet") == 1 and "Generate explode" in p
     assert "Union" not in p
+
+
+def test_r11_keys_plan_physics(spark, sf_dir):
+    """One physics gate per r11 batch operator (the per-addition
+    plan-gate doctrine): scan counts prove single-pass claims,
+    exchange/join shapes prove the documented shuffle structure.
+    (stream_concurrency's physics are gated by its split-invariance
+    test and 45-day-disorder pend soak in test_units.py.)"""
+    from cpt_database_sync_spark.operators.analytics import (
+        concurrency_histogram,
+        interval_gaps,
+    )
+    from cpt_database_sync_spark.operators.stats import (
+        chi2_independence,
+        drift_ks,
+    )
+    from cpt_database_sync_spark.operators.timeseries import (
+        kalman_filter_1d,
+        theil_sen_trend,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # kalman: one corpus scan, map-side-combined daily rollup, the fold
+    # is per-group HOF over calendar arrays — no join anywhere
+    p = plan(kalman_filter_1d)
+    assert p.count("Scan parquet") == 1 and "partial_count" in p
+    assert "Join" not in p
+
+    # gap profile: ONE user-keyed exchange feeds every pass (island
+    # marking, running id, the island LEAD) — no join, single scan
+    p = plan(interval_gaps)
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+    # depth histogram: identical single-exchange sweep as the peak
+    p = plan(concurrency_histogram)
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+    # KS drift: the (type, value) dedup rollup + the type-keyed
+    # cumulative window; the final per-type agg reuses the type
+    # clustering — exactly two exchanges, no join
+    p = plan(drift_ks)
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 2 and "Join" not in p
+
+    # chi2: one corpus rollup to cells; margins/fold run on the cell
+    # relation (window exchanges are cell-sized); no sort-merge form
+    p = plan(chi2_independence)
+    assert p.count("Scan parquet") == 1 and "partial_count" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # theil-sen: the daily relation is cached and consumed three times
+    # (slope self-join sides + intercept pass); the intercept fit
+    # broadcasts; never a sort-merge pair join
+    p = plan(theil_sen_trend)
+    assert p.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

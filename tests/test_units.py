@@ -2781,3 +2781,175 @@ def test_stream_interval_coverage_invariant_under_batch_splits(spark, sf_dir):
         f"split stream diverged from batch: only-stream={multi - batch} "
         f"only-batch={batch - multi}"
     )
+
+
+def test_stream_concurrency_invariant_under_batch_splits(spark, sf_dir):
+    """stream_concurrency serves CUMULATIVE per-type sweep rows through
+    the keyed MERGE sink; a multi-batch chronological split must produce
+    a serving table BIT-EQUAL to the batch concurrency_peak (the
+    batch≡stream discipline — oracle is the batch oracle)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cpt_database_sync_spark.operators.analytics import (
+        IC_MOD_MIN,
+        concurrency_peak,
+    )
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _CONC_OUT_SCHEMA,
+        _CONC_STATE_SCHEMA,
+        IC_MAX_DISORDER,
+        _type_sweep,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+
+    sweep_scratch("conc_split_")
+    workdir = os.path.join(scratch_dir(), "conc_split_src")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_type", "event_id", "ts")
+    )
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "conc_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .withWatermark("ts", IC_MAX_DISORDER)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + ((F.col("event_id") % IC_MOD_MIN) + 1) * 60_000_000
+            ).alias("e"),
+        )
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _type_sweep,
+        outputStructType=_CONC_OUT_SCHEMA,
+        stateStructType=_CONC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, progresses = serve_keyed_stream(
+        folded,
+        ["event_type"],
+        "conc_split_serve_",
+        varchar_lengths={"event_type": 64},
+    )
+    multi = {tuple(r) for r in served.collect()}
+    assert sum(p["numInputRows"] for p in progresses if p) > 0
+    batch = {tuple(r) for r in concurrency_peak(spark, sf_dir).collect()}
+    assert multi == batch, (
+        f"split stream diverged from batch: only-stream={multi - batch} "
+        f"only-batch={batch - multi}"
+    )
+
+
+def test_stream_concurrency_pend_buffer_soak_bounded_under_disorder():
+    """The stream_concurrency pend bound under sustained 45-day
+    disorder, the IC soak protocol: per batch the buffer must hold
+    EXACTLY the delivered endpoints newer than the watermark (each
+    event contributes two, the close trailing its ts by ≤ 30 h in this
+    soak), and the drained accumulator must equal the batch ±1 sweep of
+    the complete endpoint history."""
+    import pandas as pd
+
+    from cpt_database_sync_spark.streaming.stateful import (
+        _conc_decode,
+        _type_sweep,
+    )
+
+    DAY_US = 86_400_000_000
+    DISORDER_US = 45 * DAY_US
+    state = _FakeGroupState()
+    all_points = []  # endpoint tuples (t, delta, eid)
+    max_pend = 0
+    eid = 0
+    n_batches = 250
+    for batch in range(n_batches):
+        frontier = (1_000 + batch) * DAY_US
+        wm_us = frontier - DISORDER_US
+        rows_s, rows_e, rows_eid = [], [], []
+        for s in (
+            frontier,
+            frontier - 20 * DAY_US + (batch % 7) * 3_600_000_000,
+            wm_us,
+        ):
+            dur = (
+                30 * 3_600_000_000
+                if eid % 9 == 0
+                else ((eid % 90) + 1) * 60_000_000
+            )
+            rows_s.append(s)
+            rows_e.append(s + dur)
+            rows_eid.append(eid)
+            all_points.append((s, 1, eid))
+            all_points.append((s + dur, -1, eid))
+            eid += 1
+        state.wm_ms = wm_us // 1000
+        pdf = pd.DataFrame(
+            {"s": rows_s, "e": rows_e, "event_id": rows_eid}
+        )
+        list(_type_sweep(("click",), iter([pdf]), state))
+        pend = _conc_decode(state.get[5])
+        max_pend = max(max_pend, len(pend))
+        expected = sorted(p for p in all_points if p[0] > wm_us)
+        assert sorted(pend) == expected, (
+            f"pend buffer diverged from the within-window endpoint set "
+            f"at batch {batch}: {len(pend)} vs {len(expected)}"
+        )
+    # ≤ 2 endpoints per event; fresh events pend ~45 batches, stragglers
+    # ~25, and a 30 h close endpoint trails its open by one extra batch
+    # — never past the disorder window + max holding duration
+    assert max_pend <= 2 * (45 + 25 + 3)
+    # drain and compare to the batch sweep over the full history
+    state.wm_ms = (max(p[0] for p in all_points) + DAY_US) // 1000
+    out = list(
+        _type_sweep(
+            ("click",),
+            iter([pd.DataFrame({"s": [], "e": [], "event_id": []})]),
+            state,
+        )
+    )
+    assert _conc_decode(state.get[5]) == []
+    running = peak = 0
+    fp = None
+    for t, d, _ in sorted(all_points):
+        running += d
+        if running > peak:
+            peak, fp = running, t
+    assert out[0]["peak"][0] == peak
+    assert out[0]["first_peak_us"][0] == fp
+    assert out[0]["n_intervals"][0] == len(all_points) // 2
+    assert peak > 1 and max_pend >= 90  # genuinely exercised
