@@ -187,6 +187,10 @@ HEADLINE = [
     "drift_ks",
     "chi2_independence",
     "stream_concurrency",
+    "sync_checksum",
+    "sync_fk_audit",
+    "script_mix",
+    "hampel_filter",
 ]
 
 

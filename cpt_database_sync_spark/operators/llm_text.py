@@ -1406,3 +1406,99 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gopher_pass"
         ),
     )
+
+
+# Unicode script classes as EXPLICIT BMP code-point ranges — script
+# PROPERTY names (\p{Han}, \p{IsHan}) differ between Java regex (Spark)
+# and RE2 (DuckDB) in syntax AND in Unicode-version edge behavior;
+# literal ranges are engine-proof, and BMP-only ranges sidestep the
+# UTF-16 surrogate length divergence (a supplementary code point is 2
+# Java chars but 1 DuckDB char — no surrogate half ever matches these
+# classes, so the counts agree).
+_SCRIPT_CLASSES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "han": "一-鿿",
+    "digit": "0-9",
+}
+
+_SCRIPT_MIX_SQL = f"""
+    SELECT doc_id,
+           {", ".join(
+               f"length(regexp_replace(text, '[^{rng}]', '', 'g'))"
+               f" AS n_{name}"
+               for name, rng in _SCRIPT_CLASSES.items()
+           )},
+           CASE
+             WHEN text IS NULL THEN NULL
+             WHEN length(regexp_replace(text, '[^{_SCRIPT_CLASSES["latin"]}]', '', 'g'))
+                  >= length(regexp_replace(text, '[^{_SCRIPT_CLASSES["cyrillic"]}]', '', 'g'))
+              AND length(regexp_replace(text, '[^{_SCRIPT_CLASSES["latin"]}]', '', 'g'))
+                  >= length(regexp_replace(text, '[^{_SCRIPT_CLASSES["han"]}]', '', 'g'))
+              AND length(regexp_replace(text, '[^{_SCRIPT_CLASSES["latin"]}]', '', 'g'))
+                  >= length(regexp_replace(text, '[^{_SCRIPT_CLASSES["digit"]}]', '', 'g'))
+             THEN 'latin'
+             WHEN length(regexp_replace(text, '[^{_SCRIPT_CLASSES["cyrillic"]}]', '', 'g'))
+                  >= length(regexp_replace(text, '[^{_SCRIPT_CLASSES["han"]}]', '', 'g'))
+              AND length(regexp_replace(text, '[^{_SCRIPT_CLASSES["cyrillic"]}]', '', 'g'))
+                  >= length(regexp_replace(text, '[^{_SCRIPT_CLASSES["digit"]}]', '', 'g'))
+             THEN 'cyrillic'
+             WHEN length(regexp_replace(text, '[^{_SCRIPT_CLASSES["han"]}]', '', 'g'))
+                  >= length(regexp_replace(text, '[^{_SCRIPT_CLASSES["digit"]}]', '', 'g'))
+             THEN 'han'
+             ELSE 'digit'
+           END AS dominant
+    FROM documents
+"""
+
+
+@register("script_mix", oracle=_SCRIPT_MIX_SQL)
+def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode SCRIPT composition — the multilingual
+    curation signal `lang_id` (n-gram heuristic over words) doesn't
+    give: code-point counts per script class (Latin incl. extended,
+    Cyrillic, Han, digits) plus the dominant script with a fixed
+    tie-priority. Mixed-script documents are the classic contamination
+    /spam/transliteration flag, and per-script volume is what balances
+    a multilingual training mix at the CHARACTER level (token counts
+    under-weight CJK, which packs more content per code point).
+
+    Exactness: script classes are explicit BMP code-point RANGES, not
+    \\p{{script}} properties — property syntax and Unicode-version edge
+    behavior differ between Java regex and RE2, ranges don't; BMP-only
+    classes also sidestep the UTF-16 surrogate length divergence (no
+    surrogate half matches any class, so count parity holds even on
+    emoji-bearing text — the unicode degenerate fixture exercises
+    this). Counts are lengths of the class-filtered text; NULL text
+    yields NULL counts and NULL dominant on both engines.
+
+    Physics: map-only — four regex passes per document, no shuffle at
+    all (the groupBy-free scan shape; at 100 TB this is embarrassingly
+    parallel and fuses into whole-stage codegen).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = {
+        name: F.length(F.regexp_replace(F.col("text"), f"[^{rng}]", ""))
+        for name, rng in _SCRIPT_CLASSES.items()
+    }
+    dominant = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(
+            (counts["latin"] >= counts["cyrillic"])
+            & (counts["latin"] >= counts["han"])
+            & (counts["latin"] >= counts["digit"]),
+            F.lit("latin"),
+        )
+        .when(
+            (counts["cyrillic"] >= counts["han"])
+            & (counts["cyrillic"] >= counts["digit"]),
+            F.lit("cyrillic"),
+        )
+        .when(counts["han"] >= counts["digit"], F.lit("han"))
+        .otherwise(F.lit("digit"))
+    )
+    return d.select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n in _SCRIPT_CLASSES],
+        dominant.alias("dominant"),
+    )

@@ -1106,3 +1106,136 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns1.cast("long").alias("ns"),
     )
     return lvl1.unionByName(lvl2)
+
+
+# Hampel identifier: window half-width (±3 days), threshold K, and the
+# Gaussian MAD-to-sigma consistency constant (an exact decimal literal,
+# identical on both engines).
+HAMPEL_HALF = 3
+HAMPEL_K = 3.0
+HAMPEL_C = 1.4826
+
+
+def _median_of_sorted(a: str, size_fn: str, at, intdiv: str) -> str:
+    """Median-of-sorted-array expression text: odd length → middle,
+    even → midpoint of the two middles. One construction, parameterized
+    by each engine's array vocabulary (size/len, element_at/[], div///),
+    so both run the identical arithmetic."""
+    n = f"{size_fn}({a})"
+    return (
+        f"CASE WHEN {n} % 2 = 1 THEN {at(a, f'({n} + 1) {intdiv} 2')} "
+        f"ELSE ({at(a, f'{n} {intdiv} 2')} "
+        f"+ {at(a, f'{n} {intdiv} 2 + 1')}) / 2.0 END"
+    )
+
+
+def _spark_med(a: str) -> str:
+    return _median_of_sorted(
+        a, "size", lambda arr, i: f"element_at({arr}, CAST({i} AS INT))", "div"
+    )
+
+
+def _duck_med(a: str) -> str:
+    return _median_of_sorted(a, "len", lambda arr, i: f"{arr}[{i}]", "//")
+
+
+_HAMPEL_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS DOUBLE) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    fr AS (
+      SELECT event_type, dn, x,
+             list_sort(list(x) OVER (PARTITION BY event_type ORDER BY dn
+                       ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                       AND {HAMPEL_HALF} FOLLOWING)) AS a
+      FROM d
+    ),
+    med AS (
+      SELECT event_type, dn, x, a, {_duck_med("a")} AS med
+      FROM fr
+    ),
+    mad AS (
+      SELECT event_type, dn, x, med,
+             {_duck_med("list_sort(list_transform(a, v -> abs(v - med)))")}
+               AS mad
+      FROM med
+    )
+    SELECT event_type, CAST(dn AS BIGINT) AS dn, x, med, mad,
+           abs(x - med) > {HAMPEL_K} * {HAMPEL_C} * mad AS is_outlier,
+           CASE WHEN abs(x - med) > {HAMPEL_K} * {HAMPEL_C} * mad
+                THEN med ELSE x END AS repaired
+    FROM mad
+"""
+
+
+@register("hampel_filter", oracle=_HAMPEL_SQL)
+def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier identifier over the per-type daily series — the
+    ROLLING robust detector completing the anomaly lane: `anomaly_mad`
+    flags against the GLOBAL per-type median/MAD (a level shift late in
+    the series drags the global center); the Hampel filter re-centers
+    in a ±{HAMPEL_HALF}-day window (rolling median) and re-scales by
+    the window's own MAD, so a spike is judged against its LOCAL
+    neighborhood — the standard telemetry de-spiker, emitted here with
+    the repaired series (spike → window median) alongside the flags.
+
+    Exactness: both engines materialize the IDENTICAL sorted window
+    array (same (event_type, dn) frame, exact-count doubles) and
+    compute median and MAD through ONE shared expression construction
+    (`_median_of_sorted` — parameterized only by array vocabulary), so
+    every med/mad/flag/repair is identical IEEE ops on identical
+    operands: raw doubles, no rounding hedge ({HAMPEL_C} is the same
+    decimal literal text on both sides). Warm-up frames at series edges
+    shrink symmetrically on both engines (same ROWS frame). NULL-day/
+    -type rows are out of series contract as in every ts op.
+
+    Physics: one map-side-combined daily rollup is the only
+    corpus-sized stage; the window runs over the calendar-sized daily
+    relation clustered by type, each frame carrying ≤ {2 * HAMPEL_HALF + 1}
+    doubles — O(1) state per open frame at any corpus volume (the
+    `window_rolling_median` argument, plus the per-frame HOF work).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("double").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    fr = daily.select(
+        "event_type",
+        "dn",
+        "x",
+        F.array_sort(F.collect_list("x").over(w)).alias("a"),
+    )
+    med = fr.select(
+        "event_type", "dn", "x", "a", F.expr(_spark_med("a")).alias("med")
+    )
+    mad = med.select(
+        "event_type",
+        "dn",
+        "x",
+        "med",
+        F.expr(
+            _spark_med("array_sort(transform(a, v -> abs(v - med)))")
+        ).alias("mad"),
+    )
+    out = F.abs(F.col("x") - F.col("med")) > (
+        F.lit(HAMPEL_K) * F.lit(HAMPEL_C) * F.col("mad")
+    )
+    return mad.select(
+        "event_type",
+        F.col("dn").cast("long").alias("dn"),
+        "x",
+        "med",
+        "mad",
+        out.alias("is_outlier"),
+        F.when(out, F.col("med")).otherwise(F.col("x")).alias("repaired"),
+    )

@@ -894,3 +894,241 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status")
     )
     return j.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Post-sync verification: content checksums + referential-integrity audit
+# ---------------------------------------------------------------------------
+
+# Canonical serialization per audited table: exact-typed columns as-is,
+# money doubles pinned through DECIMAL(18,2) (2-dp generated values;
+# double→string is NOT engine-portable, decimal→string is), timestamps
+# that carry dates pinned through DATE. Each field NULL-coalesces to a
+# sentinel BEFORE concat_ws (concat_ws skips NULLs on both engines, so
+# a value shifting between adjacent nullable fields would otherwise
+# serialize identically — the snapshot_diff r8 finding).
+_CHECKSUM_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "CAST(c_acctbal AS DECIMAL(18,2))",
+        "c_mktsegment",
+    ],
+    "supplier": [
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "CAST(s_acctbal AS DECIMAL(18,2))",
+    ],
+    "part": [
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "CAST(p_retailprice AS DECIMAL(18,2))",
+    ],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(18,2))",
+        "CAST(o_orderdate AS DATE)",
+        "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "CAST(l_quantity AS DECIMAL(18,2))",
+        "CAST(l_extendedprice AS DECIMAL(18,2))",
+        "CAST(l_discount AS DECIMAL(18,2))",
+        "CAST(l_tax AS DECIMAL(18,2))",
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(l_shipdate AS DATE)",
+    ],
+}
+
+
+def _checksum_digest_sql(cols: list[str]) -> str:
+    """The 12-hex-digit row digest — ONE canonical expression text
+    (both engines accept STRING as the varchar alias, concat_ws skips
+    NULLs identically, md5 ↔ md5); only the hex→integer step is
+    engine-specific (Spark: conv(,16,10); DuckDB: '0x' cast). The NUL
+    sentinel and unit separator are spelled chr() — a raw control byte
+    inside the SQL text unterminates DuckDB's string literal."""
+    canon = ", ".join(
+        f"COALESCE(CAST({c} AS STRING), chr(0))" for c in cols
+    )
+    return f"substr(md5(concat_ws(chr(31), {canon})), 1, 12)"
+
+
+def _checksum_row_sql(cols: list[str]) -> str:
+    return f"CAST(('0x' || {_checksum_digest_sql(cols)}) AS BIGINT)"
+
+
+def _sync_checksum_sql() -> str:
+    parts = [
+        f"""SELECT '{t}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM({_checksum_row_sql(cols)}), 0)
+                    AS DECIMAL(38,0)) AS checksum
+        FROM {t}"""
+        for t, cols in _CHECKSUM_COLS.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("sync_checksum", oracle=_sync_checksum_sql())
+def sync_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level table checksums — the integrity check the
+    reference never had: its only verification is fetch-count ==
+    pull-count (`sync/FetchRunner.java:38`), which passes when every
+    row arrived mangled. This emits, per audited table, the row count
+    AND an order-insensitive content checksum (Σ over rows of the
+    first 48 bits of md5(canonical row string), summed in an exact
+    DECIMAL(38,0) lane — no overflow at any corpus size, no ordering
+    sensitivity, distributable as a map-side-combined SUM). Running it
+    on source and target and diffing two small relations IS the sync
+    acceptance test; `snapshot_diff` then localizes which rows moved.
+
+    Exactness: the canonical serialization pins the engine-portable
+    lanes — exact integers/strings as-is, money doubles through
+    DECIMAL(18,2), date-bearing timestamps through DATE (double→string
+    is not portable, decimal/date→string is); every field
+    NULL-coalesces to a sentinel before concat_ws (which skips NULLs on
+    both engines — the snapshot_diff discipline). The Spark side runs
+    the IDENTICAL expression text through expr(), so both engines hash
+    the same bytes by construction; md5 ↔ md5 is the `corpus_sample`
+    device.
+
+    Physics: one scan per table, everything map-side (hash + partial
+    sum); the shuffle carries one partial per partition. At 100 TB this
+    is the cheapest full-content audit that exists — strictly one pass,
+    no sort, no join, and checkpointable per partition.
+    """
+    out = None
+    for t, cols in _CHECKSUM_COLS.items():
+        h = F.conv(F.expr(_checksum_digest_sql(cols)), 16, 10).cast(
+            "decimal(38,0)"
+        )
+        df = load(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(h), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("checksum"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "checksum")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# FK edges of the fixture star schema: (edge name, child table, child
+# key, parent table, parent key). The audit is sync-acceptance: a copy
+# that dropped or duplicated parent rows shows up as orphans/childless.
+_FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_audit_sql() -> str:
+    parts = [
+        f"""SELECT '{name}' AS edge,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+               CAST((SELECT COUNT(*) FROM {child} WHERE {ck} IS NULL)
+                    AS BIGINT) AS n_null_fk,
+               CAST((SELECT COUNT(*) FROM {child} c
+                     WHERE c.{ck} IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                       WHERE p.{pk} = c.{ck}))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT COUNT(*) FROM {parent} p
+                     WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                                       WHERE c.{ck} = p.{pk}))
+                    AS BIGINT) AS n_childless
+        """
+        for name, child, ck, parent, pk in _FK_EDGES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("sync_fk_audit", oracle=_fk_audit_sql())
+def sync_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema —
+    the OTHER half of sync acceptance (`sync_checksum` proves content;
+    this proves the RELATIONSHIPS survived): per edge, child rows, NULL
+    foreign keys (legal — not orphans), orphaned children (FK points
+    nowhere: the parent was dropped or arrived late), and childless
+    parents (fan-out lost: children were filtered or mis-keyed). The
+    reference syncs tables one at a time with no cross-table check at
+    all (`handler/Handler.java:30-33`); a partial failure there leaves
+    exactly the inconsistencies this one query surfaces.
+
+    Exactness: pure counting; orphans = left-anti join ≡ NOT EXISTS,
+    childless = anti in the other direction ≡ NOT EXISTS (equi-match,
+    so NULL child keys never match — counted in their own lane). All
+    BIGINT.
+
+    Physics: per edge ONE left join of the child against the distinct
+    parent keys (orphans + nulls + totals fall out of one conditional
+    aggregation — no anti-join branch per statistic) plus one anti the
+    other way over DISTINCT child keys (bounded by |parent|). Dims
+    broadcast; the fact-sized edges shuffle on the join key once. The
+    whole audit is one lazy union — zero driver-side actions. At 100 TB
+    this is the standard post-load audit shape; bucketed layouts
+    co-locate it.
+    """
+    out = None
+    for name, child, ck, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent)
+        pkeys = p.select(F.col(pk).alias("_pk")).distinct()
+        j = c.join(pkeys, F.col(ck) == F.col("_pk"), "left")
+        stats = j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            # coalesce: SUM over an EMPTY child is NULL where the
+            # oracle's COUNT(*) is 0 (degenerate-fixture gate)
+            F.coalesce(F.sum(F.col(ck).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_null_fk"),
+            F.coalesce(
+                F.sum(
+                    (F.col(ck).isNotNull() & F.col("_pk").isNull()).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        childless = (
+            p.join(
+                c.select(F.col(ck).alias("_ck")).distinct(),
+                F.col(pk) == F.col("_ck"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_childless"))
+        )
+        row = (
+            stats.crossJoin(childless)
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                "n_childless",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1980,3 +1980,32 @@ def test_r11_keys_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 3
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    from cpt_database_sync_spark.operators.llm_text import script_mix
+    from cpt_database_sync_spark.operators.timeseries import hampel_filter
+    from cpt_database_sync_spark.sources.sync import (
+        _CHECKSUM_COLS,
+        sync_checksum,
+        sync_fk_audit,
+    )
+
+    # content checksum: strictly one scan + one map-side-combined
+    # partial sum per audited table — no join, no sort, anywhere
+    p = plan(sync_checksum)
+    assert p.count("Scan parquet") == len(_CHECKSUM_COLS)
+    assert "partial_sum" in p and "Join" not in p and "Sort" not in p
+
+    # FK audit: every join hashes (dims broadcast); no sort-merge, no
+    # cartesian — and the whole audit is one lazy union (no actions)
+    p = plan(sync_fk_audit)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # script mix: map-only — a single scan, ZERO exchanges
+    p = plan(script_mix)
+    assert p.count("Scan parquet") == 1 and "Exchange" not in p
+
+    # hampel: one corpus rollup + the type-keyed calendar window; no join
+    p = plan(hampel_filter)
+    assert p.count("Scan parquet") == 1 and "partial_count" in p
+    assert "Join" not in p
