@@ -2219,3 +2219,234 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# --- Spearman rank correlation -----------------------------------------
+
+# One shared closed form (identical expression text on both engines):
+# Pearson over DOUBLED average ranks. Doubling keeps tie-averaged ranks
+# integral (avg rank of a tie run is rank + (t-1)/2, so 2r = 2*rank + t
+# - 1 is exact BIGINT); rho is scale-invariant, so the factor 4 in
+# covariance and both variances cancels.
+_SPEARMAN_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), CAST(0 AS DOUBLE)), 9)"
+)
+
+_SPEARMAN_SQL = f"""
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+             2 * RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+               - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+               - 1 AS ry
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+      SELECT flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy
+      FROM r GROUP BY 1
+    )
+    SELECT flag AS l_returnflag, n,
+           {_SPEARMAN_EXPR} AS rho
+    FROM m
+"""
+
+
+@register("spearman_corr", oracle=_SPEARMAN_SQL)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag — the robust counterpart to `corr_matrix`'s Pearson
+    (monotone association, insensitive to outliers and any monotone
+    rescale of either axis): rank both variables within the group with
+    AVERAGE ranks for ties, then Pearson over the ranks. The standard
+    ordinal-association statistic a metrics layer runs on replicated
+    fact data; the reference can only move the rows
+    (`sync/QueryBuilder.java:46-75` — no aggregation surface at all).
+
+    Exactness: doubled average ranks are exact BIGINTs (2r = 2*RANK() +
+    tie_count - 1 — the `mann_whitney_u` device), every moment is an
+    exact DECIMAL(38,0) ↔ HUGEINT sum, and both engines substitute the
+    SAME closed-form text (`_SPEARMAN_EXPR`) over identical operands —
+    one correctly-rounded double per moment, round-9 display. Doubling
+    cancels: covariance and both variances scale by 4. NULL measures
+    are out of contract on both sides (rank order of NULL differs by
+    engine).
+
+    Physics: two within-group sort windows over the fact (rank by x,
+    rank by y — one exchange on the group key, two in-partition sorts),
+    then one map-side-combined moment rollup to |groups| rows. At
+    100 TB per-group ranking is the honest cost of exact Spearman; the
+    documented swap is approximate ranks from the GK sketch lane
+    (`agg_approx_percentile`) feeding the same closed form —
+    rank-interval contract instead of exact ranks, same plan minus the
+    sorts.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wqt = Window.partitionBy("l_returnflag", "l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        F.col("l_returnflag"),
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1)
+        .cast("decimal(18,0)")
+        .alias("rx"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1)
+        .cast("decimal(18,0)")
+        .alias("ry"),
+    )
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag", "n", F.expr(_SPEARMAN_EXPR).alias("rho")
+    )
+
+
+# --- Mann-Whitney U (Wilcoxon rank-sum) ---------------------------------
+
+MWU_GROUP1 = "click"
+MWU_GROUP2 = "purchase"
+
+# Tie-corrected normal approximation, one closed form over exact
+# integer inputs (u2 = 2*U1, ties = sum of t^3 - t over tie groups).
+_MWU_Z_EXPR = (
+    "round((CAST(u2 AS DOUBLE) / 2"
+    " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)"
+    " / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12"
+    " * (CAST(n1 + n2 + 1 AS DOUBLE)"
+    " - CAST(ties AS DOUBLE)"
+    " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),"
+    " CAST(0 AS DOUBLE)), 9)"
+)
+
+_MWU_SQL = f"""
+    WITH v AS (
+      SELECT value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN event_type = '{MWU_GROUP1}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('{MWU_GROUP1}', '{MWU_GROUP2}')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT cnt, cnt1,
+             2 * SUM(cnt) OVER (ORDER BY value) - cnt + 1 AS avg2
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+             CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+             CAST(SUM(cnt1 * avg2) AS DECIMAL(38,0)) AS r2_1,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * cnt * cnt - cnt
+                           ELSE 0 END) AS DECIMAL(38,0)) AS ties
+      FROM w
+    )
+    SELECT n1, n2,
+           CAST(r2_1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                AS DECIMAL(38,0)) AS u2,
+           ties,
+           {_MWU_Z_EXPR} AS z
+    FROM m
+"""
+
+
+@register("mann_whitney_u", oracle=_MWU_SQL)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test: do '{g1}'
+    and '{g2}' events draw their `value` from the same distribution?
+    The nonparametric counterpart to a t-test — the distribution-drift
+    primitive that needs no binning (`drift_psi`/`drift_ks` bin or
+    step; this ranks) — over pooled average ranks: U1 = R1 -
+    n1(n1+1)/2 with the tie-corrected normal approximation.
+
+    Exactness: ranks are NEVER materialized per row — the pooled rank
+    structure is fully determined by the per-value rollup (cnt, cnt1),
+    and the doubled average rank of every occurrence of a value is
+    avg2 = 2*cum(cnt) - cnt + 1, an exact BIGINT off ONE ordered
+    window over the DISTINCT-value relation. Rank sums and the tie
+    term sum(t^3 - t) accumulate in DECIMAL(38,0) ↔ HUGEINT; u2 = 2*U1
+    stays integral (avg ranks are half-integral); the z closed form is
+    the same expression text on both engines, round-9. No continuity
+    correction (documented; both engines identically).
+
+    Physics: one map-side-combined rollup to |distinct values| rows,
+    one ordered window over that rollup (|distinct|-sized, NOT corpus-
+    sized — the `lorenz_deciles` device), one single-row fold. At
+    100 TB the distinct-value relation is the honest footprint of an
+    exact rank test; if values are near-unique the GK-sketch rank
+    lane substitutes (documented swap, same closed form).
+    """.format(g1=MWU_GROUP1, g2=MWU_GROUP2)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(MWU_GROUP1, MWU_GROUP2)
+    )
+    v = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(
+            F.when(F.col("event_type") == MWU_GROUP1, 1).otherwise(0)
+        ).cast("long").alias("cnt1"),
+    )
+    w = v.select(
+        "cnt",
+        "cnt1",
+        (
+            2 * F.sum("cnt").over(Window.orderBy("value"))
+            - F.col("cnt")
+            + 1
+        ).alias("avg2"),
+    )
+    m = w.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum(F.col("cnt1").cast("decimal(18,0)") * F.col("avg2"))
+        .cast("decimal(38,0)")
+        .alias("r2_1"),
+        F.sum(
+            F.when(
+                F.col("cnt") > 1,
+                F.col("cnt").cast("decimal(18,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt"),
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (
+            F.col("r2_1")
+            - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("u2"),
+        "ties",
+        F.expr(_MWU_Z_EXPR).alias("z"),
+    )

@@ -1239,3 +1239,254 @@ def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.alias("is_outlier"),
         F.when(out, F.col("med")).otherwise(F.col("x")).alias("repaired"),
     )
+
+
+# --- Wald-Wolfowitz runs test --------------------------------------------
+
+# Tie-exact normal approximation over exact integer run counts:
+# E[R] = 1 + 2*n1*n2/n, Var[R] = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n-1)).
+_RUNS_Z_EXPR = (
+    "round((CAST(n_runs AS DOUBLE)"
+    " - (1 + 2 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)"
+    " / CAST(n_signed AS DOUBLE)))"
+    " / NULLIF(sqrt(2 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)"
+    " * (2 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)"
+    " - CAST(n_signed AS DOUBLE))"
+    " / (CAST(n_signed AS DOUBLE) * CAST(n_signed AS DOUBLE)"
+    " * CAST(n_signed - 1 AS DOUBLE))), CAST(0 AS DOUBLE)), 9)"
+)
+
+_RUNS_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, c FROM daily
+      WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(CAST(c AS DOUBLE), 0.5) AS med
+      FROM d GROUP BY 1
+    ),
+    s AS (
+      SELECT d.event_type, d.dn,
+             CASE WHEN CAST(d.c AS DOUBLE) > m.med THEN 1 ELSE -1 END AS sgn
+      FROM d JOIN med m ON d.event_type = m.event_type
+      WHERE CAST(d.c AS DOUBLE) <> m.med
+    ),
+    r AS (
+      SELECT event_type, sgn,
+             CASE WHEN LAG(sgn) OVER (PARTITION BY event_type ORDER BY dn)
+                       IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS brk
+      FROM s
+    ),
+    m2 AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus,
+             CAST(COUNT(*) AS BIGINT) AS n_signed,
+             CAST(SUM(brk) AS BIGINT) AS n_runs
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n_plus, n_minus, n_runs,
+           {_RUNS_Z_EXPR} AS z
+    FROM m2
+"""
+
+
+@register("runs_test", oracle=_RUNS_SQL)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the daily count
+    series RANDOM around its median, or does it cluster (trend /
+    regime persistence → too few runs) or oscillate (negative
+    autocorrelation → too many)? The classic nonparametric
+    randomness check that complements `autocorr_daily` (which
+    measures linear lag correlation; this counts sign runs and is
+    distribution-free). Days equal to the median are dropped
+    (standard treatment); a run is a maximal same-sign stretch.
+
+    Exactness: the median is the `agg_percentile` pairing
+    (``percentile`` ↔ ``quantile_cont`` — identical interpolation,
+    and count-vs-median comparisons are exact: counts are integers,
+    the interpolated median is an exact x.0/x.5 double). Run breaks
+    come off one LAG window (IS DISTINCT FROM — first row opens run
+    #1 on both engines); n+, n-, R are exact BIGINTs; the z closed
+    form is the same text on both engines, round-9.
+
+    Physics: one map-side-combined daily rollup is the only
+    corpus-sized stage; the median, the sign pass, and the LAG all
+    run on the |days|x|types| relation. The per-type broadcast of
+    the 1-row median relation is a |types|-row join. Scale-invariant
+    by construction.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+    )
+    daily = bounded_cache("runs_test.daily", daily)
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("c").cast("double"), 0.5).alias("med")
+    ).withColumnRenamed("event_type", "m_et")
+    s = (
+        daily.join(F.broadcast(med), F.col("event_type") == F.col("m_et"))
+        .filter(F.col("c").cast("double") != F.col("med"))
+        .select(
+            "event_type",
+            "dn",
+            F.when(F.col("c").cast("double") > F.col("med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("dn")
+    r = s.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    m2 = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_minus"),
+        F.count(F.lit(1)).cast("long").alias("n_signed"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    return m2.select(
+        "event_type",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.expr(_RUNS_Z_EXPR).alias("z"),
+    )
+
+
+# --- Page-Hinkley drift detector ------------------------------------------
+
+PH_BURN_DAYS = 7     # reference-mean burn-in window (first W days)
+PH_DELTA_X2 = 1      # 2*delta: tolerated drift per step (delta = 0.5)
+PH_LAMBDA = 50.0     # alarm threshold on the drift depth
+
+_PH_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dn) AS i
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    burn AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS s_burn,
+             CAST(COUNT(*) AS BIGINT) AS w_burn
+      FROM d WHERE i <= {PH_BURN_DAYS} GROUP BY 1
+    ),
+    cum AS (
+      SELECT d.event_type, d.dn, d.i, b.s_burn, b.w_burn,
+             2 * b.w_burn * SUM(d.c) OVER (PARTITION BY d.event_type
+                                           ORDER BY d.dn)
+               - d.i * (2 * b.s_burn + {PH_DELTA_X2} * b.w_burn) AS m2
+      FROM d JOIN burn b ON d.event_type = b.event_type
+    ),
+    depth AS (
+      SELECT event_type, dn, w_burn, m2,
+             m2 - MIN(m2) OVER (PARTITION BY event_type ORDER BY dn)
+               AS dep2w
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(MAX(CAST(dep2w AS DOUBLE) / (2 * w_burn)), 9)
+             AS max_depth,
+           CAST(MIN(CASE WHEN CAST(dep2w AS DOUBLE) / (2 * w_burn)
+                              > {PH_LAMBDA} THEN dn END) AS BIGINT)
+             AS alarm_dn
+    FROM depth GROUP BY 1
+"""
+
+
+@register("page_hinkley", oracle=_PH_SQL)
+def page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector per event type: the
+    cumulative deviation m_t = sum(x_i - mu0 - delta) against its
+    running minimum; depth_t = m_t - min(m_s, s<=t) exceeding lambda
+    raises the alarm. Complements `cusum_changepoint` (which
+    LOCALIZES the single best split against the global mean —
+    retrospective) with the SEQUENTIAL detector that a monitoring
+    plane runs forward: the alarm day is the first day the drift
+    depth clears the threshold, exactly the semantics of the
+    streaming PH test with a burn-in reference mean mu0 = mean of
+    the first {PH_BURN_DAYS} days (the deployable variant — the
+    textbook expanding-mean form re-estimates mu under drift, which
+    both delays detection and breaks integer exactness).
+
+    Exactness: everything before the display division is exact
+    BIGINT — m2 = 2W*cumsum(x) - i*(2*S_W + 2*delta*W) is the PH
+    statistic scaled by 2W (delta = 1/2 enters as the integer
+    {PH_DELTA_X2} = 2*delta), the running MIN and the depth are
+    integer window ops, and the only doubles are the round-9 display
+    depth and the threshold compare (exact: integer/2W against a
+    literal). Burn-in shorter than W days (degenerate fixtures) just
+    uses the days that exist.
+
+    Physics: one map-side-combined daily rollup; the burn-in
+    relation is |types| rows (broadcast); cumsum + running-min are
+    ONE ordered window pass per type over the |days|x|types|
+    relation. The streaming twin keeps (cumsum, min, i) as per-key
+    state — `stream_cusum`'s shape; at 100 TB the batch form's only
+    corpus-sized stage is still the rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("long").alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("dn")
+    # Cache AFTER the row-number window: both consumers (burn-in fit,
+    # cumulative pass) read the numbered relation, so the type-keyed
+    # sort runs once.
+    d = bounded_cache(
+        "page_hinkley.d", daily.withColumn("i", F.row_number().over(wo))
+    )
+    burn = (
+        d.filter(F.col("i") <= PH_BURN_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("s_burn"),
+            F.count(F.lit(1)).cast("long").alias("w_burn"),
+        )
+        .withColumnRenamed("event_type", "b_et")
+    )
+    cum = d.join(F.broadcast(burn), F.col("event_type") == F.col("b_et")).select(
+        "event_type",
+        "dn",
+        "w_burn",
+        (
+            2 * F.col("w_burn") * F.sum("c").over(wo)
+            - F.col("i")
+            * (2 * F.col("s_burn") + PH_DELTA_X2 * F.col("w_burn"))
+        ).alias("m2"),
+    )
+    depth = cum.select(
+        "event_type",
+        "dn",
+        "w_burn",
+        (F.col("m2") - F.min("m2").over(wo)).alias("dep2w"),
+    )
+    dd = F.col("dep2w").cast("double") / (2 * F.col("w_burn"))
+    return depth.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max(dd), 9).alias("max_depth"),
+        F.min(F.when(dd > PH_LAMBDA, F.col("dn")))
+        .cast("long")
+        .alias("alarm_dn"),
+    )

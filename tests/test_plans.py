@@ -2009,3 +2009,49 @@ def test_r11_keys_plan_physics(spark, sf_dir):
     p = plan(hampel_filter)
     assert p.count("Scan parquet") == 1 and "partial_count" in p
     assert "Join" not in p
+
+
+def test_r11b_rank_stats_plan_physics(spark, sf_dir):
+    """Physics gates for the rank-statistics batch (spearman, MWU,
+    runs test, Page-Hinkley)."""
+    from cpt_database_sync_spark.operators.stats import (
+        mann_whitney_u,
+        spearman_corr,
+    )
+    from cpt_database_sync_spark.operators.timeseries import (
+        page_hinkley,
+        runs_test,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # spearman: ONE exchange on the group key serves all four rank
+    # windows (Catalyst reuses the flag hash partitioning for the
+    # tie-count windows); one scan, no join anywhere
+    p = plan(spearman_corr)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1
+    assert "Join" not in p
+
+    # MWU: rank structure off the DISTINCT-value rollup — one scan,
+    # exactly two exchanges (rollup + the |distinct|-sized ordered
+    # window), never a per-row rank, no join
+    p = plan(mann_whitney_u)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 2
+    assert "Join" not in p
+
+    # runs test: cached daily rollup consumed twice (median fit +
+    # sign pass); the |types|-row median relation broadcasts.
+    # (>=: Spark's cache manager may substitute a sibling op's cached
+    # daily rollup INSIDE this one's cached plan, inflating the count)
+    p = plan(runs_test)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # page-hinkley: the NUMBERED relation is cached (the row-number
+    # sort runs once, both consumers read it); burn-in fit broadcasts
+    p = plan(page_hinkley)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
