@@ -908,3 +908,252 @@ def connected_components(
             F.col("comp_size").cast("long").alias("comp_size"),
         )
     )
+
+
+# --- Degree assortativity ---------------------------------------------------
+
+_ASSORT_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), CAST(0 AS DOUBLE)), 9)"
+)
+
+_ASSORT_SQL = f"""
+    WITH flows AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM flows GROUP BY 1),
+    ind  AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS id_ FROM flows GROUP BY 1),
+    j AS (
+      SELECT o.od AS x, i.id_ AS y
+      FROM flows f
+      JOIN outd o ON o.src = f.src
+      JOIN ind  i ON i.dst = f.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM j
+    )
+    SELECT n AS n_edges, {_ASSORT_EXPR} AS assortativity
+    FROM m
+"""
+
+
+@register("degree_assortativity", oracle=_ASSORT_SQL)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity of the nation trade graph: the
+    Pearson correlation, over EDGES, of the source's out-degree with
+    the destination's in-degree — do high-fan-out exporters ship to
+    high-fan-in importers (r > 0, assortative hub-to-hub mixing) or to
+    the periphery (r < 0, disassortative — the shape of most real
+    trade/infrastructure graphs)? The one-number mixing diagnostic
+    that tells a partitioner whether hub-salting will be needed before
+    the iterative ops (pagerank/CC) run.
+
+    Degrees are unweighted distinct-edge counts (the standard Newman
+    form; the w-weighted variant is the same plan with SUM(w) degrees
+    — documented swap). Exactness: degrees and all six moments are
+    exact BIGINT/DECIMAL(38,0) ↔ HUGEINT; the closed form is the
+    shared `_SPEARMAN_EXPR` shape (operators/stats.py), one text both
+    engines, round-9.
+
+    Physics: degrees are two groupBys over the checkpointed
+    `_trade_flows` relation (≤ |nations|² rows — lineitem is scanned
+    once, at the checkpoint); the joins back are broadcasts of
+    |nations|-row degree relations; the moment fold is one row. At
+    deployment scale degrees co-partition with edges on the endpoint
+    key (one hash exchange each) — same plan, physical exchange flips
+    (the `GRAPH_BCAST_NODE_CEILING` doctrine).
+    """
+    flows = _trade_flows(spark, sf_dir)
+    outd = flows.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    ind = flows.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("id_"))
+    j = (
+        flows.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("od").alias("x"), F.col("id_").alias("y"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.expr(_ASSORT_EXPR).alias("assortativity"),
+    )
+
+
+# --- Label propagation ------------------------------------------------------
+
+LPA_ROUNDS = 3  # fixed synchronous rounds (oracle unrolls the same count)
+
+_LPA_EDGE_CTES = """
+    flows AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    -- symmetrized weighted edges, self-loops excluded (a self-loop
+    -- only reinforces a node's own label and stalls propagation)
+    eu AS (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM flows WHERE src <> dst
+        UNION ALL
+        SELECT dst, src, w FROM flows WHERE src <> dst
+      ) GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM flows UNION ALL SELECT dst FROM flows)),
+    l0 AS (SELECT node, node AS lab FROM nodes)
+"""
+
+
+def _lpa_round_sql(prev: str, this: str) -> str:
+    """One synchronous LPA round: each node adopts the label carrying
+    the largest incident weight among its neighbours' PREVIOUS labels
+    (ties -> smallest label); isolated nodes keep their label."""
+    return f"""
+    , {this}_f AS (
+      SELECT e.dst AS node, p.lab, CAST(SUM(e.w) AS BIGINT) AS ws
+      FROM eu e JOIN {prev} p ON p.node = e.src
+      GROUP BY 1, 2
+    ),
+    {this}_p AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY ws DESC, lab ASC) AS rn
+        FROM {this}_f
+      ) WHERE rn = 1
+    ),
+    {this} AS (
+      SELECT n.node, COALESCE(p.lab, prev.lab) AS lab
+      FROM nodes n
+      JOIN {prev} prev ON prev.node = n.node
+      LEFT JOIN {this}_p p ON p.node = n.node
+    )
+"""
+
+
+_LPA_SQL = (
+    "WITH " + _LPA_EDGE_CTES
+    + "".join(_lpa_round_sql(f"l{i}", f"l{i+1}") for i in range(LPA_ROUNDS))
+    + f"""
+    , sizes AS (SELECT lab, COUNT(*) AS csize FROM l{LPA_ROUNDS} GROUP BY lab)
+    SELECT nat.n_name,
+           CAST(l.lab AS BIGINT) AS community,
+           CAST(s.csize AS BIGINT) AS community_size
+    FROM l{LPA_ROUNDS} l
+    JOIN sizes s USING (lab)
+    JOIN nation nat ON nat.n_nationkey = l.node
+"""
+)
+
+
+@register("label_propagation", oracle=_LPA_SQL)
+def label_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    n_nodes_hint: int = 25,
+) -> DataFrame:
+    """Synchronous weighted label propagation over the symmetrized
+    nation trade graph — community detection where `connected_
+    components` only finds REACHABILITY: each round, every node adopts
+    the label carrying the largest incident edge weight among its
+    neighbours' previous labels (tie → smallest label, the
+    determinism pin async LPA lacks), {LPA_ROUNDS} fixed rounds
+    (diameter-scale for this graph; the oracle unrolls the identical
+    count). Isolated nodes keep their own label. Self-loops are
+    excluded (they only reinforce the incumbent label).
+
+    Exactness: labels and weights are exact BIGINTs; the per-node
+    argmax is an exact (ws DESC, lab ASC) total order — Spark realizes
+    it as MIN(struct(-ws, lab)) (one partial+final agg, no window
+    sort), the oracle as ROW_NUMBER over the same order; both are the
+    same total order, so every round is bit-identical. COALESCE keeps
+    isolated nodes.
+
+    Physics: edges derive from the checkpointed `_trade_flows` (the
+    fact join runs once); each round is one join of the node-sized
+    label relation against edges + one map-side-combined (node,label)
+    rollup + one argmax agg — the `_iteration_edges` broadcast ↔
+    co-partitioned dispatch (`GRAPH_BCAST_NODE_CEILING`) decides the
+    physical exchange exactly as in pagerank/CC. Round count is fixed,
+    so the lineage is bounded; per-round localCheckpoint cuts it.
+    """
+    flows = _trade_flows(spark, sf_dir)
+    base = flows.filter(F.col("src") != F.col("dst"))
+    eu = (
+        base.select("src", "dst", "w")
+        .unionByName(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    nodes = (
+        flows.select(F.col("src").alias("node"))
+        .unionByName(flows.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    eu, iter_join = _iteration_edges(eu, "src", n_nodes_hint)
+    nodes = nodes.localCheckpoint(eager=False)
+    bcast = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(LPA_ROUNDS):
+        f = (
+            iter_join(lab.withColumnRenamed("node", "src"))
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.sum("w").cast("long").alias("ws"))
+        )
+        pick = f.groupBy("node").agg(
+            F.min(F.struct((-F.col("ws")).alias("nws"), F.col("lab")))
+            .getField("lab")
+            .alias("new_lab")
+        )
+        lab = (
+            lab.join(
+                F.broadcast(pick) if bcast else pick.hint("shuffle_hash"),
+                "node",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("new_lab", "lab").alias("lab")
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("csize"))
+    nation = load(spark, sf_dir, "nation")
+    return (
+        lab.join(F.broadcast(sizes) if bcast else sizes, "lab")
+        .join(F.broadcast(nation), lab.node == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("lab").cast("long").alias("community"),
+            F.col("csize").cast("long").alias("community_size"),
+        )
+    )

@@ -2055,3 +2055,39 @@ def test_r11b_rank_stats_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11c_graph_ops_plan_physics_and_dispatch(spark, sf_dir):
+    """Physics + dispatch gates for the r11 graph batch (degree
+    assortativity, label propagation)."""
+    from cpt_database_sync_spark.operators.graph import (
+        GRAPH_BCAST_NODE_CEILING,
+        degree_assortativity,
+        label_propagation,
+    )
+
+    # assortativity: degrees + joins ride the checkpointed _trade_flows
+    # (lineitem never rescanned); degree relations broadcast; the only
+    # parquet scan would be a dim — there is none here
+    p = plan_string(degree_assortativity(spark, sf_dir), "simple")
+    assert "ExistingRDD" in p and p.count("Scan parquet") == 0
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # LPA: broadcast lane must be bit-identical to the co-partitioned
+    # lane (the GRAPH_BCAST_NODE_CEILING dispatch doctrine), and both
+    # non-empty on the fixture
+    bc = sorted(map(tuple, label_propagation(spark, sf_dir).collect()))
+    sh = sorted(
+        map(
+            tuple,
+            label_propagation(
+                spark, sf_dir, n_nodes_hint=GRAPH_BCAST_NODE_CEILING + 1
+            ).collect(),
+        )
+    )
+    assert bc == sh and len(bc) > 0
+    # synchronous LPA with min-tie-break must converge to ONE community
+    # per connected component at most — communities never exceed nodes,
+    # and every node appears exactly once
+    assert len(bc) == len({r[0] for r in bc})
