@@ -2828,3 +2828,105 @@ def concurrency_peak(
         .alias("first_peak_us"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
     )
+
+
+# Conversion window for funnel_window: the whole chain must complete
+# within this many microseconds of the stage-1 entry event.
+FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000
+
+_FUNNEL_WINDOW_SQL = f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND epoch_us(e.ts) - epoch_us(s1.t1) <= {FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND epoch_us(e.ts) - epoch_us(s2.t1) <= {FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
+
+@register("funnel_window", oracle=_FUNNEL_WINDOW_SQL)
+def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel (the windowFunnel semantics):
+    view → click → purchase counts at each stage only when the whole
+    chain completes within {hours} hours of the user's FIRST view.
+    `funnel` answers "did they ever convert"; this answers "did they
+    convert in THIS session/campaign horizon" — the form attribution
+    and campaign analytics actually need. Entry is greedy (the first
+    stage-1 event anchors the window; a later view that would convert
+    does not re-anchor — documented, the standard funnel
+    approximation, identical on both engines).
+
+    Exactness: all comparisons are exact integer microseconds
+    (``unix_micros`` ↔ ``epoch_us`` — the `funnel_latency` pairing);
+    stage frontiers are MIN-aggregates; counts are BIGINT.
+
+    Physics: identical shape to `funnel` — each stage is one
+    user-keyed join of the shrinking frontier against the type-
+    filtered events (every shuffle keys on user_id, so the exchange
+    is reused across stages; AQE broadcasts frontiers once they
+    shrink under the threshold); the window predicate rides the join
+    filter, costing nothing. The three counts union into ONE lazy
+    plan. The anchor time t1 is carried through the frontier rows, so
+    no stage re-reads a prior stage's events.
+    """.format(hours=FUNNEL_WINDOW_US // 3_600_000_000)
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t1"))
+                <= FUNNEL_WINDOW_US
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t1"))
+                <= FUNNEL_WINDOW_US
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        .unionAll(
+            s2.agg(F.lit("click").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+        .unionAll(
+            s3.agg(
+                F.lit("purchase").alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    )

@@ -1502,3 +1502,139 @@ def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[n].alias(f"n_{n}") for n in _SCRIPT_CLASSES],
         dominant.alias("dominant"),
     )
+
+
+# --- Vocabulary growth (Heaps curve) ----------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 10  # corpus-prefix deciles the curve is sampled at
+
+_VOCAB_GROWTH_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS pos,
+             COUNT(*) OVER () AS n_docs
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT pos, n_docs, unnest(string_split(text, ' ')) AS word
+      FROM d
+    ),
+    tok_ne AS (SELECT pos, n_docs, word FROM tok WHERE word <> ''),
+    -- decile of a prefix position: smallest k with ceil(k*N/10) >= pos
+    occ AS (
+      SELECT CAST(((pos * {VOCAB_GROWTH_BUCKETS} + n_docs - 1)
+                   // n_docs) AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM tok_ne GROUP BY 1
+    ),
+    firsts AS (
+      SELECT word, MIN(pos) AS first_pos, MIN(n_docs) AS n_docs
+      FROM tok_ne GROUP BY word
+    ),
+    nov AS (
+      SELECT CAST(((first_pos * {VOCAB_GROWTH_BUCKETS} + n_docs - 1)
+                   // n_docs) AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    ),
+    grid AS (SELECT CAST(unnest(range(1, {VOCAB_GROWTH_BUCKETS} + 1)) AS INT)
+               AS decile),
+    merged AS (
+      SELECT g.decile,
+             COALESCE(o.n_occ, 0) AS n_occ,
+             COALESCE(v.n_new, 0) AS n_new
+      FROM grid g
+      LEFT JOIN occ o ON o.decile = g.decile
+      LEFT JOIN nov v ON v.decile = g.decile
+    )
+    SELECT decile,
+           CAST(SUM(n_occ) OVER (ORDER BY decile) AS BIGINT) AS tokens_cum,
+           CAST(SUM(n_new) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum
+    FROM merged
+"""
+
+
+@register("vocab_growth", oracle=_VOCAB_GROWTH_SQL)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, V ≈ K·N^β): cumulative
+    distinct-token count vs cumulative token count, sampled at
+    {b} corpus-prefix deciles in doc_id order. The curation signal
+    behind "is more data still adding new language?" — a flattening
+    curve means the corpus is saturating (dedup/boilerplate); a curve
+    that keeps β ≈ 0.5 means continued lexical coverage. Complements
+    `ngram_novelty` (per-DOC novelty share) with the corpus-level
+    trajectory.
+
+    Tokenization is the `explode_wordcount` device (single-space
+    split, empties dropped — identical on both engines). Exactness:
+    a token's contribution to vocabulary is its FIRST position
+    (MIN over an exact integer doc position); positions map to
+    deciles by pure integer arithmetic ceil(pos·{b}/N) =
+    (pos·{b}+N−1) div N; both cumulative sums are BIGINT windows
+    over the {b}-row grid. The grid LEFT JOIN pins empty deciles to
+    0 (degenerate fixtures).
+
+    Physics: one corpus scan; the first-occurrence rollup is the
+    dedup-shaped groupBy(word) — map-side-combined, the shuffle
+    carries one row per DISTINCT word (the `dedup_exact`
+    discipline); the occurrence rollup is {b} rows straight off the
+    generator. Everything downstream is grid-sized. The doc-position
+    ROW_NUMBER is the one global-order structure — at 100 TB the
+    position becomes a precomputed monotonic id (files are already
+    ordered by ingestion; zone-map prefix counts give pos without a
+    global sort — documented swap), and the word rollup shuffles
+    xxhash64(word) exactly as `dedup_substring`'s hashed lane.
+    """.format(b=VOCAB_GROWTH_BUCKETS)
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = Window.orderBy("doc_id")
+    d = docs.select(
+        "text",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_docs"),
+    )
+    tok = d.select(
+        "pos", "n_docs", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    # integer ceil-div via SQL `div` (exact integral division — the
+    # oracle's `//`): decile = (pos*B + N - 1) div N
+    occ = (
+        tok.select(
+            F.expr(
+                f"CAST((pos * {VOCAB_GROWTH_BUCKETS} + n_docs - 1)"
+                " div n_docs AS INT)"
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    firsts = tok.groupBy("word").agg(
+        F.min("pos").alias("first_pos"), F.min("n_docs").alias("n_docs")
+    )
+    nov = (
+        firsts.select(
+            F.expr(
+                f"CAST((first_pos * {VOCAB_GROWTH_BUCKETS} + n_docs - 1)"
+                " div n_docs AS INT)"
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    grid = spark.range(1, VOCAB_GROWTH_BUCKETS + 1).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    merged = (
+        grid.join(F.broadcast(occ), "decile", "left")
+        .join(F.broadcast(nov), "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    wc = Window.orderBy("decile")
+    return merged.select(
+        "decile",
+        F.sum("n_occ").over(wc).cast("long").alias("tokens_cum"),
+        F.sum("n_new").over(wc).cast("long").alias("vocab_cum"),
+    )

@@ -1132,3 +1132,176 @@ def sync_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- Column-level drift localization ---------------------------------------
+
+# Deterministic target mutation for the drift audit (orders): every
+# 97th key dropped (missing), every 89th re-keyed far out of range
+# (extra), every 13th price bumped one cent, every 17th priority
+# rewritten. Moduli are pairwise coprime so the arms overlap naturally.
+_DRIFT_KEY_OFFSET = 1_000_000_000
+
+
+def _drift_mutation_sql() -> str:
+    return f"""
+      SELECT CASE WHEN o_orderkey % 89 = 0
+                  THEN o_orderkey + {_DRIFT_KEY_OFFSET}
+                  ELSE o_orderkey END AS o_orderkey,
+             o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CAST(0.01 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'X-DRIFTED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+    """
+
+
+_DRIFT_COMPARE_COLS = (
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_COLUMN_DRIFT_SQL = f"""
+    WITH tgt AS ({_drift_mutation_sql()}),
+    j AS (
+      SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+             {", ".join(
+                 f"CASE WHEN s.{c} IS DISTINCT FROM t.{c} "
+                 f"THEN 1 ELSE 0 END AS d_{c}"
+                 for c in _DRIFT_COMPARE_COLS
+             )}
+      FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_extra,
+             CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL "
+                 f"THEN d_{c} ELSE 0 END) AS BIGINT) AS n_{c}"
+                 for c in _DRIFT_COMPARE_COLS
+             )}
+      FROM j
+    )
+    SELECT '(missing_in_target)' AS column_name, n_missing AS n_rows
+    FROM arms
+    UNION ALL SELECT '(extra_in_target)', n_extra FROM arms
+    UNION ALL SELECT '(matched_keys)', n_matched FROM arms
+    {" ".join(
+        f"UNION ALL SELECT '{c}', n_{c} FROM arms "
+        for c in _DRIFT_COMPARE_COLS
+    )}
+"""
+
+
+@register("sync_column_drift", oracle=_COLUMN_DRIFT_SQL)
+def sync_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drift localization between source and replica —
+    the audit AFTER `snapshot_diff` says "something changed": a FULL
+    OUTER key join classifying missing-in-target / extra-in-target /
+    matched, and for matched keys a per-COLUMN count of cells that
+    differ (NULL-safe). `snapshot_diff` fingerprints the whole payload
+    (cheap, but says only THAT a row changed); this one says WHERE —
+    which column a faulty type mapping or truncating sink is mangling,
+    the first question a sync operator asks. The reference's
+    count-only verification (`sync/FetchRunner.java:38`) sees none of
+    it. The replica is a deterministic mutation of orders (drop %97,
+    re-key %89 as extras, bump %13 price one cent through the
+    DECIMAL(18,2) lane, rewrite %17 priority) so every arm is
+    exercised.
+
+    Exactness: cell compares are IS DISTINCT FROM ↔ a null-safe
+    inequality on both engines; the one-cent bump runs through
+    DECIMAL(18,2) addition then back to DOUBLE on BOTH sides
+    (double + 0.01 directly is not portable; the decimal round-trip
+    is the `sync_checksum` money lane); all counts BIGINT. The long
+    (column, count) shape comes from ONE aggregate row unioned out —
+    no per-column join or scan.
+
+    Physics: one key-partitioned full outer join (both sides shuffle
+    on the key once — at deployment the replica audit runs on
+    bucketed layouts and co-locates), then a single conditional
+    aggregation computing every arm and every column count in one
+    pass. Audit cost is one join regardless of column count.
+    """
+    src = load(spark, sf_dir, "orders")
+    tgt = (
+        src.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.col("o_orderkey") + _DRIFT_KEY_OFFSET,
+            )
+            .otherwise(F.col("o_orderkey"))
+            .alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                (
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    + F.lit("0.01").cast("decimal(18,2)")
+                ).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 17 == 0, F.lit("X-DRIFTED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+    s = src.alias("s")
+    t = tgt.alias("t")
+    j = s.join(
+        t, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full_outer"
+    ).select(
+        F.col("s.o_orderkey").alias("sk"),
+        F.col("t.o_orderkey").alias("tk"),
+        *[
+            (~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")))
+            .cast("int")
+            .alias(f"d_{c}")
+            for c in _DRIFT_COMPARE_COLS
+        ],
+    )
+    both = F.col("sk").isNotNull() & F.col("tk").isNotNull()
+    arms = j.agg(
+        F.sum(F.when(F.col("tk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.when(F.col("sk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_extra"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_matched"),
+        *[
+            F.sum(F.when(both, F.col(f"d_{c}")).otherwise(0))
+            .cast("long")
+            .alias(f"n_{c}")
+            for c in _DRIFT_COMPARE_COLS
+        ],
+    )
+    # stack() unpivots the ONE aggregate row in place — a union of
+    # per-arm selects would re-plan (and re-join) the audit once per
+    # output row (observed: 8 sort-merge joins vs this plan's one)
+    rows = [
+        ("(missing_in_target)", "n_missing"),
+        ("(extra_in_target)", "n_extra"),
+        ("(matched_keys)", "n_matched"),
+    ] + [(c, f"n_{c}") for c in _DRIFT_COMPARE_COLS]
+    stack_args = ", ".join(f"'{label}', {col}" for label, col in rows)
+    return arms.select(
+        F.expr(
+            f"stack({len(rows)}, {stack_args}) AS (column_name, n_rows)"
+        )
+    )

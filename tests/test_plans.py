@@ -2091,3 +2091,33 @@ def test_r11c_graph_ops_plan_physics_and_dispatch(spark, sf_dir):
     # per connected component at most — communities never exceed nodes,
     # and every node appears exactly once
     assert len(bc) == len({r[0] for r in bc})
+
+
+def test_r11d_pipeline_ops_plan_physics(spark, sf_dir):
+    """Physics gates for funnel_window, sync_column_drift, vocab_growth."""
+    from cpt_database_sync_spark.operators.analytics import funnel_window
+    from cpt_database_sync_spark.operators.llm_text import vocab_growth
+    from cpt_database_sync_spark.sources.sync import sync_column_drift
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # windowed funnel: user-keyed hash joins only (frontiers broadcast
+    # once shrunk); never a cartesian or theta join
+    p = plan(funnel_window)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # column drift: ONE full-outer key join + one aggregate, unpivoted
+    # in place — exactly two scans (source + mutated target), one
+    # sort-merge join, no per-output-row re-join
+    p = plan(sync_column_drift)
+    assert p.count("Scan parquet") == 2
+    assert p.count("SortMergeJoin") == 1
+
+    # vocab growth: corpus scanned at most twice (occurrence rollup +
+    # first-occurrence rollup off the shared generator); the 10-row
+    # grid joins broadcast; no sort-merge
+    p = plan(vocab_growth)
+    assert p.count("Scan parquet") <= 2 and "Generate explode" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
