@@ -1,4 +1,4 @@
-"""Baseline JPEG pixel decode in pure stdlib + numpy.
+"""Baseline + progressive JPEG pixel decode in pure stdlib + numpy.
 
 Closes the last honest ``NotImplementedError`` in the multimodal decode
 family (VERDICT r7 stretch #7): ``decode_image`` previously raised on any
@@ -7,7 +7,11 @@ ITU-T T.81 baseline DCT process — marker parse (DQT/SOF0/DHT/DRI/SOS),
 huffman entropy decode with byte-stuffing and restart markers, dequant,
 zigzag, 8×8 IDCT (numpy separable cosine basis), chroma upsampling and
 JFIF YCbCr→RGB — for sequential baseline (SOF0) and extended sequential
-huffman (SOF1) frames. Progressive (SOF2) and arithmetic-coded frames
+huffman (SOF1) frames, AND the progressive huffman process (SOF2,
+VERDICT r10 stretch #8): multi-scan coefficient accumulation with
+spectral selection (Ss..Se bands) and successive approximation (DC
+first/refine with point transform, AC first/refine with EOBRUN and
+correction bits — T.81 G.2). Arithmetic-coded and hierarchical frames
 raise, honestly.
 
 This is driver/executor-side Python invoked from Arrow ``mapInPandas``
@@ -145,10 +149,10 @@ def _idct_block(coef: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg_pixels(payload: bytes) -> dict:
-    """Decode a baseline (SOF0/SOF1) JFIF payload to row-major pixels:
-    3-channel RGB for YCbCr images, 1-channel for grayscale. Raises
-    NotImplementedError for progressive/arithmetic frames and ValueError
-    for corrupt streams."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JFIF payload
+    to row-major pixels: 3-channel RGB for YCbCr images, 1-channel for
+    grayscale. Raises NotImplementedError for arithmetic/hierarchical
+    frames and ValueError for corrupt streams."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -156,20 +160,27 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (precision, h, w, components)
+    progressive = False
+    stores: dict[int, np.ndarray] | None = None  # comp id -> (BH, BW, 64)
+    preds: dict[int, int] = {}
     i = 2
-    while i + 4 <= len(payload):
+    while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker expected")
         while i + 1 < len(payload) and payload[i + 1] == 0xFF:
             i += 1  # fill bytes before the marker (B.1.1.2)
-        if i + 4 > len(payload):
+        if i + 2 > len(payload):
             raise ValueError("truncated JPEG header")
         marker = payload[i + 1]
         if marker == 0xD8:
             i += 2
             continue
         if marker == 0xD9:
+            if progressive and stores is not None:
+                return _assemble_progressive(frame, qt, stores)
             break
+        if i + 4 > len(payload):
+            raise ValueError("truncated JPEG header")
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         seg = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -188,7 +199,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 table[ZIGZAG] = vals
                 qt[tq] = table.reshape(8, 8)
                 p += n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision}")
@@ -201,10 +212,11 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (precision, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0x{marker:02x})"
+                f"unsupported JPEG frame (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -221,13 +233,6 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame[3]):
-                # a scan covering a component subset means a multi-scan
-                # sequential file: decoding only the first scan would
-                # silently return a partial image
-                raise NotImplementedError(
-                    "multi-scan sequential JPEG (scan covers a component subset)"
-                )
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
@@ -239,11 +244,40 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 scan.append(
                     {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
                 )
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if stores is None:
+                    stores = _alloc_stores(frame)
+                    preds = {c["id"]: 0 for c in frame[3]}
+                end = _decode_prog_scan(
+                    payload, i + 2 + seg_len, frame, scan, ss, se, ah, al,
+                    stores, preds, huff_dc, huff_ac, restart_interval,
+                )
+                # resume marker parsing at the next real marker (skip
+                # entropy remnants, stuffing and RSTn)
+                j = end
+                while j + 1 < len(payload):
+                    if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                            and not (0xD0 <= payload[j + 1] <= 0xD7):
+                        break
+                    j += 1
+                i = j
+                continue
+            if ns != len(frame[3]):
+                # a scan covering a component subset means a multi-scan
+                # sequential file: decoding only the first scan would
+                # silently return a partial image
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG (scan covers a component subset)"
+                )
             return _decode_scan(
                 payload, i + 2 + seg_len, frame, scan, qt, huff_dc,
                 huff_ac, restart_interval,
             )
         i += 2 + seg_len
+    if progressive and stores is not None:
+        raise ValueError("progressive JPEG truncated before EOI")
     raise ValueError("JPEG has no scan")
 
 
@@ -312,6 +346,11 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, dri):
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    return _finish(full, h, w)
+
+
+def _finish(full: list, h: int, w: int) -> dict:
+    """Shared tail: clamp to 8-bit, JFIF YCbCr→RGB for 3 components."""
     if len(full) == 1:
         pixels = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return {"width": w, "height": h, "channels": 1, "fmt": "jpeg",
@@ -326,3 +365,231 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     pixels = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return {"width": w, "height": h, "channels": 3, "fmt": "jpeg",
             "pixels": pixels.tobytes()}
+
+
+# ------------------------------------------------------------------------
+# Progressive (SOF2) huffman process: T.81 G.2. Scans accumulate into
+# per-component NATURAL-ORDER coefficient stores; dequant + IDCT happen
+# once, at EOI.
+# ------------------------------------------------------------------------
+
+
+def _geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) plus per-component padded store dims
+    and non-interleaved block-raster dims (T.81 A.1.1: AC scans cover
+    ceil(comp_size/8) blocks, NOT the MCU-padded grid)."""
+    _, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = {}
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        dims[c["id"]] = {
+            "bw": mcus_x * c["h"],
+            "bh": mcus_y * c["v"],
+            "nbw": (cw + 7) // 8,
+            "nbh": (ch_ + 7) // 8,
+        }
+    return hmax, vmax, mcus_x, mcus_y, dims
+
+
+def _alloc_stores(frame) -> dict[int, np.ndarray]:
+    _, _, _, _, dims = _geometry(frame)
+    return {
+        cid: np.zeros((d["bh"], d["bw"], 64), dtype=np.int32)
+        for cid, d in dims.items()
+    }
+
+
+def _decode_prog_scan(payload, pos, frame, scan, ss, se, ah, al,
+                      stores, preds, huff_dc, huff_ac, dri):
+    """One progressive scan into the coefficient stores; returns the
+    position where entropy data ended. State semantics per T.81 G.2:
+    DC first = baseline DC with point transform << Al; DC refine = one
+    appended magnitude bit per block; AC first = band runs with EOBRUN;
+    AC refine = correction bits for nonzero-history coefficients plus
+    newly-significant ±1<<Al placements."""
+    hmax, vmax, mcus_x, mcus_y, dims = _geometry(frame)
+    r = _BitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("illegal progressive DC scan (Se != 0)")
+        if ah == 0:
+            decode_block = _make_dc_first(r, huff_dc, preds, al)
+        else:
+            decode_block = _make_dc_refine(r, al)
+        if len(scan) > 1:  # interleaved DC scan: MCU order
+            mcu_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and mcu_count and mcu_count % dri == 0:
+                        _expect_restart(r)
+                        for c in scan:
+                            preds[c["id"]] = 0
+                    for c in scan:
+                        st = stores[c["id"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                decode_block(
+                                    c, st[my * c["v"] + by, mx * c["h"] + bx]
+                                )
+                    mcu_count += 1
+            return r.pos
+        scan = scan[:1]
+    if len(scan) != 1 and ss != 0:
+        raise ValueError("progressive AC scan must cover one component")
+    # non-interleaved raster over the single component's own block grid
+    c = scan[0]
+    d = dims[c["id"]]
+    st = stores[c["id"]]
+    state = {"eobrun": 0}
+    if ss == 0:
+        block_fn = decode_block
+    elif ah == 0:
+        block_fn = _make_ac_first(r, huff_ac, ss, se, al, state)
+    else:
+        block_fn = _make_ac_refine(r, huff_ac, ss, se, al, state)
+    n = 0
+    for by in range(d["nbh"]):
+        for bx in range(d["nbw"]):
+            if dri and n and n % dri == 0:
+                _expect_restart(r)
+                preds[c["id"]] = 0
+                state["eobrun"] = 0
+            block_fn(c, st[by, bx])
+            n += 1
+    return r.pos
+
+
+def _expect_restart(r: _BitReader):
+    m = r.align_to_marker()
+    if m is None or not (0xD0 <= m <= 0xD7):
+        raise ValueError("expected JPEG restart marker")
+
+
+def _make_dc_first(r, huff_dc, preds, al):
+    def fn(c, coef):
+        s = _decode_huff(r, huff_dc[c["dc"]])
+        diff = _extend(r.receive(s), s)
+        preds[c["id"]] += diff
+        coef[0] = preds[c["id"]] << al
+
+    return fn
+
+
+def _make_dc_refine(r, al):
+    def fn(c, coef):
+        if r.read_bit():
+            # two's-complement OR appends the magnitude bit correctly
+            # for negative DCs too (first pass used arithmetic shift)
+            coef[0] |= 1 << al
+
+    return fn
+
+
+def _make_ac_first(r, huff_ac, ss, se, al, state):
+    def fn(c, coef):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(r, huff_ac[c["ac"]])
+            rrrr, ssss = rs >> 4, rs & 0x0F
+            if ssss == 0:
+                if rrrr == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << rrrr) - 1
+                if rrrr:
+                    state["eobrun"] += r.receive(rrrr)
+                break
+            k += rrrr
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            coef[ZIGZAG[k]] = _extend(r.receive(ssss), ssss) << al
+            k += 1
+
+    return fn
+
+
+def _make_ac_refine(r, huff_ac, ss, se, al, state):
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(coef, k):
+        """One correction bit for a nonzero-history coefficient."""
+        if r.read_bit() and (coef[ZIGZAG[k]] & p1) == 0:
+            coef[ZIGZAG[k]] += p1 if coef[ZIGZAG[k]] >= 0 else m1
+
+    def fn(c, coef):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huff(r, huff_ac[c["ac"]])
+                rrrr, ssss = rs >> 4, rs & 0x0F
+                newval = 0
+                if ssss == 0:
+                    if rrrr != 15:
+                        state["eobrun"] = 1 << rrrr
+                        if rrrr:
+                            state["eobrun"] += r.receive(rrrr)
+                        break
+                    # ZRL: advance over 16 zero-history coefficients
+                else:
+                    if ssss != 1:
+                        raise ValueError(
+                            "AC refinement size must be 1 (T.81 G.2.2)"
+                        )
+                    newval = p1 if r.read_bit() else m1
+                # walk: correction bits at nonzero-history positions,
+                # count down rrrr at zero-history ones, place newval
+                while k <= se:
+                    if coef[ZIGZAG[k]] != 0:
+                        correct(coef, k)
+                    else:
+                        if rrrr == 0:
+                            if newval:
+                                coef[ZIGZAG[k]] = newval
+                            k += 1
+                            break
+                        rrrr -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            # EOB span: remaining nonzero-history coefficients of this
+            # block still receive correction bits
+            while k <= se:
+                if coef[ZIGZAG[k]] != 0:
+                    correct(coef, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    return fn
+
+
+def _assemble_progressive(frame, qt, stores) -> dict:
+    """Dequantize + IDCT every accumulated block, assemble planes,
+    upsample and color-convert (the baseline `_finish` tail)."""
+    _, h, w, comps = frame
+    hmax, vmax, _, _, dims = _geometry(frame)
+    full = []
+    for c in comps:
+        st = stores[c["id"]]
+        q = qt[c["tq"]].reshape(64).astype(np.int64)
+        bh, bw = st.shape[0], st.shape[1]
+        coefs = (st.astype(np.int64) * q).reshape(bh, bw, 8, 8)
+        px = np.einsum(
+            "ux,bcuv,vy->bcxy", _IDCT_BASIS, coefs.astype(np.float64),
+            _IDCT_BASIS,
+        ) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0),
+                hmax // c["h"], axis=1,
+            )
+        full.append(plane[:h, :w])
+    return _finish(full, h, w)

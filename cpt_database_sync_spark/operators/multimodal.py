@@ -11,10 +11,11 @@ Arrow-batched ``mapInPandas`` stages.
 Decoding is REAL where stdlib can carry it: ``decode_image_meta`` parses
 PNG/JPEG/GIF container headers directly, and ``decode_image`` fully
 decodes PNG (zlib inflate + scanline unfiltering), GIF (LZW + palette,
-incl. interlacing) and baseline JPEG (huffman + dequant + IDCT,
-``jpegcodec.py``) pixels, with PIL as the fast path when installed —
-only exotic payloads (progressive JPEG, WebP, …) without a codec
-library raise NotImplementedError. ``multimodal_meta`` additionally
+incl. interlacing) and both baseline AND progressive JPEG (huffman +
+dequant + IDCT, multi-scan successive approximation, ``jpegcodec.py``)
+pixels, with PIL as the fast path when installed — only exotic
+payloads (WebP, arithmetic-coded JPEG, …) without a codec library
+raise NotImplementedError. ``multimodal_meta`` additionally
 keeps a clearly-marked deterministic fake decoder to exercise the
 plumbing against arbitrary (non-image) payloads; schema, binary
 handling, batch iteration, and partition parallelism are oracle-tested
@@ -347,9 +348,10 @@ def decode_gif_pixels(payload: bytes) -> dict:
 def decode_image(payload: bytes) -> dict:
     """Full pixel decode: PIL when installed (any format), else the pure
     stdlib decoders — PNG (zlib + scanline unfiltering), GIF (LZW), and
-    baseline JPEG (huffman + dequant + IDCT) — so the pixel path is REAL
-    in this sandbox for the three dominant container formats. Only
-    exotic payloads (progressive JPEG, WebP, …) without a codec library
+    baseline + progressive JPEG (huffman + dequant + IDCT, multi-scan
+    successive approximation) — so the pixel path is REAL in this
+    sandbox for the three dominant container formats. Only exotic
+    payloads (WebP, arithmetic-coded JPEG, …) without a codec library
     raise. Returns width/height/channels/fmt plus row-major ``pixels``
     bytes."""
     pil = _probe_pil()

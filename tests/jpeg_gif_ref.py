@@ -293,3 +293,252 @@ def encode_gif(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------------- progressive JPEG
+
+def _zz_coefs(block) -> list:
+    """Signed zigzag-order DCT coefficients of one 8x8 pixel block."""
+    coef = np.rint(_fdct(block - 128.0)).astype(int)
+    return [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
+
+
+def _sos_segment(comps, ss, se, ah, al) -> bytes:
+    body = bytes([len(comps)])
+    for cid, tables in comps:
+        body += bytes([cid, tables])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _emit_dc_first(bw, zz0, pred, al, dc_code):
+    v = zz0 >> al  # arithmetic shift: the spec's DC point transform
+    diff = v - pred
+    n, bits = _cat(diff)
+    c, ln = dc_code[n]
+    bw.put(c, ln)
+    bw.put(bits, n)
+    return v
+
+
+def _emit_ac_first_block(bw, zz, ss, se, al, ac_code):
+    """AC first scan, one block, per-block EOB (EOBRUN length 1)."""
+    vals = [
+        (1 if zz[k] > 0 else -1) * (abs(zz[k]) >> al) for k in range(64)
+    ]
+    last_nz = max((k for k in range(ss, se + 1) if vals[k]), default=None)
+    run = 0
+    if last_nz is not None:
+        for k in range(ss, last_nz + 1):
+            if vals[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_code[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            n, bits = _cat(vals[k])
+            c, ln = ac_code[(run << 4) | n]
+            bw.put(c, ln)
+            bw.put(bits, n)
+            run = 0
+    if last_nz is None or last_nz < se:
+        c, ln = ac_code[0x00]  # EOB (run length 1)
+        bw.put(c, ln)
+
+
+def _emit_ac_refine_block(bw, zz, ss, se, al, ac_code):
+    """AC refinement scan, one block — the exact mirror of the decoder's
+    walk (jpegcodec._make_ac_refine): symbols for newly-significant
+    coefficients, correction bits interleaved in POSITION order at
+    nonzero-history coefficients, per-block EOB."""
+    hist = lambda k: (abs(zz[k]) >> (al + 1)) != 0  # noqa: E731
+    newly = lambda k: not hist(k) and (abs(zz[k]) >> al) == 1  # noqa: E731
+    corr = lambda k: (abs(zz[k]) >> al) & 1  # noqa: E731
+    k = ss
+    while k <= se:
+        # locate the next newly-significant coefficient and the number
+        # of zero-history zeros before it
+        qpos = None
+        run = 0
+        j = k
+        while j <= se:
+            if newly(j):
+                qpos = j
+                break
+            if not hist(j):
+                run += 1
+            j += 1
+        if qpos is None:
+            c, ln = ac_code[0x00]  # EOB, then trailing correction bits
+            bw.put(c, ln)
+            for t in range(k, se + 1):
+                if hist(t):
+                    bw.put(corr(t), 1)
+            return
+        while run > 15:
+            c, ln = ac_code[0xF0]  # ZRL: consumes 16 zero-history zeros
+            bw.put(c, ln)
+            cnt = 16
+            while cnt > 0:
+                if hist(k):
+                    bw.put(corr(k), 1)
+                else:
+                    cnt -= 1
+                k += 1
+            run -= 16
+        c, ln = ac_code[(run << 4) | 1]
+        bw.put(c, ln)
+        bw.put(1 if zz[qpos] > 0 else 0, 1)  # sign of the new coefficient
+        while k < qpos:
+            if hist(k):
+                bw.put(corr(k), 1)
+            k += 1
+        k = qpos + 1
+    # ended exactly at se with a placement: no EOB needed
+
+
+def encode_jpeg_progressive_gray(pixels: np.ndarray) -> bytes:
+    """Grayscale progressive JPEG: DC first (Al=1) + DC refine, then AC
+    spectral bands 1-5 / 6-63 each at Al=1 followed by their Al=0
+    refinement — six scans exercising spectral selection AND both
+    successive-approximation passes."""
+    h, w = pixels.shape
+    dc_counts, dc_syms, dc_code = _fixed_table(_DC_SYMS, 8)
+    ac_counts, ac_syms, ac_code = _fixed_table(_AC_SYMS, 9)
+    padded = np.pad(
+        pixels.astype(float), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    blocks = [
+        _zz_coefs(padded[y0 : y0 + 8, x0 : x0 + 8])
+        for y0 in range(0, padded.shape[0], 8)
+        for x0 in range(0, padded.shape[1], 8)
+    ]
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment()
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_counts, dc_syms)
+    out += _dht_segment(1, 0, ac_counts, ac_syms)
+
+    def scan(ss, se, ah, al, emit):
+        nonlocal out
+        out += _sos_segment([(1, 0x00)], ss, se, ah, al)
+        bw = _BitWriter()
+        emit(bw)
+        bw.flush()
+        out += bw.out
+
+    def dc_first(bw):
+        pred = 0
+        for zz in blocks:
+            pred = _emit_dc_first(bw, zz[0], pred, 1, dc_code)
+
+    scan(0, 0, 0, 1, dc_first)
+    scan(0, 0, 1, 0, lambda bw: [bw.put(zz[0] & 1, 1) for zz in blocks])
+    for lo, hi in ((1, 5), (6, 63)):
+        scan(
+            lo, hi, 0, 1,
+            lambda bw, lo=lo, hi=hi: [
+                _emit_ac_first_block(bw, zz, lo, hi, 1, ac_code)
+                for zz in blocks
+            ],
+        )
+    for lo, hi in ((1, 5), (6, 63)):
+        scan(
+            lo, hi, 1, 0,
+            lambda bw, lo=lo, hi=hi: [
+                _emit_ac_refine_block(bw, zz, lo, hi, 0, ac_code)
+                for zz in blocks
+            ],
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_color_420(rgb: np.ndarray) -> bytes:
+    """4:2:0 color progressive JPEG: interleaved DC first/refine scans
+    (MCU order over all three components), then per-component AC band
+    1-63 first (Al=1) and refinement (Al=0) scans."""
+    h, w, _ = rgb.shape
+    assert h % 16 == 0 and w % 16 == 0, "keep the fixture MCU-aligned"
+    r, g, b = (rgb[..., i].astype(float) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb_d = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr_d = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    dc_counts, dc_syms, dc_code = _fixed_table(_DC_SYMS, 8)
+    ac_counts, ac_syms, ac_code = _fixed_table(_AC_SYMS, 9)
+
+    def grid(plane):
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        return [
+            [
+                _zz_coefs(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+                for bx in range(bw_)
+            ]
+            for by in range(bh)
+        ]
+
+    gy, gcb, gcr = grid(y), grid(cb_d), grid(cr_d)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment()
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_counts, dc_syms)
+    out += _dht_segment(1, 0, ac_counts, ac_syms)
+
+    # interleaved DC first (Al=1): MCU order, 4 Y blocks + Cb + Cr
+    out += _sos_segment([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    pred[1] = _emit_dc_first(
+                        bw, gy[my * 2 + by][mx * 2 + bx][0], pred[1], 1,
+                        dc_code,
+                    )
+            pred[2] = _emit_dc_first(bw, gcb[my][mx][0], pred[2], 1, dc_code)
+            pred[3] = _emit_dc_first(bw, gcr[my][mx][0], pred[3], 1, dc_code)
+    bw.flush()
+    out += bw.out
+
+    # interleaved DC refine (Ah=1, Al=0): one bit per block, same order
+    out += _sos_segment([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    bw.put(gy[my * 2 + by][mx * 2 + bx][0] & 1, 1)
+            bw.put(gcb[my][mx][0] & 1, 1)
+            bw.put(gcr[my][mx][0] & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # per-component AC first then refinement over the full 1-63 band
+    for cid, g_ in ((1, gy), (2, gcb), (3, gcr)):
+        out += _sos_segment([(cid, 0x00)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for row in g_:
+            for zz in row:
+                _emit_ac_first_block(bw, zz, 1, 63, 1, ac_code)
+        bw.flush()
+        out += bw.out
+    for cid, g_ in ((1, gy), (2, gcb), (3, gcr)):
+        out += _sos_segment([(cid, 0x00)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for row in g_:
+            for zz in row:
+                _emit_ac_refine_block(bw, zz, 1, 63, 0, ac_code)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

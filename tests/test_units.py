@@ -1422,17 +1422,69 @@ class TestJpegGifStdlibDecode:
         err = np.abs(got - rgb.astype(int)).max()
         assert err <= 6, f"max reconstruction error {err}"  # RGB<->YCbCr + DCT rounding
 
-    def test_jpeg_progressive_raises(self):
+    def test_jpeg_fake_progressive_rejected(self):
         import pytest
 
         from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
         from tests.jpeg_gif_ref import encode_jpeg_gray
 
+        # a baseline stream with only the SOF marker rewritten to SOF2
+        # is CORRUPT as progressive: its single scan claims the full
+        # 0..63 band, which is illegal for a progressive DC scan
         payload = bytearray(encode_jpeg_gray(self._rng().integers(0, 255, (8, 8)).astype("uint8")))
         i = payload.index(b"\xff\xc0")
         payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_jpeg_pixels(bytes(payload))
+
+    def test_jpeg_progressive_gray_roundtrip(self):
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
+        from tests.jpeg_gif_ref import (
+            encode_jpeg_gray,
+            encode_jpeg_progressive_gray,
+        )
+
+        # six scans: DC first/refine + two spectral AC bands, each with
+        # an Al=1 first pass and an Al=0 refinement (T.81 G.2 complete)
+        img = self._rng().integers(0, 255, (24, 17)).astype(np.uint8)
+        d = decode_jpeg_pixels(encode_jpeg_progressive_gray(img))
+        assert (d["width"], d["height"], d["channels"]) == (17, 24, 1)
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(24, 17).astype(int)
+        assert np.abs(got - img.astype(int)).max() <= 2
+        # the accumulated coefficients are EXACTLY the sequential ones,
+        # so the progressive decode must be bit-identical to decoding
+        # the same image through the baseline path
+        b = decode_jpeg_pixels(encode_jpeg_gray(img))
+        base = np.frombuffer(b["pixels"], np.uint8).reshape(24, 17).astype(int)
+        assert (got == base).all()
+
+    def test_jpeg_progressive_color_420_roundtrip(self):
+        import numpy as np
+
+        from cpt_database_sync_spark.operators.jpegcodec import decode_jpeg_pixels
+        from tests.jpeg_gif_ref import (
+            encode_jpeg_color_420,
+            encode_jpeg_progressive_color_420,
+        )
+
+        # interleaved DC scans (MCU order over Y+Cb+Cr with 4:2:0
+        # sampling) + per-component non-interleaved AC first/refine
+        rng = self._rng()
+        ylum = rng.integers(40, 216, size=(32, 32), dtype=np.uint8)
+        rgb = np.stack([ylum, ylum, ylum], axis=-1).astype(np.uint8)
+        cast = rng.integers(-20, 20, size=(16, 16, 3))
+        rgb = np.clip(
+            rgb.astype(int) + np.repeat(np.repeat(cast, 2, 0), 2, 1), 0, 255
+        ).astype(np.uint8)
+        d = decode_jpeg_pixels(encode_jpeg_progressive_color_420(rgb))
+        assert (d["width"], d["height"], d["channels"]) == (32, 32, 3)
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(32, 32, 3).astype(int)
+        assert np.abs(got - rgb.astype(int)).max() <= 6
+        b = decode_jpeg_pixels(encode_jpeg_color_420(rgb))
+        base = np.frombuffer(b["pixels"], np.uint8).reshape(32, 32, 3).astype(int)
+        assert (got == base).all()
 
     def test_gif_roundtrip_plain_and_interlaced(self):
         import numpy as np
