@@ -191,6 +191,18 @@ HEADLINE = [
     "sync_fk_audit",
     "script_mix",
     "hampel_filter",
+    "spearman_corr",
+    "mann_whitney_u",
+    "runs_test",
+    "page_hinkley",
+    "degree_assortativity",
+    "label_propagation",
+    "funnel_window",
+    "sync_column_drift",
+    "vocab_growth",
+    "anova_oneway",
+    "higher_moments",
+    "hapax_ratio",
 ]
 
 

@@ -1638,3 +1638,68 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_occ").over(wc).cast("long").alias("tokens_cum"),
         F.sum("n_new").over(wc).cast("long").alias("vocab_cum"),
     )
+
+
+# --- Hapax ratio --------------------------------------------------------
+
+_HAPAX_SQL = """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    wc AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS hapax_ratio
+    FROM wc GROUP BY lang
+"""
+
+
+@register("hapax_ratio", oracle=_HAPAX_SQL)
+def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per language: the fraction of the
+    vocabulary that occurs exactly once. The lexical-richness /
+    noise-floor signal behind corpus curation decisions — a LOW hapax
+    share means boilerplate/duplication (vocabulary saturating, cf.
+    `vocab_growth` flattening); an inflated one means OCR junk or
+    tokenizer misfires flooding the tail. Classic Zipf-tail companion
+    to `explode_wordcount` (which keeps only the HEAD, n >= 5).
+
+    Exactness: tokenization is the `explode_wordcount` device (single
+    -space split, empties dropped); counts are exact BIGINTs; the one
+    division is round-9 over exact integers.
+
+    Physics: one corpus scan; the (lang, word) rollup is map-side
+    combined (the shuffle carries distinct words per partition, the
+    `dedup_exact` discipline); the per-lang fold re-shuffles only
+    |langs| map-side partials per task — vocabulary never moves twice.
+    At 100 TB the word rollup shuffles xxhash64(word) (the
+    `dedup_substring` hashed lane) — documented swap, identical counts.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = tok.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return wc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("hapax_ratio"),
+    )

@@ -2450,3 +2450,217 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties",
         F.expr(_MWU_Z_EXPR).alias("z"),
     )
+
+
+# --- One-way ANOVA ------------------------------------------------------
+
+# Shared closed form over the folded doubles + exact integer totals.
+_ANOVA_F_EXPR = (
+    "round(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / NULLIF(CAST(k - 1 AS DOUBLE), CAST(0 AS DOUBLE)))"
+    " / NULLIF(ssw / NULLIF(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE)),"
+    " CAST(0 AS DOUBLE)), 9)"
+)
+_ANOVA_SSB_EXPR = (
+    "round(sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)"
+)
+
+_ANOVA_SQL = f"""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sg,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssg
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY 1
+    ),
+    contrib AS (
+      SELECT flag, ng, sg,
+             CAST(ssg AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / CAST(ng AS DOUBLE) AS gssw,
+             CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE) AS gsb
+      FROM g
+    ),
+    folded AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(sg) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(gssw ORDER BY flag)),
+                         (acc, x) -> acc + x) AS ssw,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(gsb ORDER BY flag)),
+                         (acc, x) -> acc + x) AS sb
+      FROM contrib
+    )
+    SELECT n, CAST(k AS INT) AS k,
+           {_ANOVA_SSB_EXPR} AS ssb,
+           round(ssw, 9) AS ssw,
+           {_ANOVA_F_EXPR} AS f_stat
+    FROM folded
+"""
+
+
+@register("anova_oneway", oracle=_ANOVA_SQL)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test: does mean quantity differ across return
+    flags? The k-group generalization `mann_whitney_u` (2 groups,
+    ranks) and `chi2_independence` (categorical×categorical) leave
+    open: F = (SSB/(k−1)) / (SSW/(N−k)) over the between/within
+    sum-of-squares decomposition — the variance-explained screen for
+    a numeric measure against a categorical dimension.
+
+    Exactness: quantities are integer-valued, so every group moment
+    (n, Σx, Σx²) is an exact BIGINT; the per-group double
+    contributions (Σx)²/n are folded in FLAG ORDER on both engines
+    (HOF aggregate over the sorted group list ↔ list_reduce over
+    list(... ORDER BY flag) — the `chi2_independence` device), and
+    the F closed form is one shared expression text over identical
+    operands, round-9. Degenerate k=1 / N=k inputs yield NULL via
+    NULLIF on both sides.
+
+    Physics: ONE map-side-combined rollup of the fact to k rows;
+    everything after is k-row arithmetic. The fold list is k long.
+    Scale-invariant by construction.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+    )
+    q = F.col("l_quantity").cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(q).cast("long").alias("sg"),
+        F.sum(q * q).cast("long").alias("ssg"),
+    )
+    contrib = g.select(
+        "flag",
+        "ng",
+        "sg",
+        (
+            F.col("ssg").cast("double")
+            - F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("gssw"),
+        (
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("gsb"),
+    )
+    folded = contrib.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(flag, gssw))), x -> x.gssw), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("ssw"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(flag, gsb))), x -> x.gsb), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("sb"),
+    )
+    return folded.select(
+        "n",
+        F.col("k").cast("int").alias("k"),
+        F.expr(_ANOVA_SSB_EXPR).alias("ssb"),
+        F.round(F.col("ssw"), 9).alias("ssw"),
+        F.expr(_ANOVA_F_EXPR).alias("f_stat"),
+    )
+
+
+# --- Higher moments (skewness / excess kurtosis) -------------------------
+
+_MOMENT_EXPRS = {
+    # central moments from exact raw power sums; one shared text each
+    "mean": "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+}
+_MOMENT_EXPRS["m2"] = (
+    f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - ({_MOMENT_EXPRS['mean']}) * ({_MOMENT_EXPRS['mean']}))"
+)
+_MOMENT_EXPRS["m3"] = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * ({_MOMENT_EXPRS['mean']}) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 2 * ({_MOMENT_EXPRS['mean']}) * ({_MOMENT_EXPRS['mean']})"
+    f" * ({_MOMENT_EXPRS['mean']}))"
+)
+_MOMENT_EXPRS["m4"] = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4 * ({_MOMENT_EXPRS['mean']}) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 6 * ({_MOMENT_EXPRS['mean']}) * ({_MOMENT_EXPRS['mean']})"
+    f" * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * ({_MOMENT_EXPRS['mean']}) * ({_MOMENT_EXPRS['mean']})"
+    f" * ({_MOMENT_EXPRS['mean']}) * ({_MOMENT_EXPRS['mean']}))"
+)
+_SKEW_EXPR = (
+    f"round(({_MOMENT_EXPRS['m3']})"
+    f" / NULLIF(sqrt(({_MOMENT_EXPRS['m2']}) * ({_MOMENT_EXPRS['m2']})"
+    f" * ({_MOMENT_EXPRS['m2']})), CAST(0 AS DOUBLE)), 9)"
+)
+_KURT_EXPR = (
+    f"round(({_MOMENT_EXPRS['m4']})"
+    f" / NULLIF(({_MOMENT_EXPRS['m2']}) * ({_MOMENT_EXPRS['m2']}),"
+    f" CAST(0 AS DOUBLE)) - 3, 9)"
+)
+
+_HIGHER_MOMENTS_SQL = f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2,
+             CAST(SUM(q * q * q) AS BIGINT) AS s3,
+             CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem WHERE l_quantity IS NOT NULL)
+      GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           {_SKEW_EXPR} AS skewness,
+           {_KURT_EXPR} AS kurtosis_excess
+    FROM g
+"""
+
+
+@register("higher_moments", oracle=_HIGHER_MOMENTS_SQL)
+def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return
+    flag — the shape diagnostics `agg_stats` (mean/stddev) stops short
+    of: g1 = m3/m2^1.5 (asymmetry) and g2 = m4/m2² − 3 (tail weight vs
+    normal), from central moments expanded over RAW power sums.
+
+    Exactness: quantities are integer-valued, so Σx..Σx⁴ are exact
+    BIGINTs (x⁴ ≤ 6.25e6; the sums stay under 2⁶³ past 10⁹ rows per
+    group — the DECIMAL(38,0) swap is a one-line change); each
+    central moment is ONE shared closed-form text over the exact sums
+    (the same operands in the same IEEE order on both engines),
+    round-9 display; zero-variance groups yield NULL via NULLIF.
+
+    Physics: one map-side-combined rollup to |groups| rows; the power
+    expressions run inside the partial aggregate (whole-stage
+    codegen). Nothing downstream is corpus-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+    )
+    q = F.col("l_quantity").cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.sum(q * q * q).cast("long").alias("s3"),
+        F.sum(q * q * q * q).cast("long").alias("s4"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.expr(_SKEW_EXPR).alias("skewness"),
+        F.expr(_KURT_EXPR).alias("kurtosis_excess"),
+    )

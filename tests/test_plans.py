@@ -2128,3 +2128,33 @@ def test_r11d_pipeline_ops_plan_physics(spark, sf_dir):
     p = plan(vocab_growth)
     assert p.count("Scan parquet") <= 2 and "Generate explode" in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_r11e_moment_ops_plan_physics(spark, sf_dir):
+    """Physics gates for anova_oneway, higher_moments, hapax_ratio."""
+    from cpt_database_sync_spark.operators.llm_text import hapax_ratio
+    from cpt_database_sync_spark.operators.stats import (
+        anova_oneway,
+        higher_moments,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # ANOVA: one map-side-combined rollup to k rows; the fold runs on
+    # the k-row relation; no join, no window sort
+    p = plan(anova_oneway)
+    assert p.count("Scan parquet") == 1 and "partial_count" in p
+    assert "Join" not in p and "Window" not in p
+
+    # higher moments: strictly one rollup — a single exchange carries
+    # |groups| partials; nothing else
+    p = plan(higher_moments)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1
+    assert "Join" not in p
+
+    # hapax: generator + two-level rollup; the per-lang fold reuses the
+    # (lang, word) exchange — no second corpus shuffle, no join
+    p = plan(hapax_ratio)
+    assert p.count("Scan parquet") == 1 and "Generate explode" in p
+    assert "Join" not in p
