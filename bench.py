@@ -203,6 +203,7 @@ HEADLINE = [
     "anova_oneway",
     "higher_moments",
     "hapax_ratio",
+    "stream_page_hinkley",
 ]
 
 

@@ -1067,3 +1067,194 @@ def stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         varchar_lengths={"event_type": 64},
     )
     return served
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley drift detector (per-type state)
+# ---------------------------------------------------------------------------
+
+_PH_OUT_SCHEMA = (
+    "event_type string, n_days bigint, mx bigint, wb bigint, alarm_dn bigint"
+)
+# phase 1 (burn-in incomplete): hist carries the finalized days "dn:c|…"
+# (≤ PH_BURN_DAYS entries); phase 2: the integer scalars (t, cs, sb, wb,
+# mn, mx, al) ARE the whole state. ld = finalized frontier (late guard),
+# pend = watermark-open per-day partials (the _type_holt device).
+_PH_STATE_SCHEMA = (
+    "t bigint, cs bigint, sb bigint, wb bigint, hist string, "
+    "mn bigint, mx bigint, al bigint, ld bigint, pend string"
+)
+
+
+def _ph_fold(days, sb, wb, t, cs, mn, mx, al):
+    """Fold (dn, count) steps through the scaled PH recurrence: m2 =
+    2W·cumsum − t·(2S_W + 2δW) exact ints; returns the advanced
+    (t, cs, mn, mx, al). lam2w = λ·2W is integral (λ = 50, W int)."""
+    from cpt_database_sync_spark.operators.timeseries import (  # noqa: PLC0415
+        PH_DELTA_X2,
+        PH_LAMBDA,
+    )
+
+    lam2w = int(2 * wb * PH_LAMBDA)
+    for dn, c in days:
+        t += 1
+        cs += c
+        m2 = 2 * wb * cs - t * (2 * sb + PH_DELTA_X2 * wb)
+        if mn is None or m2 < mn:
+            mn = m2
+        dep = m2 - mn
+        if mx is None or dep > mx:
+            mx = dep
+        if al is None and dep > lam2w:
+            al = dn
+    return t, cs, mn, mx, al
+
+
+def _type_ph(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-type Page-Hinkley state machine, watermark-delayed like
+    ``_type_holt``: per-day partials pend until the watermark closes the
+    day, then finalize IN dn ORDER exactly once. While fewer than
+    PH_BURN_DAYS days are finalized, the finalized days are kept
+    verbatim (the burn-in mean is not yet fixed, so no prefix of the
+    statistic is final); at the W-th finalized day the burn stats
+    freeze, the history folds into O(1) integer scalars, and every
+    later day advances them incrementally. Every emission re-folds the
+    still-open pending days on top (burn stats recomputed over
+    everything seen while still in burn-in), so the emitted row equals
+    the batch `page_hinkley` over all data seen — under any
+    chronological micro-batch split and within-watermark disorder."""
+    from cpt_database_sync_spark.operators.timeseries import (  # noqa: PLC0415
+        PH_BURN_DAYS,
+    )
+
+    if state.exists:
+        t, cs, sb, wb, hist_s, mn, mx, al, ld, pend_s = state.get
+        hist = _holt_decode(hist_s)
+        pend = _holt_decode(pend_s)
+    else:
+        t = cs = 0
+        sb = wb = None
+        hist = {}
+        mn = mx = al = ld = None
+        pend = {}
+    for pdf in pdfs:
+        for dn, c in pdf.groupby("dn").size().items():
+            pend[int(dn)] = pend.get(int(dn), 0) + int(c)
+    if getattr(state, "_watermark_present", True):
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except PySparkRuntimeError:
+            wm_us = 0
+    else:
+        wm_us = 0
+    day_us = 86_400_000_000
+    ripe = sorted(dn for dn in pend if (dn + 1) * day_us <= wm_us)
+    for dn in ripe:
+        c = pend.pop(dn)
+        if ld is not None and dn <= ld:
+            continue  # late beyond the watermark: dropped (contract)
+        if wb is None:
+            hist[dn] = c
+            if len(hist) == PH_BURN_DAYS:
+                # burn-in complete: freeze stats, fold the history
+                wb = PH_BURN_DAYS
+                sb = sum(hist.values())
+                days = [(d, hist[d]) for d in sorted(hist)]
+                t, cs, mn, mx, al = _ph_fold(days, sb, wb, 0, 0, None, None, None)
+                hist = {}
+        else:
+            t, cs, mn, mx, al = _ph_fold([(dn, c)], sb, wb, t, cs, mn, mx, al)
+        ld = dn
+    state.update((
+        t, cs, sb, wb, _holt_encode(hist), mn, mx, al, ld, _holt_encode(pend)
+    ))
+    # emission: finalized state + re-fold of the open days
+    open_days = [(d, pend[d]) for d in sorted(pend)]
+    if wb is not None:
+        et, ecs, emn, emx, eal = _ph_fold(open_days, sb, wb, t, cs, mn, mx, al)
+        ewb = wb
+        en = et
+    else:
+        all_days = sorted(hist.items() | pend.items())
+        en = len(all_days)
+        if en == 0:
+            return
+        ewb = min(PH_BURN_DAYS, en)
+        esb = sum(c for _, c in all_days[:ewb])
+        _, _, _, emx, eal = _ph_fold(all_days, esb, ewb, 0, 0, None, None, None)
+    if en > 0:
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [en],
+                "mx": [emx],
+                "wb": [ewb],
+                "alarm_dn": [eal],
+            }
+        )
+
+
+from cpt_database_sync_spark.operators.timeseries import _PH_SQL  # noqa: E402
+
+
+@register("stream_page_hinkley", oracle=_PH_SQL)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Page-Hinkley upward-drift detector — the batch
+    `page_hinkley` maintained as per-type state, emitting the current
+    (n_days, max drift depth, first alarm day) after every micro-batch:
+    the deployable form of the sequential test (the batch twin's
+    docstring names this exact state shape). State is O(1) integer
+    scalars per key once the burn-in window closes, plus the
+    watermark-pending day partials and (only during burn-in) at most
+    PH_BURN_DAYS finalized day counts.
+
+    Exactness: the ORACLE IS THE BATCH ORACLE, verbatim (batch≡stream).
+    The whole recurrence is exact integer arithmetic (the batch op's
+    scaled-by-2W device), so the stream needs NO float-step pinning;
+    the one display division round(mx/(2W), 9) runs as Spark SQL round
+    on the serving table — the identical expression the oracle runs.
+    Finalize-in-dn-order + emission re-fold make the result invariant
+    under any chronological batch split (gated in test_units).
+
+    Serving: per-type rows through the keyed MERGE sink, update mode.
+
+    Scale: state is O(1) + O(delay days) per key; the one corpus-sized
+    exchange is the key shuffle, and a dominant-key deployment
+    pre-aggregates (key, day) map-side first (the day rollup is
+    algebraic; only the threshold walk is order-bound) — `stream_holt`'s
+    documented shape.
+    """
+    from cpt_database_sync_spark.streaming.windows import (  # noqa: PLC0415
+        serve_keyed_stream,
+    )
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .withWatermark("ts", HOLT_MAX_DISORDER)
+        .withColumn(
+            "dn",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")),
+        )
+        .select("event_type", "ts", "dn")
+    )
+    folded = ev.groupBy("event_type").applyInPandasWithState(
+        _type_ph,
+        outputStructType=_PH_OUT_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, _ = serve_keyed_stream(
+        folded, ["event_type"], "stream_ph_", varchar_lengths={"event_type": 64}
+    )
+    return served.select(
+        "event_type",
+        "n_days",
+        F.round(
+            F.col("mx").cast("double") / (2 * F.col("wb")), 9
+        ).alias("max_depth"),
+        F.col("alarm_dn").cast("long").alias("alarm_dn"),
+    )

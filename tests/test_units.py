@@ -3005,3 +3005,159 @@ def test_stream_concurrency_pend_buffer_soak_bounded_under_disorder():
     assert out[0]["first_peak_us"][0] == fp
     assert out[0]["n_intervals"][0] == len(all_points) // 2
     assert peak > 1 and max_pend >= 90  # genuinely exercised
+
+
+def test_stream_page_hinkley_invariant_under_batch_splits(spark, sf_dir):
+    """stream_page_hinkley serves per-type drift rows through the keyed
+    MERGE sink; a multi-batch chronological split must produce a serving
+    table BIT-EQUAL to the batch page_hinkley (batch≡stream — the oracle
+    is the batch oracle verbatim)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cpt_database_sync_spark.operators.timeseries import page_hinkley
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.stateful import (
+        _PH_OUT_SCHEMA,
+        _PH_STATE_SCHEMA,
+        HOLT_MAX_DISORDER,
+        _type_ph,
+    )
+    from cpt_database_sync_spark.streaming.windows import serve_keyed_stream
+
+    sweep_scratch("ph_split_")
+    workdir = os.path.join(scratch_dir(), "ph_split_src")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "ts")
+    )
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "ph_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))  # pin batch order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .withWatermark("ts", HOLT_MAX_DISORDER)
+        .withColumn(
+            "dn",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")),
+        )
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _type_ph,
+        outputStructType=_PH_OUT_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    served, progresses = serve_keyed_stream(
+        folded, ["event_type"], "ph_split_serve_",
+        varchar_lengths={"event_type": 64},
+    )
+    multi = {
+        tuple(r)
+        for r in served.select(
+            "event_type",
+            "n_days",
+            F.round(F.col("mx").cast("double") / (2 * F.col("wb")), 9).alias(
+                "max_depth"
+            ),
+            F.col("alarm_dn").cast("long").alias("alarm_dn"),
+        ).collect()
+    }
+    assert sum(p["numInputRows"] for p in progresses if p) > 0
+    batch = {tuple(r) for r in page_hinkley(spark, sf_dir).collect()}
+    assert multi == batch, (
+        f"split stream diverged from batch: only-stream={multi - batch} "
+        f"only-batch={batch - multi}"
+    )
+
+
+def test_stream_page_hinkley_pend_and_hist_bounded_under_disorder():
+    """300 simulated micro-batches of sustained cross-batch disorder for
+    the PH state machine: the pending map must stay watermark-bounded
+    (≤ DISORDER+2 days, never the calendar), the burn-in history must
+    never exceed PH_BURN_DAYS entries and must be EMPTY once burn
+    completes (the O(1)-after-burn claim), and the drained emission must
+    equal the reference integer fold over the total per-day counts."""
+    import pandas as pd
+
+    from cpt_database_sync_spark.operators.timeseries import (
+        PH_BURN_DAYS,
+        PH_DELTA_X2,
+        PH_LAMBDA,
+    )
+    from cpt_database_sync_spark.streaming.stateful import (
+        _holt_decode,
+        _type_ph,
+    )
+
+    DISORDER = 3
+    day_ms = 86_400_000
+    state = _FakeGroupState()
+    totals: dict[int, int] = {}
+    max_pend = 0
+    for batch in range(300):
+        frontier = 20_000 + batch
+        rows = []
+        for back in range(DISORDER + 1):
+            dn = frontier - back
+            c = 1 + (batch * 7 + back) % 5
+            rows.extend([dn] * c)
+            totals[dn] = totals.get(dn, 0) + c
+        state.wm_ms = (frontier - DISORDER) * day_ms
+        list(_type_ph(("t0",), iter([pd.DataFrame({"dn": rows})]), state))
+        st = state.get
+        pend = _holt_decode(st[9])
+        hist = _holt_decode(st[4])
+        max_pend = max(max_pend, len(pend))
+        assert len(pend) <= DISORDER + 2, f"pend grew at batch {batch}"
+        assert len(hist) <= PH_BURN_DAYS
+        if st[3] is not None:  # burn complete -> scalars only
+            assert len(hist) == 0
+    # drain and compare against the reference integer fold
+    state.wm_ms = (max(totals) + 2) * day_ms
+    out = list(_type_ph(("t0",), iter([pd.DataFrame({"dn": []})]), state))
+    days = sorted(totals)
+    wb = min(PH_BURN_DAYS, len(days))
+    sb = sum(totals[d] for d in days[:wb])
+    t = cs = 0
+    mn = mx = al = None
+    lam2w = int(2 * wb * PH_LAMBDA)
+    for dn in days:
+        t += 1
+        cs += totals[dn]
+        m2 = 2 * wb * cs - t * (2 * sb + PH_DELTA_X2 * wb)
+        mn = m2 if mn is None or m2 < mn else mn
+        dep = m2 - mn
+        mx = dep if mx is None or dep > mx else mx
+        if al is None and dep > lam2w:
+            al = dn
+    assert out[0]["n_days"][0] == len(days)
+    assert out[0]["mx"][0] == mx and out[0]["wb"][0] == wb
+    assert (out[0]["alarm_dn"][0] is None and al is None) or (
+        out[0]["alarm_dn"][0] == al
+    )
+    assert max_pend >= DISORDER
