@@ -204,6 +204,8 @@ HEADLINE = [
     "higher_moments",
     "hapax_ratio",
     "stream_page_hinkley",
+    "mann_kendall",
+    "grubbs_outlier",
 ]
 
 

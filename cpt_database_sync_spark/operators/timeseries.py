@@ -1490,3 +1490,241 @@ def page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alarm_dn"),
     )
+
+
+# --- Mann-Kendall trend test ----------------------------------------------
+
+# Tie-corrected normal approximation with continuity correction:
+# Var(S) = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18,
+# z = (S - sgn(S)) / sqrt(Var)  (0 when S = 0).
+_MK_Z_EXPR = (
+    "round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+    " - CAST(tie_term AS DOUBLE)) / 18), CAST(0 AS DOUBLE))"
+    " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+    " - CAST(tie_term AS DOUBLE)) / 18), CAST(0 AS DOUBLE))"
+    " ELSE CAST(0 AS DOUBLE) END, 9)"
+)
+
+_MK_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS BIGINT) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.dn < b.dn
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    )
+    SELECT nn.event_type, nn.n, s.s_stat,
+           {_MK_Z_EXPR} AS z
+    FROM nn
+    JOIN s ON s.event_type = nn.event_type
+    JOIN ties t ON t.event_type = nn.event_type
+"""
+
+
+@register("mann_kendall", oracle=_MK_SQL)
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type: S = Σ
+    sign(x_j − x_i) over all day pairs i < j, with the tie-corrected
+    variance and continuity-corrected z. The SIGNIFICANCE companion to
+    `theil_sen_trend` (which estimates the slope; this tests whether a
+    monotone trend exists at all) — together they are the standard
+    nonparametric trend kit for ops/metric series.
+
+    Exactness: S and the tie term Σ t(t−1)(2t+5) are exact BIGINTs;
+    the z closed form (continuity correction: S∓1, z=0 at S=0) is one
+    shared expression text, round-9. Single-day series: Var = 0 →
+    NULL via NULLIF on both engines.
+
+    Physics: the pair join runs over the CALENDAR-sized daily relation
+    (`theil_sen_trend`'s physics — |days|² per type, never the
+    corpus); the tie rollup and n are |days|-sized; the three
+    |types|-row relations join broadcast-small. At planetary day
+    counts the O(n log n) inversion-count form replaces the pair join
+    (documented swap; the pair join is exact ground truth at any
+    realistic calendar span).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("long").alias("x"))
+    )
+    daily = bounded_cache("mann_kendall.daily", daily)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dn") < F.col("b.dn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+        .withColumnRenamed("event_type", "t_et")
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumnRenamed("event_type", "n_et")
+    j = (
+        nn.join(F.broadcast(s), F.col("n_et") == F.col("event_type"))
+        .join(F.broadcast(ties), F.col("n_et") == F.col("t_et"))
+    )
+    return j.select(
+        F.col("n_et").alias("event_type"),
+        "n",
+        "s_stat",
+        F.expr(_MK_Z_EXPR).alias("z"),
+    )
+
+
+# --- Grubbs max studentized deviate ----------------------------------------
+
+_GRUBBS_EXPR = (
+    # inner divisor NULLIF-guarded: n = 1 has no sample variance — ANSI
+    # Spark would abort on 0/0 where the contract (and DuckDB) is NULL
+    "round(CAST(maxdev2n AS DOUBLE)"
+    " / NULLIF(CAST(n AS DOUBLE)"
+    " * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / NULLIF(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE),"
+    " CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE)), 9)"
+)
+
+_GRUBBS_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS BIGINT) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY 1
+    ),
+    dev AS (
+      -- |x - mean| scaled by n stays integral: |n*x - sx|
+      SELECT d.event_type, d.dn,
+             ABS(m.n * d.x - m.sx) AS dev_n
+      FROM d JOIN m ON d.event_type = m.event_type
+    ),
+    pick AS (
+      SELECT event_type,
+             CAST(MAX(dev_n) AS BIGINT) AS maxdev2n,
+             CAST(MIN(CASE WHEN dev_n = md THEN dn END) AS BIGINT)
+               AS argmax_dn
+      FROM (SELECT event_type, dn, dev_n,
+                   MAX(dev_n) OVER (PARTITION BY event_type) AS md
+            FROM dev)
+      GROUP BY 1
+    )
+    SELECT m.event_type, m.n, p.argmax_dn,
+           {_GRUBBS_EXPR} AS g_stat
+    FROM m JOIN pick p ON p.event_type = m.event_type
+"""
+
+
+@register("grubbs_outlier", oracle=_GRUBBS_SQL)
+def grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max studentized deviate per event type: G = max|x − x̄|/s
+    over the daily count series, plus the day achieving it (earliest on
+    ties — the determinism pin). The PARAMETRIC single-outlier screen
+    complementing `anomaly_mad` (robust center) and `hampel_filter`
+    (local window): G against the t-based critical value is the
+    classical lab-data outlier test; this emits the statistic and the
+    suspect day (the critical-value compare needs a t quantile — a
+    client-side constant, deliberately out of engine scope).
+
+    Exactness: the deviation |x − x̄| scaled by n stays integral
+    (|n·x − Σx| — exact BIGINT, so the argmax and its tie-break are
+    exact integer comparisons); the one double expression divides the
+    integer max by n·s with s from exact moments (sample variance,
+    n−1), shared text round-9; constant series → NULL via NULLIF.
+
+    Physics: one map-side-combined rollup; the deviation pass and the
+    argmax window run on the |days|×|types| relation; the |types|-row
+    moment relation broadcasts. Scale-invariant.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("long").alias("x"))
+    )
+    d = bounded_cache("grubbs.daily", d)
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).withColumnRenamed("event_type", "m_et")
+    dev = d.join(F.broadcast(m), F.col("event_type") == F.col("m_et")).select(
+        "event_type",
+        "dn",
+        "n",
+        "sx",
+        "sxx",
+        F.abs(F.col("n") * F.col("x") - F.col("sx")).alias("dev_n"),
+    )
+    w = Window.partitionBy("event_type")
+    pick = (
+        dev.withColumn("md", F.max("dev_n").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("dev_n").cast("long").alias("maxdev2n"),
+            F.min(F.when(F.col("dev_n") == F.col("md"), F.col("dn")))
+            .cast("long")
+            .alias("argmax_dn"),
+            F.max("n").cast("long").alias("n"),
+            F.max("sx").cast("long").alias("sx"),
+            F.max("sxx").cast("long").alias("sxx"),
+        )
+    )
+    return pick.select(
+        "event_type",
+        "n",
+        "argmax_dn",
+        F.expr(_GRUBBS_EXPR).alias("g_stat"),
+    )

@@ -2158,3 +2158,29 @@ def test_r11e_moment_ops_plan_physics(spark, sf_dir):
     p = plan(hapax_ratio)
     assert p.count("Scan parquet") == 1 and "Generate explode" in p
     assert "Join" not in p
+
+
+def test_r11f_trend_test_plan_physics(spark, sf_dir):
+    """Physics gates for mann_kendall and grubbs_outlier."""
+    from cpt_database_sync_spark.operators.timeseries import (
+        grubbs_outlier,
+        mann_kendall,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # MK: the pair join runs over the CACHED calendar-sized daily
+    # relation (three consumers); the |types|-row S/ties relations
+    # broadcast; never a sort-merge pair join, never a cartesian
+    p = plan(mann_kendall)
+    assert p.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # grubbs: cached daily consumed twice (moments + deviation pass);
+    # the moment relation broadcasts; no sort-merge
+    p = plan(grubbs_outlier)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
