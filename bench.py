@@ -206,6 +206,8 @@ HEADLINE = [
     "stream_page_hinkley",
     "mann_kendall",
     "grubbs_outlier",
+    "transition_pmi",
+    "iqr_fences",
 ]
 
 

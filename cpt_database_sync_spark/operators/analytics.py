@@ -2930,3 +2930,154 @@ def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- Transition PMI ---------------------------------------------------------
+
+# Each ln is quantized to DECIMAL(15,9) BEFORE composition (the
+# entropy_profile device): pmi = ln(n) + ln(c_xy) - ln(c_x) - ln(c_y)
+# over exact integer counts, so the only transcendental enters through
+# the same round-9 lane on both engines and the composition is exact
+# decimal arithmetic.
+_PMI_TERM = "CAST(round(ln(CAST({c} AS DOUBLE)), 9) AS DECIMAL(15,9))"
+_PMI_EXPR = (
+    f"CAST({_PMI_TERM.format(c='n')} + {_PMI_TERM.format(c='c_xy')}"
+    f" - {_PMI_TERM.format(c='c_x')} - {_PMI_TERM.format(c='c_y')}"
+    " AS DOUBLE)"
+)
+
+_TRANSITION_PMI_SQL = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM seq WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT prev_type, event_type, c_xy,
+             SUM(c_xy) OVER (PARTITION BY prev_type) AS c_x,
+             SUM(c_xy) OVER (PARTITION BY event_type) AS c_y,
+             SUM(c_xy) OVER () AS n
+      FROM t
+    )
+    SELECT prev_type, event_type, c_xy AS n_obs,
+           {_PMI_EXPR} AS pmi
+    FROM m
+"""
+
+
+@register("transition_pmi", oracle=_TRANSITION_PMI_SQL)
+def transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of consecutive event-type pairs:
+    pmi(x→y) = ln(N·c_xy / (c_x·c_y)) over the first-order transition
+    counts — the ASSOCIATION-strength view of the Markov matrix
+    `event_transitions` reports as raw counts (a frequent pair can be
+    pure chance if both marginals are huge; PMI > 0 means the
+    transition happens MORE than independence predicts — the signal
+    sessionization and recommendation features actually want).
+
+    Exactness: all counts are exact BIGINTs off one rollup; each ln is
+    quantized to DECIMAL(15,9) BEFORE the four-term composition (the
+    `entropy_profile` device — the only transcendental enters through
+    the same round-9 lane on both engines, and the sum is exact
+    decimal arithmetic), then one cast to double.
+
+    Physics: one user-keyed window pass over the events (the
+    `event_transitions` exchange), one map-side-combined pair rollup;
+    the margin windows run over the |types|² pair relation —
+    catalog-sized at any corpus volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull() & F.col("event_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    m = t.select(
+        "prev_type",
+        "event_type",
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("prev_type")).alias("c_x"),
+        F.sum("c_xy").over(Window.partitionBy("event_type")).alias("c_y"),
+        F.sum("c_xy").over(Window.partitionBy()).alias("n"),
+    )
+    return m.select(
+        "prev_type",
+        "event_type",
+        F.col("c_xy").alias("n_obs"),
+        F.expr(_PMI_EXPR).alias("pmi"),
+    )
+
+
+# --- Tukey IQR fences -------------------------------------------------------
+
+_IQR_SQL = """
+    WITH q AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT e.event_type, MAX(q.n) AS n, MAX(q.q1) AS q1, MAX(q.q3) AS q3,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+"""
+
+
+@register("iqr_fences", oracle=_IQR_SQL)
+def iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type: quartiles of `value`,
+    and the count of points beyond q1 − 1.5·IQR / q3 + 1.5·IQR — the
+    boxplot screen completing the outlier matrix (`anomaly_zscore`
+    parametric-global, `anomaly_mad` robust-global, `hampel_filter`
+    robust-local, `grubbs_outlier` single-suspect; this one is the
+    quartile rule every EDA pass runs first).
+
+    Exactness: quartiles are the exact order-statistic pairing
+    (``percentile`` ↔ ``quantile_cont``); the fences are one IEEE
+    expression over those doubles (1.5 is an exact binary constant)
+    and the threshold compares are exact double comparisons — same
+    operands, same result, both engines. Counts BIGINT.
+
+    Physics: one per-type exact-percentile rollup (the sort is
+    per-type, `agg_percentile`'s physics), then ONE pass of the fact
+    re-joined against the |types|-row broadcast quartile relation for
+    the fence counts. The GK-sketch swap (`agg_approx_percentile`)
+    replaces the sort lane at 100 TB — documented, same shape.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    ).withColumnRenamed("event_type", "q_et")
+    j = ev.join(F.broadcast(q), F.col("event_type") == F.col("q_et"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("q1").alias("q1"),
+        F.max("q3").alias("q3"),
+        F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    )

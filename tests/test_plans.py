@@ -2184,3 +2184,26 @@ def test_r11f_trend_test_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11g_pmi_iqr_plan_physics(spark, sf_dir):
+    """Physics gates for transition_pmi and iqr_fences."""
+    from cpt_database_sync_spark.operators.analytics import (
+        iqr_fences,
+        transition_pmi,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # PMI: one user-keyed window pass + one pair rollup; the margin
+    # windows run on the |types|^2 relation; no join anywhere
+    p = plan(transition_pmi)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+    # IQR: per-type exact-percentile rollup broadcast back over ONE
+    # fence-count pass; no sort-merge
+    p = plan(iqr_fences)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
