@@ -208,6 +208,11 @@ HEADLINE = [
     "grubbs_outlier",
     "transition_pmi",
     "iqr_fences",
+    "kruskal_wallis",
+    "kendall_tau",
+    "t_closeness_check",
+    "local_clustering",
+    "kaplan_meier",
 ]
 
 

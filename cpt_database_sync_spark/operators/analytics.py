@@ -3081,3 +3081,134 @@ def iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_high"),
     )
+
+
+# --- Kaplan-Meier survival --------------------------------------------------
+
+# One shared factor text and one shared predicate text: the survival at
+# event time t is the product of (1 - d/r) over the SORTED event-time
+# array restricted to times <= t.  Both engines fold the same doubles in
+# the same ascending-t order, so the products are bit-identical.
+_KM_FACTOR = "1 - CAST(x.d AS DOUBLE) / CAST(x.r AS DOUBLE)"
+_KM_PRED = "x.t <= t"
+
+_KM_SQL = f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN(dn) AS f,
+             MIN(CASE WHEN event_type = 'purchase' THEN dn END) AS p,
+             MAX(dn) AS l
+      FROM (SELECT user_id, event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+            FROM events)
+      WHERE user_id IS NOT NULL AND dn IS NOT NULL
+      GROUP BY 1
+    ),
+    obs AS (
+      SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS t,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u
+    ),
+    bytime AS (
+      SELECT t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS r
+      FROM bytime
+    ),
+    arr AS (
+      SELECT list(struct_pack(t := t, d := d, r := r) ORDER BY t) AS a
+      FROM risk WHERE d > 0
+    )
+    SELECT k.t, k.r AS at_risk, k.d AS events,
+           round(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+                   list_transform(list_filter(arr.a, x -> {_KM_PRED}),
+                                  x -> {_KM_FACTOR})),
+                 (acc, y) -> acc * y), 9) AS survival
+    FROM risk k, arr
+    WHERE k.d > 0
+"""
+
+
+@register("kaplan_meier", oracle=_KM_SQL)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per
+    user, the elapsed days from first event to first 'purchase'
+    (event) or to the last observed event (right-censored); at each
+    event time t, the at-risk count r_t, event count d_t, and the
+    product-limit estimate S(t) = prod_{u<=t}(1 - d_u/r_u). THE
+    standard censoring-aware conversion-latency estimate —
+    `funnel_latency` reports quantiles of the CONVERTED population
+    only (survivor bias); this accounts for every user who has not
+    converted YET.
+
+    Exactness: event times are integer day offsets, d/r exact BIGINTs
+    (at-risk via one suffix-sum window: r_t = sum of observations at
+    times >= t — no subtraction from a separately counted total); the
+    survival product folds the SAME factor text over the SAME sorted
+    event-time array on both engines (ascending t; the
+    `kalman_filter_1d` shared-step device applied to a product), so
+    every partial product is bit-identical. Round-9 display.
+
+    Physics: one user rollup over the events scan (map-side
+    combined), one |users|-sized re-rollup to |distinct times| rows,
+    one ordered window over that calendar-sized relation, and the
+    per-row prefix folds run over a <=|times|-element array
+    (quadratic in |times|, which is bounded by the observation
+    calendar, never the corpus). The event-time array rides a
+    single-row broadcast nested-loop join back onto the time rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    dn = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    u = (
+        ev.select("user_id", "event_type", dn.alias("dn"))
+        .filter(F.col("user_id").isNotNull() & F.col("dn").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("dn").alias("f"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("dn"))
+            ).alias("p"),
+            F.max("dn").alias("l"),
+        )
+    )
+    obs = u.select(
+        F.when(F.col("p").isNotNull(), F.col("p") - F.col("f"))
+        .otherwise(F.col("l") - F.col("f"))
+        .alias("t"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    bytime = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
+    )
+    wr = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = bytime.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wr).cast("long").alias("r"),
+    )
+    from cpt_database_sync_spark.session import bounded_cache
+
+    risk = bounded_cache("kaplan_meier.risk", risk)
+    arr = risk.filter(F.col("d") > 0).agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "r"))).alias("a")
+    )
+    k = risk.filter(F.col("d") > 0).crossJoin(F.broadcast(arr))
+    return k.select(
+        "t",
+        F.col("r").alias("at_risk"),
+        F.col("d").alias("events"),
+        F.expr(
+            f"round(aggregate(transform(filter(a, x -> {_KM_PRED}),"
+            f" x -> {_KM_FACTOR}), CAST(1 AS DOUBLE),"
+            " (acc, y) -> acc * y), 9)"
+        ).alias("survival"),
+    )

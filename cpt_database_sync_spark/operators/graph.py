@@ -1157,3 +1157,113 @@ def label_propagation(
             F.col("csize").cast("long").alias("community_size"),
         )
     )
+
+
+# --- Local clustering coefficient -------------------------------------------
+
+_LOCAL_CLUSTERING_SQL = f"""
+    WITH {_OP_CTE},
+    e AS (
+      SELECT a.pk AS pa, b.pk AS pb
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {EDGE_MIN_COOCCUR}
+    ),
+    w AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+    ),
+    t AS (
+      SELECT w.a, w.b, w.c
+      FROM w JOIN e e3 ON e3.pa = w.a AND e3.pb = w.c
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+      GROUP BY 1
+    ),
+    tv AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+      GROUP BY 1
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_tri,
+           round(2 * CAST(COALESCE(tv.n_tri, 0) AS DOUBLE)
+                 / NULLIF(CAST(d.deg AS DOUBLE) * (d.deg - 1),
+                          CAST(0 AS DOUBLE)), 9) AS clustering
+    FROM deg d LEFT JOIN tv ON tv.node = d.node
+"""
+
+
+@register("local_clustering", oracle=_LOCAL_CLUSTERING_SQL)
+def local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient of the co-order part graph —
+    the LOCAL counterpart to `triangle_count`'s global census:
+    c_v = 2·T_v / (deg_v·(deg_v−1)), how close each part's
+    co-purchase neighborhood is to a clique (the ego-density feature
+    recommendation and fraud models consume; degenerate deg<2 nodes
+    report NULL, isolated-but-present nodes report their honest 0).
+
+    Exactness: every triangle a<b<c is produced EXACTLY once by the
+    oriented wedge join (`triangle_count`'s invariant), so exploding
+    it to its three corners and counting per corner gives exact
+    per-node triangle counts; degrees are exact counts off the
+    canonical pa<pb edge list doubled by a two-arm union. The
+    coefficient is one shared closed-form text over exact BIGINTs,
+    round-9, NULL via NULLIF when deg < 2.
+
+    Physics: the thresholded edge relation is checkpointed once
+    (|edges|-sized storage, `triangle_count`'s device) and feeds the
+    wedge/closure joins plus both unions; the triangle relation is
+    |triangles|-sized; the final left join runs over two
+    |nodes|-sized rollups. Raw lineitem is scanned once, inside the
+    bounded-fan-out co-occurrence pass. The degree-orientation swap
+    for heavy-tailed graphs applies unchanged (documented at
+    `triangle_count`).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        _cooccur_pairs(li)
+        .filter(F.col("cnt") >= EDGE_MIN_COOCCUR)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(
+        F.col("e1.pa").alias("a"),
+        F.col("e1.pb").alias("b"),
+        F.col("e2.pb").alias("c"),
+    )
+    e3 = edges.alias("e3")
+    tri = wedges.join(
+        e3, (F.col("e3.pa") == F.col("a")) & (F.col("e3.pb") == F.col("c"))
+    ).select("a", "b", "c")
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tv = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+        .withColumnRenamed("node", "t_node")
+    )
+    j = deg.join(tv, F.col("node") == F.col("t_node"), "left")
+    return j.select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.expr(
+            "round(2 * CAST(COALESCE(n_tri, 0) AS DOUBLE)"
+            " / NULLIF(CAST(deg AS DOUBLE) * (deg - 1),"
+            " CAST(0 AS DOUBLE)), 9)"
+        ).alias("clustering"),
+    )

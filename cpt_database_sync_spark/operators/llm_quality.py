@@ -11,7 +11,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.functions.numeric import sql_out_double
@@ -549,4 +549,177 @@ def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
         F.max("n").cast("bigint").alias("top_cnt"),
         (F.count(F.lit(1)) >= L_DIVERSITY_THRESHOLD).alias("l_diverse"),
+    )
+
+
+# t-closeness: EMD threshold t = T_CLOSE_NUM / T_CLOSE_DEN (0.2), applied
+# as a cross-multiplied INTEGER predicate so membership is exact.
+T_CLOSE_NUM = 1
+T_CLOSE_DEN = 5
+
+_TCLOSE_EMD_EXPR = (
+    "round(CAST(emd_num AS DOUBLE) / (CAST(n_rows AS DOUBLE)"
+    " * CAST(nn AS DOUBLE) * (m - 1)), 9)"
+)
+
+_TCLOSE_SQL = f"""
+    WITH sv AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    cats AS (
+      SELECT prio, CAST(SUM(n) AS BIGINT) AS cg FROM sv GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cg) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS m
+      FROM cats
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS ng
+      FROM sv GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.ng, c.prio, c.cg, t.nn, t.m,
+             COALESCE(s.n, 0) AS cn
+      FROM grp g CROSS JOIN cats c CROSS JOIN tot t
+      LEFT JOIN sv s ON s.c_nationkey = g.c_nationkey
+                    AND s.c_mktsegment = g.c_mktsegment
+                    AND s.prio = c.prio
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, ng, nn, m,
+             SUM(CAST(nn AS DECIMAL(38,0)) * cn
+                 - CAST(ng AS DECIMAL(38,0)) * cg)
+               OVER (PARTITION BY c_nationkey, c_mktsegment
+                     ORDER BY prio) AS cum_d
+      FROM grid
+    ),
+    e AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(MAX(ng) AS BIGINT) AS n_rows,
+             CAST(MAX(nn) AS BIGINT) AS nn,
+             CAST(MAX(m) AS BIGINT) AS m,
+             CAST(SUM(ABS(cum_d)) AS DECIMAL(38,0)) AS emd_num
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n_rows,
+           {_TCLOSE_EMD_EXPR} AS emd,
+           emd_num * {T_CLOSE_DEN} <= CAST(n_rows AS DECIMAL(38,0)) * nn
+                                      * (m - 1) * {T_CLOSE_NUM} AS t_close
+    FROM e
+"""
+
+
+@register("t_closeness_check", oracle=_TCLOSE_SQL)
+def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy axis completing the
+    release-gate trio (`kanonymity_check`: group size;
+    `l_diversity_check`: distinct sensitive values; this: sensitive
+    DISTRIBUTION distance). l-diversity still leaks under a SKEWNESS
+    attack — a group with l distinct priorities that is 95% '1-URGENT'
+    reveals a near-certain inference even though it is l-diverse — so
+    t-closeness bounds the Earth Mover's Distance between each
+    quasi-identifier group's sensitive distribution and the GLOBAL
+    one. For the ordered priority attribute with unit ground distance,
+    EMD = sum_i |cum_i(p - q)| / (m-1).
+
+    Exactness: per-cell deviations are scaled to exact integers
+    d_j = N*c_gj - n_g*C_j (DECIMAL(38,0) lanes — no per-group or
+    global frequency is ever a float), cumulated per group over the
+    category order including ZERO cells (the grid cross join), and
+    the verdict is a cross-multiplied integer predicate
+    emd_num*DEN <= n_g*N*(m-1)*NUM — no float ever decides
+    membership (the `source_reputation_filter` device). The displayed
+    EMD is one shared-text division, round-9.
+
+    Physics: one map-side-combined (QI, sensitive) rollup (the only
+    corpus-sized shuffle — same as `l_diversity_check`), then
+    |groups| x m grid arithmetic with the m-row category relation and
+    the 1-row total broadcast; the per-group cumulative window runs
+    over m rows. Cheapest-possible audit shape at any scale.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    sv = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sv = bounded_cache("t_closeness.sv", sv)
+    cats = sv.groupBy("prio").agg(F.sum("n").cast("long").alias("cg"))
+    tot = cats.agg(
+        F.sum("cg").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    grp = sv.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("ng")
+    )
+    svr = sv.select(
+        F.col("c_nationkey").alias("s_nk"),
+        F.col("c_mktsegment").alias("s_seg"),
+        F.col("prio").alias("s_prio"),
+        F.col("n").alias("s_n"),
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(cats))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(svr),
+            (F.col("c_nationkey") == F.col("s_nk"))
+            & (F.col("c_mktsegment") == F.col("s_seg"))
+            & (F.col("prio") == F.col("s_prio")),
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "prio",
+            "cg",
+            "nn",
+            "m",
+            F.coalesce(F.col("s_n"), F.lit(0)).alias("cn"),
+        )
+    )
+    wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("prio")
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "nn",
+        "m",
+        F.sum(
+            F.col("nn").cast("decimal(38,0)") * F.col("cn")
+            - F.col("ng").cast("decimal(38,0)") * F.col("cg")
+        )
+        .over(wc)
+        .alias("cum_d"),
+    )
+    e = cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("ng").cast("long").alias("n_rows"),
+        F.max("nn").cast("long").alias("nn"),
+        F.max("m").cast("long").alias("m"),
+        F.sum(F.abs(F.col("cum_d"))).cast("decimal(38,0)").alias("emd_num"),
+    )
+    return e.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        F.expr(_TCLOSE_EMD_EXPR).alias("emd"),
+        (
+            F.col("emd_num") * T_CLOSE_DEN
+            <= F.col("n_rows").cast("decimal(38,0)")
+            * F.col("nn")
+            * (F.col("m") - 1)
+            * T_CLOSE_NUM
+        ).alias("t_close"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import bounded_cache
 from cpt_database_sync_spark.sources.tables import load
 
 
@@ -2663,4 +2664,156 @@ def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(_SKEW_EXPR).alias("skewness"),
         F.expr(_KURT_EXPR).alias("kurtosis_excess"),
+    )
+
+
+# --- Kruskal-Wallis H test ------------------------------------------------
+
+# Per-group double term (R_g^2 / n_g with doubled rank sums: R2^2/(4 ng));
+# ONE shared expression text so both engines produce the identical double
+# before the group-ordered fold.
+_KW_TERM_EXPR = (
+    "CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4 * CAST(ng AS DOUBLE))"
+)
+# H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1); tie-corrected H divides by
+# (1 - sum(t^3 - t)/(N^3 - N)).  N^3 runs in doubles (shared text) so the
+# closed form never overflows an integer lane at any corpus size.
+_KW_H_RAW = (
+    "12 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * srr"
+    " - 3 * (CAST(n AS DOUBLE) + 1)"
+)
+_KW_H_EXPR = f"round({_KW_H_RAW}, 9)"
+_KW_HTIE_EXPR = (
+    f"round(({_KW_H_RAW}) / NULLIF(1 - CAST(ties AS DOUBLE)"
+    " / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE), CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)), 9)"
+)
+
+_KW_SQL = f"""
+    WITH v AS (
+      SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT value, CAST(SUM(cg) AS BIGINT) AS cnt FROM v GROUP BY 1
+    ),
+    w AS (
+      SELECT value, cnt,
+             2 * SUM(cnt) OVER (ORDER BY value) - cnt + 1 AS avg2
+      FROM d
+    ),
+    g AS (
+      SELECT v.event_type,
+             CAST(SUM(v.cg) AS BIGINT) AS ng,
+             CAST(SUM(v.cg * w.avg2) AS DECIMAL(38,0)) AS r2
+      FROM v JOIN w ON v.value = w.value
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN cnt > 1 THEN cnt * cnt * cnt - cnt
+                           ELSE 0 END) AS DECIMAL(38,0)) AS ties
+      FROM d
+    ),
+    folded AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS INT) AS k,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list({_KW_TERM_EXPR}
+                                           ORDER BY event_type)),
+                         (acc, x) -> acc + x) AS srr
+      FROM g
+    )
+    SELECT n, k, t.ties, {_KW_H_EXPR} AS h_stat, {_KW_HTIE_EXPR} AS h_tie
+    FROM folded, t
+"""
+
+
+@register("kruskal_wallis", oracle=_KW_SQL)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the k event types draw `value` from
+    the same distribution? The k-group generalization completing the
+    test battery — `mann_whitney_u` (2 groups, ranks), `anova_oneway`
+    (k groups, means), this (k groups, ranks): H = 12/(N(N+1)) *
+    sum_g R_g^2/n_g - 3(N+1) over pooled average ranks, with the
+    standard tie correction 1 - sum(t^3-t)/(N^3-N).
+
+    Exactness: ranks are never materialized per row — the pooled
+    doubled average rank of every occurrence of a value is avg2 =
+    2*cum(cnt) - cnt + 1, an exact BIGINT off ONE ordered window over
+    the DISTINCT-value relation (the `mann_whitney_u` device), and
+    the per-group doubled rank sums R2_g = sum cg*avg2 accumulate in
+    DECIMAL(38,0) (doubling cancels: R_g^2/n_g = R2_g^2/(4 n_g)). The
+    per-group double terms share ONE expression text and fold in
+    EVENT-TYPE ORDER on both engines (the `anova_oneway` device); the
+    H closed forms are shared text over identical operands, round-9.
+    Degenerate all-tied input: the correction divisor hits 0 and
+    h_tie is NULL via NULLIF on both sides.
+
+    Physics: one map-side-combined (value, type) rollup, a
+    |distinct-value|-sized re-rollup + ordered window (the
+    `lorenz_deciles` device — never corpus-sized), one value-keyed
+    join of the two catalog-sized relations, a k-row fold. At 100 TB
+    the distinct-value relation is the honest footprint of an exact
+    rank test; the GK-sketch rank lane substitutes if values are
+    near-unique (documented swap, same closed form).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    v = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    v = bounded_cache("kruskal_wallis.v", v)
+    d = v.groupBy("value").agg(F.sum("cg").cast("long").alias("cnt"))
+    w = d.select(
+        "value",
+        "cnt",
+        (
+            2 * F.sum("cnt").over(Window.orderBy("value"))
+            - F.col("cnt")
+            + 1
+        ).alias("avg2"),
+    ).withColumnRenamed("value", "w_value")
+    g = (
+        v.join(w, F.col("value") == F.col("w_value"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("long").alias("ng"),
+            F.sum(F.col("cg").cast("decimal(18,0)") * F.col("avg2"))
+            .cast("decimal(38,0)")
+            .alias("r2"),
+        )
+    )
+    ties = d.agg(
+        F.sum(
+            F.when(
+                F.col("cnt") > 1,
+                F.col("cnt").cast("decimal(18,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt"),
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ties")
+    )
+    folded = g.select(
+        "event_type", "ng", "r2", F.expr(_KW_TERM_EXPR).alias("term")
+    ).agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(event_type, term))), x -> x.term), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("srr"),
+    )
+    return folded.crossJoin(ties).select(
+        "n",
+        "k",
+        "ties",
+        F.expr(_KW_H_EXPR).alias("h_stat"),
+        F.expr(_KW_HTIE_EXPR).alias("h_tie"),
     )

@@ -1728,3 +1728,154 @@ def grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "argmax_dn",
         F.expr(_GRUBBS_EXPR).alias("g_stat"),
     )
+
+
+# --- Kendall tau-b ---------------------------------------------------------
+
+# Doubled tie terms keep every input integral (the `mann_whitney_u`
+# device: n1_2 = sum t(t-1) = 2*n1, n0_2 = n(n-1) = 2*n0), so
+# tau_b = (C-D)/sqrt((n0-n1)(n0-n2)) = 2(C-D)/sqrt((n0_2-n1_2)(n0_2-n2_2)).
+_TAU_EXPR = (
+    "round(2 * CAST(nc - nd AS DOUBLE)"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * (n - 1) - n1_2)"
+    " * (CAST(n AS DOUBLE) * (n - 1) - n2_2)), CAST(0 AS DOUBLE)), 9)"
+)
+
+_KENDALL_SQL = f"""
+    WITH d AS (
+      SELECT event_type, dn,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+      FROM (SELECT event_type,
+                   date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS dn,
+                   user_id
+            FROM events)
+      WHERE event_type IS NOT NULL AND dn IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+                             OR (b.x < a.x AND b.y < a.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+                             OR (b.x < a.x AND b.y > a.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.dn < b.dn
+      GROUP BY 1
+    ),
+    tx AS (
+      SELECT event_type, CAST(SUM(t * (t - 1)) AS BIGINT) AS n1_2
+      FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    ty AS (
+      SELECT event_type, CAST(SUM(t * (t - 1)) AS BIGINT) AS n2_2
+      FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    )
+    SELECT nn.event_type, nn.n, p.nc, p.nd, {_TAU_EXPR} AS tau_b
+    FROM nn
+    JOIN p ON p.event_type = nn.event_type
+    JOIN tx ON tx.event_type = nn.event_type
+    JOIN ty ON ty.event_type = nn.event_type
+"""
+
+
+@register("kendall_tau", oracle=_KENDALL_SQL)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between two DAILY series per
+    event type — daily event volume vs daily distinct users: is a
+    high-volume day driven by breadth (more users, tau near 1) or by
+    depth (the same users firing more, tau near 0)? Completes the
+    association kit: `corr_matrix` (Pearson, linear), `spearman_corr`
+    (ranks within a group), `mann_kendall` (ONE series against time);
+    this is two series against each other with the tie-corrected
+    tau-b denominator.
+
+    Exactness: both daily series are exact BIGINTs (a count and a
+    distinct count); concordant/discordant pair counts are exact
+    BIGINTs off strict integer compares; the doubled tie terms
+    n1_2 = Σt(t−1) stay integral (the `mann_whitney_u` doubling
+    device — no /2 division ever happens), and tau-b is one shared
+    closed-form text, round-9. All-tied series: denominator 0 → NULL
+    via NULLIF on both engines.
+
+    Physics: one map-side-combined daily rollup (the distinct-user
+    count is the one expand — `distinct_users_cumulative`'s honest
+    cost), cached and consumed four ways (`mann_kendall`'s physics);
+    the pair join runs over the CALENDAR-sized relation, never the
+    corpus; the |types|-row results join broadcast-small. The
+    O(n log n) merge-count swap replaces the pair join at planetary
+    day counts (documented).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", _dn().alias("dn"), "user_id"
+        )
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", "dn")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.countDistinct("user_id").cast("long").alias("y"),
+        )
+    )
+    daily = bounded_cache("kendall_tau.daily", daily)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    conc = (
+        (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y"))
+    ) | ((F.col("b.x") < F.col("a.x")) & (F.col("b.y") < F.col("a.y")))
+    disc = (
+        (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y"))
+    ) | ((F.col("b.x") < F.col("a.x")) & (F.col("b.y") > F.col("a.y")))
+    p = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dn") < F.col("b.dn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("nc"),
+            F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("nd"),
+        )
+    )
+
+    def tie2(col: str, out: str, key: str) -> DataFrame:
+        return (
+            daily.groupBy("event_type", col)
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("t") * (F.col("t") - 1))
+                .cast("long")
+                .alias(out)
+            )
+            .withColumnRenamed("event_type", key)
+        )
+
+    tx = tie2("x", "n1_2", "tx_et")
+    ty = tie2("y", "n2_2", "ty_et")
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumnRenamed("event_type", "n_et")
+    j = (
+        nn.join(F.broadcast(p), F.col("n_et") == F.col("event_type"))
+        .join(F.broadcast(tx), F.col("n_et") == F.col("tx_et"))
+        .join(F.broadcast(ty), F.col("n_et") == F.col("ty_et"))
+    )
+    return j.select(
+        F.col("n_et").alias("event_type"),
+        "n",
+        "nc",
+        "nd",
+        F.expr(_TAU_EXPR).alias("tau_b"),
+    )

@@ -2207,3 +2207,65 @@ def test_r11g_pmi_iqr_plan_physics(spark, sf_dir):
     p = plan(iqr_fences)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11h_rank_privacy_plan_physics(spark, sf_dir):
+    """Physics gates for kruskal_wallis, kendall_tau, t_closeness_check."""
+    from cpt_database_sync_spark.operators.llm_quality import (
+        t_closeness_check,
+    )
+    from cpt_database_sync_spark.operators.stats import kruskal_wallis
+    from cpt_database_sync_spark.operators.timeseries import kendall_tau
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # KW: the (value,type) rollup is cached and consumed twice (the
+    # distinct-value re-rollup and the rank join); never a sort-merge
+    # pair join; the fold is a hash-agg over k rows
+    p = plan(kruskal_wallis)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # tau-b: cached calendar-sized daily relation consumed four ways
+    # (pair join sides, two tie rollups, n); |types|-row results
+    # broadcast; never sort-merge / cartesian
+    p = plan(kendall_tau)
+    assert p.count("InMemoryTableScan") >= 4
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # t-closeness: ONE corpus-sized shuffle (the cached (QI,prio)
+    # rollup, consumed three ways); the m-row category and 1-row total
+    # relations ride broadcast nested-loop cross joins; the zero-cell
+    # probe broadcasts the domain-bounded rollup — no sort-merge
+    p = plan(t_closeness_check)
+    assert p.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11i_graph_survival_plan_physics(spark, sf_dir):
+    """Physics gates for local_clustering and kaplan_meier."""
+    from cpt_database_sync_spark.operators.analytics import kaplan_meier
+    from cpt_database_sync_spark.operators.graph import local_clustering
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # local clustering: the checkpointed edge relation feeds the wedge/
+    # closure joins plus both degree unions (>=5 consumers); raw
+    # lineitem is scanned only inside the checkpoint build, never in
+    # the downstream plan; no cartesian anywhere
+    p = plan(local_clustering)
+    assert p.count("Scan ExistingRDD") >= 5
+    assert "Scan parquet" not in p or p.count("Scan parquet") == 0
+    assert "CartesianProduct" not in p
+
+    # KM: the calendar-sized risk relation is cached and consumed twice
+    # (event-time rows + the sorted array build); the one-row array
+    # rides a broadcast nested-loop join; no sort-merge join
+    p = plan(kaplan_meier)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
