@@ -213,6 +213,9 @@ HEADLINE = [
     "t_closeness_check",
     "local_clustering",
     "kaplan_meier",
+    "sync_partition_digest",
+    "jarque_bera",
+    "turning_points",
 ]
 
 

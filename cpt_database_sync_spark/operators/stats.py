@@ -2817,3 +2817,78 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KW_H_EXPR).alias("h_stat"),
         F.expr(_KW_HTIE_EXPR).alias("h_tie"),
     )
+
+
+# --- Jarque-Bera normality test -------------------------------------------
+
+# JB = n/6 * (g1^2 + g2^2/4) composed from the SAME central-moment
+# texts as higher_moments (one shared expression, zero-variance groups
+# NULL via NULLIF).
+_JB_EXPR = (
+    f"round(CAST(n AS DOUBLE) / 6 * ("
+    f"({_MOMENT_EXPRS['m3']}) * ({_MOMENT_EXPRS['m3']})"
+    f" / NULLIF(({_MOMENT_EXPRS['m2']}) * ({_MOMENT_EXPRS['m2']})"
+    f" * ({_MOMENT_EXPRS['m2']}), CAST(0 AS DOUBLE))"
+    f" + (({_MOMENT_EXPRS['m4']}) / NULLIF(({_MOMENT_EXPRS['m2']})"
+    f" * ({_MOMENT_EXPRS['m2']}), CAST(0 AS DOUBLE)) - 3)"
+    f" * (({_MOMENT_EXPRS['m4']}) / NULLIF(({_MOMENT_EXPRS['m2']})"
+    f" * ({_MOMENT_EXPRS['m2']}), CAST(0 AS DOUBLE)) - 3) / 4), 9)"
+)
+
+_JB_SQL = f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2,
+             CAST(SUM(q * q * q) AS BIGINT) AS s3,
+             CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem WHERE l_quantity IS NOT NULL)
+      GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           {_SKEW_EXPR} AS skewness,
+           {_KURT_EXPR} AS kurtosis_excess,
+           {_JB_EXPR} AS jb_stat
+    FROM g
+"""
+
+
+@register("jarque_bera", oracle=_JB_SQL)
+def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return flag: JB = n/6 *
+    (skew² + kurt²/4) — turns `higher_moments`' shape DIAGNOSTICS
+    into a TEST STATISTIC (χ²₂ under normality; JB >> 6 rejects),
+    the screen that decides whether the parametric lanes
+    (`anomaly_zscore`, `grubbs_outlier`, `anova_oneway`) are even
+    applicable to a measure.
+
+    Exactness: identical exact BIGINT power-sum rollup as
+    `higher_moments`; skewness, kurtosis and JB are each ONE shared
+    closed-form text over the same sums (the m2/m3/m4 sub-expressions
+    are literally the same strings), round-9; zero-variance groups
+    yield NULL via NULLIF in every lane.
+
+    Physics: one map-side-combined rollup to |groups| rows — the
+    power expressions run inside the partial aggregate. Nothing
+    downstream is corpus-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+    )
+    q = F.col("l_quantity").cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.sum(q * q * q).cast("long").alias("s3"),
+        F.sum(q * q * q * q).cast("long").alias("s4"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.expr(_SKEW_EXPR).alias("skewness"),
+        F.expr(_KURT_EXPR).alias("kurtosis_excess"),
+        F.expr(_JB_EXPR).alias("jb_stat"),
+    )

@@ -1879,3 +1879,102 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nd",
         F.expr(_TAU_EXPR).alias("tau_b"),
     )
+
+
+# --- Turning-point randomness test ------------------------------------------
+
+# E[T] = 2(n-2)/3, Var[T] = (16n - 29)/90 for an i.i.d. continuous
+# series; one shared closed form over exact integers.
+_TP_Z_EXPR = (
+    "round((CAST(n_turning AS DOUBLE) - 2 * (CAST(n AS DOUBLE) - 2) / 3)"
+    " / NULLIF(sqrt((16 * CAST(n AS DOUBLE) - 29) / 90),"
+    " CAST(0 AS DOUBLE)), 9)"
+)
+
+_TP_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS BIGINT) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x)  OVER (PARTITION BY event_type ORDER BY dn) AS xp,
+             lead(x) OVER (PARTITION BY event_type ORDER BY dn) AS xn
+      FROM d
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN (xp < x AND x > xn)
+                             OR (xp > x AND x < xn)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+      FROM lagged WHERE xp IS NOT NULL AND xn IS NOT NULL
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    )
+    SELECT nn.event_type, nn.n, t.n_turning, {_TP_Z_EXPR} AS z
+    FROM nn JOIN t ON t.event_type = nn.event_type
+"""
+
+
+@register("turning_points", oracle=_TP_SQL)
+def turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test per event type: the count of
+    strict local extrema in the daily series (x_{i-1} < x_i > x_{i+1}
+    or the mirror) against the i.i.d. expectation 2(n-2)/3 —
+    distribution-free OSCILLATION check complementing `runs_test`
+    (median-sign clustering) and `autocorr_daily` (linear lag
+    dependence): too few turning points means trending/sticky, too
+    many means alternating over-dispersion. Ties break neither arm
+    (strict compares; the continuous-data convention, identical on
+    both engines).
+
+    Exactness: the extremum predicate is strict integer comparison
+    over exact daily counts; boundary days (no lag or no lead) are
+    out of scope via IS NOT NULL on both sides; T and n are exact
+    BIGINTs and z is one shared closed-form text, round-9 (n <= 1:
+    Var > 0 always, no guard needed; the NULLIF is belt-and-braces
+    for the n=0 vacuous row that cannot occur).
+
+    Physics: one map-side-combined daily rollup, ONE type-keyed
+    window pass producing lag and lead together, a |types|-row join
+    (broadcast). Calendar-sized after the first rollup at any corpus
+    volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("long").alias("x"))
+    )
+    daily = bounded_cache("turning_points.daily", daily)
+    w = Window.partitionBy("event_type").orderBy("dn")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    turning = (
+        (F.col("xp") < F.col("x")) & (F.col("x") > F.col("xn"))
+    ) | ((F.col("xp") > F.col("x")) & (F.col("x") < F.col("xn")))
+    t = (
+        lagged.filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(turning, 1).otherwise(0))
+            .cast("long")
+            .alias("n_turning")
+        )
+        .withColumnRenamed("event_type", "t_et")
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = nn.join(F.broadcast(t), F.col("event_type") == F.col("t_et"))
+    return j.select(
+        "event_type", "n", "n_turning", F.expr(_TP_Z_EXPR).alias("z")
+    )

@@ -1305,3 +1305,128 @@ def sync_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(rows)}, {stack_args}) AS (column_name, n_rows)"
         )
     )
+
+
+# --- Partition-level digest localization -------------------------------------
+
+# Year*100+month partition key: year()/month() over DATE are portable;
+# date_trunc is not (Spark returns TIMESTAMP, DuckDB returns DATE).
+_PDIGEST_YM = (
+    "year(CAST(o_orderdate AS DATE)) * 100 + month(CAST(o_orderdate AS DATE))"
+)
+
+
+def _partition_digest_side_sql(rel: str) -> str:
+    return f"""
+      SELECT {_PDIGEST_YM} AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM({_checksum_row_sql(_CHECKSUM_COLS["orders"])}),
+                           0) AS DECIMAL(38,0)) AS checksum
+      FROM {rel} GROUP BY 1
+    """
+
+
+_PARTITION_DIGEST_SQL = f"""
+    WITH tgt AS ({_drift_mutation_sql()}),
+    s AS ({_partition_digest_side_sql("orders")}),
+    t AS ({_partition_digest_side_sql("tgt")})
+    SELECT COALESCE(s.ym, t.ym) AS ym,
+           CAST(COALESCE(s.n_rows, 0) AS BIGINT) AS src_rows,
+           CAST(COALESCE(t.n_rows, 0) AS BIGINT) AS tgt_rows,
+           CAST(COALESCE(s.checksum, 0) AS DECIMAL(38,0)) AS src_checksum,
+           CAST(COALESCE(t.checksum, 0) AS DECIMAL(38,0)) AS tgt_checksum,
+           COALESCE(s.n_rows, 0) = COALESCE(t.n_rows, 0) AS rows_match,
+           COALESCE(s.checksum, 0) = COALESCE(t.checksum, 0)
+             AS content_match
+    FROM s FULL OUTER JOIN t ON s.ym = t.ym
+"""
+
+
+@register("sync_partition_digest", oracle=_PARTITION_DIGEST_SQL)
+def sync_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level drift localization — the middle rung of the
+    sync-acceptance ladder: `sync_checksum` says THAT a table drifted
+    (one row per table), `sync_column_drift` says WHICH COLUMN (after
+    a full-outer key join over everything); this says WHICH PARTITION
+    (order month) for the cost of two scans and a |partitions|-row
+    join, so the expensive row-level diff re-runs only over the months
+    that actually moved — the standard incremental-verify loop for a
+    100 TB replica where a full-table diff is a last resort. Runs
+    against the same deterministically mutated orders replica as
+    `sync_column_drift`, so dropped keys, extra keys, cent-bumps and
+    priority rewrites each surface in their month's digest.
+
+    Exactness: the per-row digest is `sync_checksum`'s canonical
+    serialization verbatim (DECIMAL(18,2) money lane, DATE lane, NULL
+    sentinels, first 48 bits of md5 summed in DECIMAL(38,0) — order-
+    insensitive and overflow-free); the partition key is
+    year*100+month over DATE (portable where date_trunc is not); the
+    match verdicts are exact integer/decimal equality.
+
+    Physics: one scan per side, map-side-combined partial sums to
+    |months| rows, one tiny full-outer join — at 100 TB the digest
+    relation is thousands of rows regardless of corpus size, and the
+    scan cost is the same single pass `sync_checksum` already pays.
+    """
+    src = load(spark, sf_dir, "orders")
+    tgt = (
+        src.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.col("o_orderkey") + _DRIFT_KEY_OFFSET,
+            )
+            .otherwise(F.col("o_orderkey"))
+            .alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                (
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    + F.lit("0.01").cast("decimal(18,2)")
+                ).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 17 == 0, F.lit("X-DRIFTED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.expr(_checksum_digest_sql(_CHECKSUM_COLS["orders"])), 16, 10
+        ).cast("decimal(38,0)")
+        return df.groupBy(F.expr(_PDIGEST_YM).alias("ym")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(h), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("checksum"),
+        )
+
+    s = digest(src).alias("s")
+    t = digest(tgt).alias("t")
+    j = s.join(t, F.col("s.ym") == F.col("t.ym"), "full_outer")
+    zero = F.lit(0).cast("decimal(38,0)")
+    return j.select(
+        F.coalesce(F.col("s.ym"), F.col("t.ym")).alias("ym"),
+        F.coalesce(F.col("s.n_rows"), F.lit(0)).cast("long").alias("src_rows"),
+        F.coalesce(F.col("t.n_rows"), F.lit(0)).cast("long").alias("tgt_rows"),
+        F.coalesce(F.col("s.checksum"), zero)
+        .cast("decimal(38,0)")
+        .alias("src_checksum"),
+        F.coalesce(F.col("t.checksum"), zero)
+        .cast("decimal(38,0)")
+        .alias("tgt_checksum"),
+        (
+            F.coalesce(F.col("s.n_rows"), F.lit(0))
+            == F.coalesce(F.col("t.n_rows"), F.lit(0))
+        ).alias("rows_match"),
+        (
+            F.coalesce(F.col("s.checksum"), zero)
+            == F.coalesce(F.col("t.checksum"), zero)
+        ).alias("content_match"),
+    )

@@ -2269,3 +2269,35 @@ def test_r11i_graph_survival_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 2
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11j_digest_moment_plan_physics(spark, sf_dir):
+    """Physics gates for sync_partition_digest, jarque_bera,
+    turning_points."""
+    from cpt_database_sync_spark.operators.stats import jarque_bera
+    from cpt_database_sync_spark.operators.timeseries import turning_points
+    from cpt_database_sync_spark.sources.sync import sync_partition_digest
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # partition digest: one scan per side, map-side-combined digests to
+    # |months| rows, one tiny join; never a corpus-sized sort
+    p = plan(sync_partition_digest)
+    assert p.count("Scan parquet") == 2
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+    # JB: single rollup, closed forms in the projection — no join, no
+    # window, one scan
+    p = plan(jarque_bera)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
+
+    # turning points: cached daily consumed twice (window pass + n);
+    # ONE window producing lag+lead together; |types| join broadcasts
+    p = plan(turning_points)
+    assert p.count("InMemoryTableScan") >= 2
+    assert p.count("Window") == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
