@@ -216,6 +216,8 @@ HEADLINE = [
     "sync_partition_digest",
     "jarque_bera",
     "turning_points",
+    "class_rebalance",
+    "multimodal_image_histogram",
 ]
 
 

@@ -1118,3 +1118,90 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sim"),
     )
     return scored.filter(F.col("sim") >= RANGE_TAU)
+
+
+# --- Class rebalance (deterministic oversampling) ----------------------------
+
+_REBALANCE_SQL = """
+    WITH c AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings WHERE label IS NOT NULL GROUP BY 1
+    ),
+    m AS (SELECT CAST(MAX(n) AS BIGINT) AS mx FROM c),
+    r AS (
+      SELECT e.vec_id, e.label, c.n, m.mx,
+             ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY e.vec_id)
+               AS rk
+      FROM embeddings e JOIN c ON c.label = e.label CROSS JOIN m
+      WHERE e.label IS NOT NULL
+    ),
+    rep AS (
+      SELECT vec_id, label,
+             mx // n + CASE WHEN rk <= mx % n THEN 1 ELSE 0 END AS reps
+      FROM r
+    )
+    SELECT vec_id, label, CAST(u.c AS BIGINT) AS copy
+    FROM rep, UNNEST(range(1, reps + 1)) AS u(c)
+"""
+
+
+@register("class_rebalance", oracle=_REBALANCE_SQL)
+def class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing by oversampling: replicate each
+    labeled embedding row so every label class reaches EXACTLY the
+    majority-class count — the standard imbalance fix before training
+    a classifier head (`knn_classify` / `kmeans_spherical` consume
+    this table), with none of random-oversampling's nondeterminism.
+    Per class of size n with majority size mx, every row gets
+    floor(mx/n) copies and the first (mx mod n) rows by vec_id get one
+    more — per-class totals are exactly mx by construction, and which
+    rows carry the extra copy is a stable function of the data.
+
+    Exactness: counts and the copy index are exact BIGINTs; the
+    replication factor is integer division + a rank threshold (DIV ↔
+    //, ROW_NUMBER over the same (label, vec_id) total order); the
+    explode is sequence(1, reps) ↔ range(1, reps+1) — identical row
+    multisets by construction, no float anywhere.
+
+    Physics: one |classes|-row rollup (map-side combined) broadcasts
+    back onto the scan; the per-class rank is one window over the
+    label-keyed exchange; the explode fans out map-side with per-row
+    fan-out bounded by the imbalance ratio. At 100 TB prefer the
+    WEIGHT-column variant (emit reps, skip the explode) and let the
+    trainer consume weights — documented; this op materializes the
+    replicated rows because that is what `sequence_packing`-style
+    consumers want.
+    """
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.agg(F.max("n").cast("long").alias("mx"))
+    r = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(c.withColumnRenamed("label", "c_label")),
+              F.col("label") == F.col("c_label"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            "label",
+            "n",
+            "mx",
+            F.row_number()
+            .over(Window.partitionBy("label").orderBy("vec_id"))
+            .alias("rk"),
+        )
+    )
+    rep = r.select(
+        "vec_id",
+        "label",
+        (
+            F.expr("mx DIV n")
+            + F.when(F.col("rk") <= F.col("mx") % F.col("n"), 1).otherwise(0)
+        ).alias("reps"),
+    )
+    return rep.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(1), F.col("reps"))).alias("c"),
+    ).select("vec_id", "label", F.col("c").cast("long").alias("copy"))

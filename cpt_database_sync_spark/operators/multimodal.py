@@ -996,3 +996,84 @@ def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_permissive,
         schema="doc_id bigint, ok boolean, err_kind string, width int, height int",
     )
+
+
+@register(
+    "multimodal_image_histogram",
+    # The oracle recomputes the full per-bucket pixel distribution
+    # symbolically; the Spark side counts REAL decoded bytes, so any
+    # decoder defect that preserves the sum but moves a pixel value
+    # (a wrong unfilter branch, a palette swap) hash-fails here even
+    # though multimodal_image_decode's mean would pass.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n, 1 + n % 64 AS w, 1 + (n * 3) % 48 AS h FROM d
+    )
+    SELECT doc_id,
+           CAST(((u.i % w) * 31 + (u.i // w) * 17 + n) % 256 // 32
+                AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM dims, UNNEST(range(w * h)) AS u(i)
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 8-bucket intensity histogram over REAL decoded pixels
+    — the feature-extraction stage after `multimodal_image_decode`'s
+    smoke statistic: synthesize the deterministic PNG per document,
+    fully decode it (zlib inflate + scanline unfiltering, PIL fast
+    path), and count pixels per 32-value bucket. A histogram is the
+    canonical cheap image feature (dedup pre-filter, exposure/quality
+    screen) AND a strictly stronger decode check than the mean: a
+    decoder defect that conserves the pixel SUM but moves values
+    (wrong unfilter branch, palette swap) fails this oracle.
+
+    Exactness: bucket = pixel DIV 32 over exact decoded byte values;
+    the oracle recomputes the synthesized pattern symbolically, so
+    every count is an independent integer check of every pixel. Empty
+    buckets are absent on both sides (GROUP BY emits only observed
+    buckets).
+
+    Physics: map-only Arrow batches (the `multimodal_image_decode`
+    plumbing) emitting <= 8 rows per image, then one map-side-combined
+    rollup — at 100 TB the shuffle carries 8 tiny rows per image, and
+    the decode cost dominates exactly as it should. NULL text → no
+    payload → no rows (oracle's range(NULL) agrees).
+    """
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    src = d.select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+    )
+
+    def decode_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter  # noqa: PLC0415
+
+        for pdf in batches:
+            out_doc, out_bucket, out_npx = [], [], []
+            for did, n in zip(pdf["doc_id"], pdf["n"]):
+                if pd.isna(n):
+                    continue
+                n = int(n)
+                meta = decode_image(
+                    make_png(1 + n % 64, 1 + (n * 3) % 48, seed=n)
+                )
+                for bucket, cnt in sorted(
+                    Counter(px >> 5 for px in meta["pixels"]).items()
+                ):
+                    out_doc.append(did)
+                    out_bucket.append(bucket)
+                    out_npx.append(cnt)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "bucket": out_bucket, "n_px": out_npx}
+            )
+
+    # No re-aggregation: a document is ONE input row, so its buckets
+    # are complete within the batch that decoded it — the stage stays
+    # map-only end to end (plan-gated).
+    return src.mapInPandas(
+        decode_hist, schema="doc_id bigint, bucket int, n_px bigint"
+    )

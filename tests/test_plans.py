@@ -2301,3 +2301,30 @@ def test_r11j_digest_moment_plan_physics(spark, sf_dir):
     assert p.count("Window") == 1
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11k_rebalance_histogram_plan_physics(spark, sf_dir):
+    """Physics gates for class_rebalance and multimodal_image_histogram."""
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        class_rebalance,
+    )
+    from cpt_database_sync_spark.operators.multimodal import (
+        multimodal_image_histogram,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # rebalance: |classes| rollup broadcasts back; one label-keyed
+    # window; the explode (Generate) is map-side after it
+    p = plan(class_rebalance)
+    assert "BroadcastHashJoin" in p
+    assert "Generate" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # histogram: map-only end to end — one scan, the Arrow decode
+    # stage, no exchange after the repartition, no join, no window
+    p = plan(multimodal_image_histogram)
+    assert "MapInPandas" in p
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") <= 1  # only the decode-parallelism repartition
