@@ -218,6 +218,8 @@ HEADLINE = [
     "turning_points",
     "class_rebalance",
     "multimodal_image_histogram",
+    "levene_test",
+    "zipf_fit",
 ]
 
 

@@ -1703,3 +1703,104 @@ def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("hapax_ratio"),
     )
+
+
+# --- Zipf law fit ------------------------------------------------------------
+
+# Each ln is quantized to DECIMAL(15,9) BEFORE any composition (the
+# entropy_profile device): x = ln(rank), y = ln(freq) become exact
+# decimals, their per-word products and the four sums are exact decimal
+# arithmetic, and only the final closed forms touch IEEE doubles (one
+# shared text each).
+_ZIPF_X = "CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(15,9))"
+_ZIPF_Y = "CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(15,9))"
+_ZIPF_SLOPE_RAW = (
+    "(CAST(nv AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(CAST(nv AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), CAST(0 AS DOUBLE))"
+)
+_ZIPF_SLOPE = f"round({_ZIPF_SLOPE_RAW}, 9)"
+_ZIPF_INTERCEPT = (
+    f"round((CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE_RAW}) * CAST(sx AS DOUBLE))"
+    " / CAST(nv AS DOUBLE), 9)"
+)
+
+_ZIPF_SQL = f"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    v AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1
+    ),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS r
+      FROM v
+    ),
+    pts AS (
+      SELECT {_ZIPF_X} AS x, {_ZIPF_Y} AS y FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+             CAST(SUM(x) AS DECIMAL(38,18)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,18)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,18)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,18)) AS sxx
+      FROM pts
+    )
+    SELECT nv, {_ZIPF_SLOPE} AS slope, {_ZIPF_INTERCEPT} AS intercept
+    FROM s
+"""
+
+
+@register("zipf_fit", oracle=_ZIPF_SQL)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word-frequency distribution: OLS
+    slope and intercept of ln(freq) against ln(rank) over the full
+    vocabulary (natural corpora slope toward −1; synthetic, templated
+    or heavily duplicated corpora flatten or kink) — the
+    distribution-shape health check beside `vocab_growth` (Heaps'
+    law) and `hapax_ratio`, and the standard screen for generated
+    text flooding a crawl.
+
+    Exactness: ranks (freq DESC, word ASC — a total order) and
+    frequencies are exact integers; each ln is quantized to
+    DECIMAL(15,9) BEFORE composition (the `entropy_profile` device),
+    so the per-word products and all four moment sums are EXACT
+    decimal arithmetic at any vocabulary size; the slope/intercept
+    closed forms are one shared text each over identical operands,
+    round-9. Single-word vocabulary: denominator 0 → NULL via NULLIF.
+
+    Physics: one map-side-combined vocabulary rollup (the
+    `explode_wordcount` shuffle), one |vocab|-sized ranking window
+    (the `lorenz_deciles` single-partition device — vocabulary, never
+    corpus), one one-row moment fold. At 100 TB vocabulary is the
+    honest footprint of an exact rank fit; sampling the tail is the
+    documented approximation.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    v = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    ranked = v.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("word")))
+        .alias("r"),
+    )
+    pts = ranked.select(F.expr(_ZIPF_X).alias("x"), F.expr(_ZIPF_Y).alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("x").cast("decimal(38,18)").alias("sx"),
+        F.sum("y").cast("decimal(38,18)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,18)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,18)").alias("sxx"),
+    )
+    return s.select(
+        "nv",
+        F.expr(_ZIPF_SLOPE).alias("slope"),
+        F.expr(_ZIPF_INTERCEPT).alias("intercept"),
+    )

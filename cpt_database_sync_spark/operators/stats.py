@@ -2892,3 +2892,134 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KURT_EXPR).alias("kurtosis_excess"),
         F.expr(_JB_EXPR).alias("jb_stat"),
     )
+
+
+# --- Levene / Brown-Forsythe variance-homogeneity test --------------------
+
+# The ANOVA machinery applied to DOUBLED absolute deviations from the
+# group MEDIAN: with integer-valued x and a median landing on x.0/x.5,
+# z2 = |2x - 2*med| is an exact BIGINT per row, and the F statistic is
+# invariant under the doubling (SSB and SSW both scale by 4).
+_LEVENE_Z2 = (
+    "abs(2 * CAST(l_quantity AS BIGINT) - CAST(2 * md AS BIGINT))"
+)
+
+_LEVENE_SQL = f"""
+    WITH med AS (
+      SELECT l_returnflag AS flag, quantile_cont(l_quantity, 0.5) AS md
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT l.l_returnflag AS flag, {_LEVENE_Z2} AS z2
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+      WHERE l.l_quantity IS NOT NULL
+    ),
+    g AS (
+      SELECT flag,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(z2) AS BIGINT) AS sg,
+             CAST(SUM(z2 * z2) AS BIGINT) AS ssg
+      FROM z GROUP BY 1
+    ),
+    contrib AS (
+      SELECT flag, ng, sg,
+             CAST(ssg AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / CAST(ng AS DOUBLE) AS gssw,
+             CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE) AS gsb
+      FROM g
+    ),
+    folded AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(sg) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(gssw ORDER BY flag)),
+                         (acc, x) -> acc + x) AS ssw,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(gsb ORDER BY flag)),
+                         (acc, x) -> acc + x) AS sb
+      FROM contrib
+    )
+    SELECT n, CAST(k AS INT) AS k, {_ANOVA_F_EXPR} AS w_stat
+    FROM folded
+"""
+
+
+@register("levene_test", oracle=_LEVENE_SQL)
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity test (Brown-Forsythe variant:
+    deviations from the group MEDIAN, the robust recommendation) —
+    does the SPREAD of quantity differ across return flags? The
+    missing prerequisite check for `anova_oneway` (whose F assumes
+    equal variances) and the scale-shift companion to the
+    location-shift tests (`mann_whitney_u`, `kruskal_wallis`):
+    W = one-way ANOVA F computed on z_ij = |x_ij − med_j|.
+
+    Exactness: quantities are integer-valued and the exact median of
+    integers lands on x.0 or x.5 (the `runs_test` device), so the
+    DOUBLED deviations z2 = |2x − 2·med| are exact BIGINTs per row
+    and every group moment (n, Σz2, Σz2²) is exact; W is invariant
+    under the doubling (numerator and denominator both scale by 4).
+    The per-group double contributions fold in FLAG ORDER on both
+    engines and W is the SAME closed-form text as `anova_oneway` over
+    identical operands, round-9. Degenerate k=1 / N=k: NULL via
+    NULLIF.
+
+    Physics: one per-group exact-median rollup (the per-group sort,
+    `agg_percentile`'s physics) broadcast back over ONE deviation
+    pass (the `iqr_fences` shape), then k-row arithmetic. The GK
+    sketch replaces the median sort at 100 TB (documented swap).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+    )
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_quantity", 0.5).alias("md")
+    )
+    z = li.join(
+        F.broadcast(med), F.col("l_returnflag") == F.col("flag")
+    ).select("flag", F.expr(_LEVENE_Z2).alias("z2"))
+    g = z.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z2").cast("long").alias("sg"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("ssg"),
+    )
+    contrib = g.select(
+        "flag",
+        "ng",
+        "sg",
+        (
+            F.col("ssg").cast("double")
+            - F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("gssw"),
+        (
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("gsb"),
+    )
+    folded = contrib.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(flag, gssw))), x -> x.gssw), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("ssw"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(flag, gsb))), x -> x.gsb), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("sb"),
+    )
+    return folded.select(
+        "n",
+        F.col("k").cast("int").alias("k"),
+        F.expr(_ANOVA_F_EXPR).alias("w_stat"),
+    )

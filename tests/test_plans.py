@@ -2328,3 +2328,25 @@ def test_r11k_rebalance_histogram_plan_physics(spark, sf_dir):
     assert "MapInPandas" in p
     assert "Join" not in p and "Window" not in p
     assert p.count("Exchange") <= 1  # only the decode-parallelism repartition
+
+
+def test_r11l_levene_zipf_plan_physics(spark, sf_dir):
+    """Physics gates for levene_test and zipf_fit."""
+    from cpt_database_sync_spark.operators.llm_text import zipf_fit
+    from cpt_database_sync_spark.operators.stats import levene_test
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # Levene: the |groups|-row median relation broadcasts back over ONE
+    # deviation pass (the iqr_fences shape); never sort-merge
+    p = plan(levene_test)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # Zipf: one corpus scan, one vocab rollup, the ranking window over
+    # the vocab relation, a one-row fold; no join anywhere
+    p = plan(zipf_fit)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert p.count("Window") == 1
