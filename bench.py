@@ -220,6 +220,7 @@ HEADLINE = [
     "multimodal_image_histogram",
     "levene_test",
     "zipf_fit",
+    "stream_benford",
 ]
 
 

@@ -1385,6 +1385,14 @@ def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
+    return benford_complete(spark, obs)
+
+
+def benford_complete(spark: SparkSession, obs: DataFrame) -> DataFrame:
+    """Domain-completion + chi-term stage of the Benford audit, shared
+    by `benford_check` (batch obs) and `stream_benford` (served
+    streaming obs): obs(grp, digit, c) → all 9 digits per group with
+    observed/expected/chi_term. Group-sized arithmetic only."""
     g = obs.groupBy("grp").agg(F.sum("c").alias("n"))
     bp = spark.range(1).select(
         F.explode(

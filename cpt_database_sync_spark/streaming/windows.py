@@ -876,3 +876,80 @@ def cusum_daily_stream(ev: DataFrame) -> DataFrame:
             "c",
         )
     )
+
+
+# --- Streaming Benford audit -------------------------------------------------
+
+_ORDERS_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as an unbounded source (the `events_stream` shape over the
+    orders fixture file; a deployment points at the landing directory of
+    the order feed). Schema probed once per sf_dir and memoized."""
+    schema = _ORDERS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).schema
+        _ORDERS_SCHEMA_CACHE[sf_dir] = schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+
+
+def _register_stream_benford():
+    from cpt_database_sync_spark.operators.stats import (  # noqa: PLC0415
+        _BENFORD_SQL,
+        benford_complete,
+    )
+
+    @register("stream_benford", oracle=_BENFORD_SQL)
+    def stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING Benford's-law audit — the batch `benford_check`
+        maintained as an unbounded aggregation over the order feed:
+        per (priority, first-digit) counts accumulate across
+        micro-batches, and the audit surface (all 9 digits per group,
+        observed/expected/chi_term) is recomputed from the served
+        counts after every batch. The forensic screen as a LIVE
+        monitor: a feed that starts fabricating totals drifts its
+        digit histogram within batches, not at month-end.
+
+        Exactness: the ORACLE IS THE BATCH ORACLE, verbatim
+        (batch≡stream) — first-digit counts are pure algebraic
+        accumulators, order-insensitive and retraction-free by
+        construction, so the stream needs NO watermark, NO custom
+        state machine, and NO float-step pinning: any micro-batch
+        split yields the identical count table. The completion +
+        chi-term stage is the SHARED `benford_complete` code path
+        the batch op runs.
+
+        Physics: streaming state is the |groups|x9 count table (tiny,
+        bounded by the digit domain); each batch shuffles only its
+        map-side-combined partials on the group key. Complete-mode
+        emission rewrites |groups|x9 rows per batch — group-sized,
+        never feed-sized. The 100 TB deployment swap is update-mode +
+        a MERGE sink (`serve_keyed_stream`), same counts.
+        """
+        digit = F.regexp_extract(
+            F.col("o_totalprice").cast("string"), "[1-9]", 0
+        )
+        obs = (
+            orders_stream(spark, sf_dir)
+            .filter(F.col("o_totalprice").isNotNull() & (digit != ""))
+            .groupBy(
+                F.col("o_orderpriority").alias("grp"),
+                digit.cast("int").alias("digit"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        served = run_to_table(obs, "complete")
+        return benford_complete(spark, served)
+
+    return stream_benford
+
+
+stream_benford = _register_stream_benford()

@@ -3161,3 +3161,61 @@ def test_stream_page_hinkley_pend_and_hist_bounded_under_disorder():
         out[0]["alarm_dn"][0] == al
     )
     assert max_pend >= DISORDER
+
+
+def test_stream_benford_invariant_under_batch_splits(spark, sf_dir):
+    """stream_benford accumulates pure algebraic counts, so a
+    multi-batch split of the order feed must produce an audit table
+    BIT-EQUAL to the batch benford_check (batch≡stream — the oracle is
+    the batch oracle verbatim, and counts are order-insensitive)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.stats import (
+        benford_check,
+        benford_complete,
+    )
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.windows import run_to_table
+
+    sweep_scratch("benford_split_")
+    workdir = os.path.join(scratch_dir(), "benford_split_src")
+    orders = load(spark, sf_dir, "orders")
+    parts = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "benford_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    digit = F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+    obs = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .filter(F.col("o_totalprice").isNotNull() & (digit != ""))
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            digit.cast("int").alias("digit"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    served = run_to_table(obs, "complete")
+    multi = {tuple(r) for r in benford_complete(spark, served).collect()}
+    batch = {tuple(r) for r in benford_check(spark, sf_dir).collect()}
+    assert multi == batch, (
+        f"split stream diverged from batch: only-stream={multi - batch} "
+        f"only-batch={batch - multi}"
+    )
