@@ -221,6 +221,8 @@ HEADLINE = [
     "levene_test",
     "zipf_fit",
     "stream_benford",
+    "ljung_box",
+    "cox_stuart",
 ]
 
 

@@ -1978,3 +1978,252 @@ def turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type", "n", "n_turning", F.expr(_TP_Z_EXPR).alias("z")
     )
+
+
+# --- Ljung-Box portmanteau test ----------------------------------------------
+
+# Per-(type, lag) autocorrelation: the UNROUNDED acf closed form over
+# exact pair moments (autocorr_daily's display expression without the
+# round), shared text on both engines.
+_LB_RHO_RAW = (
+    "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+    " / NULLIF(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+    " * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),"
+    " CAST(0 AS DOUBLE))"
+)
+# Per-lag Q contribution rho_k^2/(nd - k) over the series length nd;
+# one shared term text, folded in LAG ORDER (the anova device).
+_LB_TERM = (
+    f"({_LB_RHO_RAW}) * ({_LB_RHO_RAW})"
+    " / NULLIF(CAST(nd AS DOUBLE) - lag_k, CAST(0 AS DOUBLE))"
+)
+_LB_Q_EXPR = (
+    "round(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) + 2) * qsum, 9)"
+)
+
+_LJUNG_BOX_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS BIGINT) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type, k.lag_k, a.x AS px, b.x AS py
+      FROM d a
+      JOIN (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag_k) k ON TRUE
+      JOIN d b ON b.event_type = a.event_type AND b.dn = a.dn + k.lag_k
+    ),
+    m AS (
+      SELECT event_type, lag_k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(px) AS BIGINT) AS sx,
+             CAST(SUM(py) AS BIGINT) AS sy,
+             CAST(SUM(px * px) AS BIGINT) AS sxx,
+             CAST(SUM(py * py) AS BIGINT) AS syy,
+             CAST(SUM(px * py) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT m.event_type, m.lag_k, nn.nd, {_LB_TERM} AS term
+      FROM m JOIN nn ON nn.event_type = m.event_type
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(MAX(nd) AS BIGINT) AS nd,
+             CAST(COUNT(*) AS INT) AS h,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(COALESCE(term, CAST(0 AS DOUBLE))
+                                           ORDER BY lag_k)),
+                         (acc, x) -> acc + x) AS qsum
+      FROM terms GROUP BY 1
+    )
+    SELECT event_type, nd, h, {_LB_Q_EXPR} AS q_stat
+    FROM folded
+"""
+
+
+@register("ljung_box", oracle=_LJUNG_BOX_SQL)
+def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event type: Q = n(n+2) Σ_{{k≤h}}
+    ρ_k²/(n−k) over the first {h} daily autocorrelations — turns
+    `autocorr_daily`'s per-lag DIAGNOSTICS into one whiteness TEST
+    statistic (χ²_h under independence; the standard residual check
+    after `trend_fit`/`holt_linear_forecast` claim to have explained a
+    series). ρ_k is the per-lag pair-Pearson estimator
+    `autocorr_daily` reports (documented: the overlapping-pairs form,
+    not the single-mean acvf — both engines identically).
+
+    Exactness: all pair moments are exact BIGINTs off the SAME rollup
+    shape as `autocorr_daily`; each ρ_k and each Q contribution is one
+    shared expression text over those exact operands; the ≤{h} per-type
+    contributions fold in LAG ORDER on both engines (the
+    `anova_oneway` device); Q is one shared closed form, round-9.
+    Degenerate lags (zero-variance pair sets → ρ NULL) contribute 0
+    via COALESCE on both sides.
+
+    Physics: one map-side-combined daily rollup (cached, consumed by
+    the pair join, its own lag-shift side, and the length rollup); the
+    lag join fans each CALENDAR-sized row out {h} ways — never
+    corpus-sized; the fold list is ≤{h} long per type.
+    """.format(h=ACF_MAX_LAG)
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("long").alias("x"))
+    )
+    daily = bounded_cache("ljung_box.daily", daily)
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    ).withColumnRenamed("event_type", "n_et")
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag_k")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.dn") == F.col("a.dn") + F.col("lag_k")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag_k",
+            F.col("a.x").alias("px"),
+            F.col("b.x").alias("py"),
+        )
+    )
+    m = pairs.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("px").cast("long").alias("sx"),
+        F.sum("py").cast("long").alias("sy"),
+        F.sum(F.col("px") * F.col("px")).cast("long").alias("sxx"),
+        F.sum(F.col("py") * F.col("py")).cast("long").alias("syy"),
+        F.sum(F.col("px") * F.col("py")).cast("long").alias("sxy"),
+    )
+    terms = m.join(F.broadcast(nn), F.col("n_et") == F.col("event_type")).select(
+        "event_type", "lag_k", "nd", F.expr(_LB_TERM).alias("term")
+    )
+    folded = terms.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("nd"),
+        F.count(F.lit(1)).cast("int").alias("h"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(named_struct("
+            "'lag_k', lag_k, 'term', COALESCE(term, CAST(0 AS DOUBLE))))),"
+            " x -> x.term), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("qsum"),
+    )
+    return folded.select(
+        "event_type", "nd", "h", F.expr(_LB_Q_EXPR).alias("q_stat")
+    )
+
+
+# --- Cox-Stuart trend test ----------------------------------------------
+
+# Sign test over first-half/second-half day pairs: z = (2*plus - m)
+# / sqrt(m) with m = non-tied pairs; one shared closed form.
+_CS_Z_EXPR = (
+    "round((2 * CAST(plus AS DOUBLE) - CAST(m AS DOUBLE))"
+    " / NULLIF(sqrt(CAST(m AS DOUBLE)), CAST(0 AS DOUBLE)), 9)"
+)
+
+_COX_STUART_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT event_type, dn, CAST(c AS BIGINT) AS x
+      FROM daily WHERE dn IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, x, i, nd, (nd + 1) // 2 AS cshift
+      FROM (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dn) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS nd
+        FROM d
+      )
+    ),
+    p AS (
+      SELECT a.event_type, a.nd,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS plus,
+             CAST(SUM(CASE WHEN b.x <> a.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS m
+      FROM r a JOIN r b
+        ON b.event_type = a.event_type
+       AND b.i = a.i + a.cshift
+      GROUP BY 1, 2
+    )
+    SELECT event_type, nd, plus, m, {_CS_Z_EXPR} AS z
+    FROM p
+"""
+
+
+@register("cox_stuart", oracle=_COX_STUART_SQL)
+def cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test per event type: pair each first-half day
+    with its second-half counterpart c = ⌈n/2⌉ positions later and
+    sign-test the increases — the SIMPLEST distribution-free trend
+    check (a sign test in disguise), complementing `mann_kendall`
+    (all-pairs S, more power, O(n²)) with an O(n) statistic whose
+    null is exactly Binomial(m, ½). Ties drop from m (the standard
+    convention); the odd middle element pairs with nothing and drops.
+
+    Exactness: the pairing index i + ⌈n/2⌉ is exact integer
+    arithmetic over ROW_NUMBER in dn order (a total order — dn is
+    unique per type); plus/m are exact BIGINTs off strict integer
+    compares; z is one shared closed form, round-9 (m = 0, the
+    all-tied/single-day case → NULL via NULLIF on both engines).
+
+    Physics: one map-side-combined daily rollup, one type-keyed rank
+    window, ONE equi-join on the derived pair index (each row joins
+    at most once — linear, not the O(n²) pair join), a |types|-row
+    rollup. Calendar-sized throughout.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("dn").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "dn", F.col("c").cast("long").alias("x"))
+    )
+    daily = bounded_cache("cox_stuart.daily", daily)
+    w = Window.partitionBy("event_type").orderBy("dn")
+    wc = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("nd"),
+    ).withColumn("cshift", F.expr("(nd + 1) DIV 2"))
+    a = r.alias("a")
+    b = r.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.i") == F.col("a.i") + F.col("a.cshift")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.nd").alias("nd"),
+        )
+        .agg(
+            F.sum(F.when(F.col("b.x") > F.col("a.x"), 1).otherwise(0))
+            .cast("long")
+            .alias("plus"),
+            F.sum(F.when(F.col("b.x") != F.col("a.x"), 1).otherwise(0))
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    return p.select(
+        "event_type", "nd", "plus", "m", F.expr(_CS_Z_EXPR).alias("z")
+    )

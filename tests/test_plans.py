@@ -2350,3 +2350,29 @@ def test_r11l_levene_zipf_plan_physics(spark, sf_dir):
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
     assert p.count("Window") == 1
+
+
+def test_r11m_portmanteau_coxstuart_plan_physics(spark, sf_dir):
+    """Physics gates for ljung_box and cox_stuart."""
+    from cpt_database_sync_spark.operators.timeseries import (
+        cox_stuart,
+        ljung_box,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # LB: cached daily consumed three ways (pair-join sides + length);
+    # the lag fan-out is a broadcast; never sort-merge / cartesian
+    p = plan(ljung_box)
+    assert p.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # Cox-Stuart: linear pair join on the derived index (equi-join,
+    # NOT the O(n^2) pair join — no cartesian, no sort-merge); the
+    # rank/length windows run over the cached calendar-sized relation
+    p = plan(cox_stuart)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "Window" in p
