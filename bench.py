@@ -223,6 +223,8 @@ HEADLINE = [
     "stream_benford",
     "ljung_box",
     "cox_stuart",
+    "jaccard_neighbors",
+    "graph_reciprocity",
 ]
 
 

@@ -1267,3 +1267,217 @@ def local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS DOUBLE)), 9)"
         ).alias("clustering"),
     )
+
+
+# --- Jaccard link prediction -------------------------------------------------
+
+JACCARD_MIN_COMMON = 2
+
+_JACCARD_EXPR = (
+    "round(CAST(common AS DOUBLE)"
+    " / (CAST(dx AS DOUBLE) + dy - common), 9)"
+)
+
+_JACCARD_SQL = f"""
+    WITH {_OP_CTE},
+    e AS (
+      SELECT a.pk AS pa, b.pk AS pb
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {EDGE_MIN_COOCCUR}
+    ),
+    adj AS (
+      SELECT pa AS u, pb AS v FROM e
+      UNION ALL
+      SELECT pb AS u, pa AS v FROM e
+    ),
+    cand AS (
+      SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {JACCARD_MIN_COMMON}
+    ),
+    nonadj AS (
+      SELECT c.x, c.y, c.common
+      FROM cand c LEFT JOIN e ON e.pa = c.x AND e.pb = c.y
+      WHERE e.pa IS NULL
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+    )
+    SELECT n.x AS part_a, n.y AS part_b, n.common,
+           dx.deg AS deg_a, dy.deg AS deg_b,
+           round(CAST(common AS DOUBLE)
+                 / (CAST(dx.deg AS DOUBLE) + dy.deg - common), 9) AS jaccard
+    FROM nonadj n
+    JOIN deg dx ON dx.node = n.x
+    JOIN deg dy ON dy.node = n.y
+"""
+
+
+@register("jaccard_neighbors", oracle=_JACCARD_SQL)
+def jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the co-order part
+    graph: for every NON-adjacent part pair sharing >=
+    {JACCARD_MIN_COMMON} neighbors, the common-neighbor count and
+    Jaccard similarity |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    "customers who buy these also buy..." candidate generator
+    (`frequent_pairs` scores pairs that DID co-occur; this scores
+    pairs that plausibly SHOULD but have not yet — the
+    recommendation/backfill signal).
+
+    Exactness: common-neighbor counts are exact BIGINTs off the
+    symmetrized adjacency self-join (each shared neighbor v produces
+    the x<y candidate exactly once per direction pair — the canonical
+    u<w orientation dedupes); adjacency exclusion is a NULL-probe
+    left join against the canonical edge list (x<y matches pa<pb
+    directly); |union| = deg_a + deg_b − common needs no second
+    intersection pass; Jaccard is one shared closed form, round-9.
+
+    Physics: the thresholded edge relation is checkpointed once and
+    feeds the adjacency union (2|E|), the wedge join, the exclusion
+    probe, and the degree rollup; the candidate relation is
+    wedge-endpoint-sized, pruned by the common>=K HAVING inside the
+    aggregate. The same degree-orientation skew swap as
+    `triangle_count` applies (documented there).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        _cooccur_pairs(li)
+        .filter(F.col("cnt") >= EDGE_MIN_COOCCUR)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    a = adj.alias("a")
+    b = adj.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .groupBy(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    nonadj = (
+        cand.join(
+            edges,
+            (F.col("pa") == F.col("x")) & (F.col("pb") == F.col("y")),
+            "left",
+        )
+        .filter(F.col("pa").isNull())
+        .select("x", "y", "common")
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dx = deg.select(
+        F.col("node").alias("x_node"), F.col("deg").alias("deg_a")
+    )
+    dy = deg.select(
+        F.col("node").alias("y_node"), F.col("deg").alias("deg_b")
+    )
+    j = nonadj.join(dx, F.col("x") == F.col("x_node")).join(
+        dy, F.col("y") == F.col("y_node")
+    )
+    return j.select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        "common",
+        "deg_a",
+        "deg_b",
+        F.expr(
+            "round(CAST(common AS DOUBLE)"
+            " / (CAST(deg_a AS DOUBLE) + deg_b - common), 9)"
+        ).alias("jaccard"),
+    )
+
+
+# --- Weighted reciprocity ----------------------------------------------------
+
+_RECIPROCITY_SQL = f"""
+    WITH flows AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    f AS (SELECT src, dst, w FROM flows WHERE src <> dst),
+    j AS (
+      SELECT a.src, a.dst, a.w, COALESCE(b.w, 0) AS wr
+      FROM f a LEFT JOIN f b ON b.src = a.dst AND b.dst = a.src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reciprocal,
+           CAST(SUM(w) AS BIGINT) AS w_total,
+           CAST(SUM(CASE WHEN wr < w THEN wr ELSE w END) AS BIGINT)
+             AS w_reciprocal,
+           round(CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(CAST(COUNT(*) AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+             AS reciprocity_unw,
+           round(CAST(SUM(CASE WHEN wr < w THEN wr ELSE w END) AS DOUBLE)
+                 / NULLIF(CAST(SUM(w) AS DOUBLE), CAST(0 AS DOUBLE)), 9)
+             AS reciprocity_w
+    FROM j
+"""
+
+
+@register("graph_reciprocity", oracle=_RECIPROCITY_SQL)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed nation trade graph — unweighted
+    (share of non-loop edges whose reverse edge exists) and weighted
+    (Squartini: Σ min(w_ij, w_ji) / Σ w_ij): is trade mutual or
+    one-directional? The DIRECTEDNESS diagnostic completing the graph
+    battery (`degree_assortativity` asks who connects to whom;
+    `label_propagation` finds blocks; this measures flow symmetry —
+    the signal deciding whether a co-partitioned iteration can treat
+    the graph as undirected). Self-loops (domestic trade) are
+    excluded, the standard convention.
+
+    Exactness: all four accumulators are exact BIGINTs (min via the
+    portable CASE WHEN wr < w — no engine least() variance); missing
+    reverse edges coalesce to 0 through the left self-join; the two
+    ratios are one shared closed form each, round-9, empty graph →
+    NULL via NULLIF.
+
+    Physics: the checkpointed |nations|²-bounded flow relation
+    self-joins on the reversed key (catalog-sized at ANY corpus
+    volume — the corpus cost is the one fact join inside
+    `_trade_flows`, paid once and reused); one one-row fold.
+    """
+    flows = _trade_flows(spark, sf_dir)
+    f = flows.filter(F.col("src") != F.col("dst")).select("src", "dst", "w")
+    rev = f.select(
+        F.col("src").alias("r_dst"),
+        F.col("dst").alias("r_src"),
+        F.col("w").alias("wr0"),
+    )
+    j = f.join(
+        rev,
+        (F.col("r_src") == F.col("src")) & (F.col("r_dst") == F.col("dst")),
+        "left",
+    ).select("src", "dst", "w", F.coalesce(F.col("wr0"), F.lit(0)).alias("wr"))
+    wmin = F.when(F.col("wr") < F.col("w"), F.col("wr")).otherwise(F.col("w"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("wr") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocal"),
+        F.sum("w").cast("long").alias("w_total"),
+        F.sum(wmin).cast("long").alias("w_reciprocal"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / NULLIF(CAST(COUNT(*) AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+        ).alias("reciprocity_unw"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN wr < w THEN wr ELSE w END) AS DOUBLE)"
+            " / NULLIF(CAST(SUM(w) AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+        ).alias("reciprocity_w"),
+    )

@@ -2376,3 +2376,31 @@ def test_r11m_portmanteau_coxstuart_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
     assert "Window" in p
+
+
+def test_r11n_linkpred_reciprocity_plan_physics(spark, sf_dir):
+    """Physics gates for jaccard_neighbors and graph_reciprocity."""
+    from cpt_database_sync_spark.operators.graph import (
+        graph_reciprocity,
+        jaccard_neighbors,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # link prediction: the checkpointed edge relation feeds adjacency
+    # union / wedge join / exclusion probe / degrees (>=6 RDD scans
+    # counting both union arms); raw lineitem never reappears; no
+    # cartesian
+    p = plan(jaccard_neighbors)
+    assert p.count("Scan ExistingRDD") >= 6
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
+
+    # reciprocity: the checkpointed catalog-sized flow relation
+    # self-joins on the reversed key; one single-row fold; no parquet
+    # rescan, no cartesian
+    p = plan(graph_reciprocity)
+    assert p.count("Scan ExistingRDD") >= 2
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
