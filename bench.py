@@ -225,6 +225,8 @@ HEADLINE = [
     "cox_stuart",
     "jaccard_neighbors",
     "graph_reciprocity",
+    "burstiness",
+    "tail_cvar",
 ]
 
 

@@ -3212,3 +3212,178 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, y) -> acc * y), 9)"
         ).alias("survival"),
     )
+
+
+# --- Burstiness --------------------------------------------------------------
+
+# Goh-Barabasi burstiness over exact integer microsecond gaps:
+# B = (sigma - mu) / (sigma + mu), one shared closed form over exact
+# moments (population variance; epsilon-negative clamped like agg_stats).
+_BURST_EXPR = (
+    "round((sqrt(CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) < 0 THEN 0"
+    " ELSE CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END)"
+    " - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / NULLIF(sqrt(CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) < 0 THEN 0"
+    " ELSE CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END)"
+    " + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+)
+
+_BURSTINESS_SQL = f"""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0))
+               AS s2
+      FROM seq WHERE gap IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n, s1 AS total_gap_us, {_BURST_EXPR} AS burstiness
+    FROM m
+"""
+
+
+@register("burstiness", oracle=_BURSTINESS_SQL)
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of the per-type arrival process:
+    B = (σ−μ)/(σ+μ) over inter-event gaps — B → −1 periodic, B ≈ 0
+    Poisson, B → 1 bursty. THE temporal-pattern diagnostic for event
+    feeds (capacity planning and anomaly baselines read it before any
+    model), complementing `autocorr_daily` (daily counts) with the
+    micro-structure between events that daily rollups erase.
+
+    Exactness: gaps are exact integer microseconds off ONE type-keyed
+    window pass ((ts, event_id) total order — the `event_transitions`
+    tie-break; unix_micros ↔ epoch_us); Σgap is BIGINT, Σgap² runs in
+    DECIMAL(38,0) ↔ HUGEINT (a 90-day span squared overflows 2⁶³);
+    B is one shared closed-form text over the exact moments with the
+    epsilon-negative variance clamp (`agg_stats` doctrine) and the
+    n=1-gap degenerate (σ=0, μ>0 → B=−1) falling out identically.
+    Zero-gap-only types: σ+μ = 0 → NULL via NULLIF.
+
+    Physics: one window pass over the type-keyed exchange, one
+    map-side-combined moment rollup to |types| rows. At 100 TB
+    per-type time-sorting is the honest cost of gap statistics; the
+    per-partition pre-sorted-ingest swap (sort within arrival files,
+    merge at read) is documented for feeds that land ordered.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.col("s1").alias("total_gap_us"),
+        F.expr(_BURST_EXPR).alias("burstiness"),
+    )
+
+
+# --- Tail conditional value-at-risk ------------------------------------------
+
+TAIL_Q = 0.95
+
+_TAIL_CVAR_SQL = f"""
+    WITH q AS (
+      SELECT o_orderpriority AS grp,
+             quantile_cont(o_totalprice, {TAIL_Q}) AS var95
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT o.o_orderpriority AS grp, q.var95,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS p2
+      FROM orders o JOIN q ON o.o_orderpriority = q.grp
+      WHERE o.o_totalprice IS NOT NULL AND o.o_totalprice >= q.var95
+    )
+    SELECT grp AS o_orderpriority,
+           MAX(var95) AS var95,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           round(CAST(SUM(p2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS cvar95
+    FROM t GROUP BY grp
+"""
+
+
+@register("tail_cvar", oracle=_TAIL_CVAR_SQL)
+def tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-risk and conditional value-at-risk of order totals per
+    priority class: VaR = the exact 0.95 quantile, CVaR = the mean of
+    the tail at-or-above it — the standard tail-risk pair
+    (`agg_percentile` stops at the quantile; CVaR answers "and how bad
+    is it WHEN it's bad", the number capacity/fraud thresholds
+    actually want). Tail membership is at-or-above the exact quantile
+    (ties included — documented, identical on both engines).
+
+    Exactness: VaR is the exact order-statistic pairing (percentile ↔
+    quantile_cont — one double, bit-identical); the tail cut is one
+    exact double compare against it; the tail SUM runs through the
+    DECIMAL(18,2) money lane (`sync_checksum` doctrine — raw-double
+    sums are order-dependent and never portable), so CVaR is one
+    exact-decimal / exact-int division, round-9.
+
+    Physics: one per-group exact-percentile rollup broadcast back
+    over ONE tail-count pass (the `iqr_fences` shape — the fact is
+    scanned twice, never joined to itself); the GK sketch replaces
+    the percentile sort at 100 TB (documented swap, CVaR unchanged).
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    q = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.percentile("o_totalprice", TAIL_Q).alias("var95")
+    )
+    t = orders.join(
+        F.broadcast(q), F.col("o_orderpriority") == F.col("grp")
+    ).filter(F.col("o_totalprice") >= F.col("var95"))
+    return (
+        t.select(
+            "grp",
+            "var95",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p2"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("var95").alias("var95"),
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.round(
+                F.sum("p2").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("cvar95"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "var95",
+            "n_tail",
+            "cvar95",
+        )
+    )

@@ -2404,3 +2404,27 @@ def test_r11n_linkpred_reciprocity_plan_physics(spark, sf_dir):
     assert p.count("Scan ExistingRDD") >= 2
     assert "Scan parquet" not in p
     assert "CartesianProduct" not in p
+
+
+def test_r11o_burstiness_cvar_plan_physics(spark, sf_dir):
+    """Physics gates for burstiness and tail_cvar."""
+    from cpt_database_sync_spark.operators.analytics import (
+        burstiness,
+        tail_cvar,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # burstiness: one type-keyed window pass + one moment rollup —
+    # one scan, no join
+    p = plan(burstiness)
+    assert p.count("Scan parquet") == 1
+    assert p.count("Window") == 1
+    assert "Join" not in p
+
+    # CVaR: |groups|-row quantile relation broadcast back over one
+    # tail pass; never sort-merge
+    p = plan(tail_cvar)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
