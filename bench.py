@@ -227,6 +227,7 @@ HEADLINE = [
     "graph_reciprocity",
     "burstiness",
     "tail_cvar",
+    "friedman_test",
 ]
 
 

@@ -3031,3 +3031,117 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("k"),
         F.expr(_ANOVA_F_EXPR).alias("w_stat"),
     )
+
+
+# --- Friedman test ----------------------------------------------------------
+
+# Doubled tie-averaged within-block ranks keep everything integral
+# (the mann_whitney_u device); sum R_j^2 = sum R2_j^2 / 4 folds the
+# doubling into the closed form.
+_FRIEDMAN_Q_EXPR = (
+    "round(12 / NULLIF(CAST(n AS DOUBLE) * k * (k + 1), CAST(0 AS DOUBLE))"
+    " * (CAST(sr2 AS DOUBLE) / 4) - 3 * CAST(n AS DOUBLE) * (k + 1), 9)"
+)
+
+_FRIEDMAN_SQL = f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    kk AS (
+      SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM daily
+    ),
+    complete AS (
+      SELECT dn FROM daily, kk GROUP BY dn, k HAVING COUNT(*) = MAX(k)
+    ),
+    ranked AS (
+      SELECT d.event_type, d.dn,
+             2 * RANK() OVER (PARTITION BY d.dn ORDER BY d.c)
+               + COUNT(*) OVER (PARTITION BY d.dn, d.c) - 1 AS r2
+      FROM daily d JOIN complete USING (dn)
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(SUM(r2) AS BIGINT) AS r2_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked GROUP BY 1
+    ),
+    folded AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum)
+                  AS DECIMAL(38,0)) AS sr2
+      FROM sums
+    )
+    SELECT n AS n_blocks, CAST(k AS INT) AS k, {_FRIEDMAN_Q_EXPR} AS q_stat
+    FROM folded
+"""
+
+
+@register("friedman_test", oracle=_FRIEDMAN_SQL)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test over (day blocks × event-type treatments): rank
+    the k event types WITHIN each complete day by volume, then test
+    whether the rank sums differ — the REPEATED-MEASURES companion to
+    `kruskal_wallis` (which pools; this blocks out the shared daily
+    level, so a type that is consistently #1 on both quiet and busy
+    days is detected even when pooled volumes overlap). Only days
+    observing all k types qualify as blocks (the balanced-design
+    requirement; partial days drop, documented).
+
+    Exactness: within-block tie-averaged DOUBLED ranks are exact
+    BIGINTs (2r = 2·RANK + tie_count − 1, the `mann_whitney_u`
+    device — tie-averaging makes the within-tie order irrelevant, so
+    no tie-break column is needed); per-type rank sums and Σ R2_j²
+    accumulate in BIGINT/DECIMAL(38,0) (integer sums are order-free —
+    no fold device needed); Q folds the doubling as Σ R2²/4 in one
+    shared closed-form text, round-9; zero complete blocks → NULL via
+    NULLIF.
+
+    Physics: one map-side-combined daily rollup, a |days|-row
+    complete-block filter, one day-keyed rank window over the
+    calendar-sized relation, a k-row rollup. Nothing after the first
+    rollup is corpus-sized.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    dn = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    daily = ev.groupBy("event_type", dn.alias("dn")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    daily = bounded_cache("friedman.daily", daily)
+    kk = daily.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    complete = (
+        daily.crossJoin(F.broadcast(kk))
+        .groupBy("dn", "k")
+        .agg(F.count(F.lit(1)).alias("types_present"))
+        .filter(F.col("types_present") == F.col("k"))
+        .select("dn")
+    )
+    wr = Window.partitionBy("dn").orderBy("c")
+    wt = Window.partitionBy("dn", "c")
+    ranked = daily.join(F.broadcast(complete), "dn").select(
+        "event_type",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    folded = sums.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r2_sum").cast("decimal(38,0)") * F.col("r2_sum"))
+        .cast("decimal(38,0)")
+        .alias("sr2"),
+    )
+    return folded.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").cast("int").alias("k"),
+        F.expr(_FRIEDMAN_Q_EXPR).alias("q_stat"),
+    )

@@ -2428,3 +2428,16 @@ def test_r11o_burstiness_cvar_plan_physics(spark, sf_dir):
     p = plan(tail_cvar)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11p_friedman_plan_physics(spark, sf_dir):
+    """Physics gate for friedman_test."""
+    from cpt_database_sync_spark.operators.stats import friedman_test
+
+    p = plan_string(friedman_test(spark, sf_dir), "simple")
+    # cached daily consumed three ways (k, complete-block filter, rank
+    # join); complete-block list broadcasts; day-keyed rank window;
+    # never sort-merge / cartesian
+    assert p.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
