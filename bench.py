@@ -228,6 +228,8 @@ HEADLINE = [
     "burstiness",
     "tail_cvar",
     "friedman_test",
+    "odds_ratio",
+    "transition_entropy",
 ]
 
 

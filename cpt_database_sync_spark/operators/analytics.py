@@ -3387,3 +3387,200 @@ def tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvar95",
         )
     )
+
+
+# --- Odds ratio --------------------------------------------------------------
+
+OR_EXPOSURE = "1-URGENT"
+OR_OUTCOME_MIN = 200000.0  # exact binary constant
+
+_OR_EXPR = (
+    "round(CAST(a AS DOUBLE) * d"
+    " / NULLIF(CAST(b AS DOUBLE) * c, CAST(0 AS DOUBLE)), 9)"
+)
+_LOG_OR_EXPR = (
+    "round(ln(CAST(a AS DOUBLE) * d"
+    " / NULLIF(CAST(b AS DOUBLE) * c, CAST(0 AS DOUBLE))), 9)"
+)
+_OR_SE_EXPR = (
+    "round(sqrt(1 / NULLIF(CAST(a AS DOUBLE), CAST(0 AS DOUBLE))"
+    " + 1 / NULLIF(CAST(b AS DOUBLE), CAST(0 AS DOUBLE))"
+    " + 1 / NULLIF(CAST(c AS DOUBLE), CAST(0 AS DOUBLE))"
+    " + 1 / NULLIF(CAST(d AS DOUBLE), CAST(0 AS DOUBLE))), 9)"
+)
+
+_ODDS_RATIO_SQL = f"""
+    WITH t AS (
+      SELECT CASE WHEN o_orderpriority = '{OR_EXPOSURE}' THEN 1 ELSE 0 END
+               AS exposed,
+             CASE WHEN o_totalprice >= {OR_OUTCOME_MIN} THEN 1 ELSE 0 END
+               AS outcome
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM t
+    )
+    SELECT a, b, c, d, {_OR_EXPR} AS odds_ratio, {_LOG_OR_EXPR} AS log_or,
+           {_OR_SE_EXPR} AS se_log_or
+    FROM cells
+"""
+
+
+@register("odds_ratio", oracle=_ODDS_RATIO_SQL)
+def odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of a 2×2 exposure/outcome table — is an URGENT
+    order more likely to be high-value (>= the exact-binary 200 000
+    threshold)? The effect-SIZE companion to `chi2_independence`
+    (which tests whether ANY association exists; the OR says how
+    strong and in which direction), with the Woolf log-OR standard
+    error 1/a+1/b+1/c+1/d — the classic case-control readout.
+
+    Exactness: all four cells are exact BIGINTs off ONE conditional
+    rollup (the threshold constant is exactly representable, so the
+    outcome cut is an exact double compare); OR is exact-int
+    products through one shared division text; ln enters once and is
+    immediately rounded to 9 dp (the `entropy_profile` quantization —
+    no composition after the transcendental); any empty cell yields
+    NULL via NULLIF in every lane, identically.
+
+    Physics: one map-side-combined single-row rollup over the scan.
+    Nothing downstream exists.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
+    )
+    exposed = (F.col("o_orderpriority") == OR_EXPOSURE).cast("int")
+    outcome = (F.col("o_totalprice") >= OR_OUTCOME_MIN).cast("int")
+    t = orders.select(exposed.alias("exposed"), outcome.alias("outcome"))
+    cells = t.agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(_OR_EXPR).alias("odds_ratio"),
+        F.expr(_LOG_OR_EXPR).alias("log_or"),
+        F.expr(_OR_SE_EXPR).alias("se_log_or"),
+    )
+
+
+# --- Transition entropy rate -------------------------------------------------
+
+# Quantized-ln decimal device (entropy_profile / transition_pmi): each
+# ln is rounded to DECIMAL(15,9) BEFORE any sum, so the weighted sums
+# are exact decimal arithmetic; one division to double at the end.
+_TE_QLN = "CAST(round(ln(CAST({c} AS DOUBLE)), 9) AS DECIMAL(15,9))"
+
+_TRANSITION_ENTROPY_SQL = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM seq WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT prev_type, CAST(SUM(c_xy) AS BIGINT) AS c_x
+      FROM t GROUP BY 1
+    ),
+    s AS (
+      SELECT
+        (SELECT CAST(SUM(c_xy) AS BIGINT) FROM t) AS n,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS k,
+        (SELECT CAST(SUM(c_x * {_TE_QLN.format(c='c_x')}) AS DECIMAL(38,9))
+           FROM mx) AS sx,
+        (SELECT CAST(SUM(c_xy * {_TE_QLN.format(c='c_xy')}) AS DECIMAL(38,9))
+           FROM t) AS sxy
+    )
+    SELECT n AS n_transitions, CAST(k AS INT) AS n_states,
+           round(CAST(sx - sxy AS DOUBLE) / CAST(n AS DOUBLE), 9)
+             AS entropy_rate,
+           {_TE_QLN.format(c='NULLIF(k, 0)')} AS entropy_max
+    FROM s
+"""
+
+
+@register("transition_entropy", oracle=_TRANSITION_ENTROPY_SQL)
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the event-type Markov chain: H(Y|X) =
+    (Σ_x c_x ln c_x − Σ_xy c_xy ln c_xy)/N nats per transition — how
+    predictable the next event type is given the current one (0 =
+    deterministic funnel, ln k = memoryless uniform), alongside
+    ln(k) as the ceiling. The sequence-predictability summary that
+    `transition_pmi` (per-pair surprise) and `event_transitions`
+    (raw matrix) leave unsummarized — the number a sessionization or
+    next-event model quotes as irreducible uncertainty.
+
+    Exactness: transition and margin counts are exact BIGINTs off the
+    same user-keyed window pass as `transition_pmi`; each ln is
+    quantized to DECIMAL(15,9) BEFORE the weighted sums (the
+    `entropy_profile` device), so Σ c·q(ln c) is EXACT decimal
+    arithmetic in DECIMAL(38,9) at any corpus size and the rate is
+    one shared division text, round-9.
+
+    Physics: one user-keyed window pass, one map-side-combined pair
+    rollup to |types|² rows; margins and both sums are catalog-sized
+    aggregations. Nothing after the rollup is corpus-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull() & F.col("event_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    from cpt_database_sync_spark.session import bounded_cache
+
+    t = bounded_cache("transition_entropy.t", t)
+    mx = t.groupBy("prev_type").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    sums_t = t.agg(
+        F.sum("c_xy").cast("long").alias("n"),
+        F.sum(F.expr(f"c_xy * {_TE_QLN.format(c='c_xy')}"))
+        .cast("decimal(38,9)")
+        .alias("sxy"),
+    )
+    sums_x = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(f"c_x * {_TE_QLN.format(c='c_x')}"))
+        .cast("decimal(38,9)")
+        .alias("sx"),
+    )
+    s = sums_t.crossJoin(sums_x)
+    return s.select(
+        F.col("n").alias("n_transitions"),
+        F.col("k").cast("int").alias("n_states"),
+        F.round(
+            (F.col("sx") - F.col("sxy")).cast("double")
+            / F.col("n").cast("double"),
+            9,
+        ).alias("entropy_rate"),
+        F.expr(_TE_QLN.format(c="NULLIF(k, 0)")).alias("entropy_max"),
+    )

@@ -2441,3 +2441,27 @@ def test_r11p_friedman_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 3
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11q_or_entropy_plan_physics(spark, sf_dir):
+    """Physics gates for odds_ratio and transition_entropy."""
+    from cpt_database_sync_spark.operators.analytics import (
+        odds_ratio,
+        transition_entropy,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # OR: one scan, one single-row conditional rollup — no join, no
+    # window
+    p = plan(odds_ratio)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
+
+    # entropy rate: one user-keyed window pass into the cached pair
+    # rollup, consumed twice (margins + pair sum); the two single-row
+    # folds cross-join broadcast; never sort-merge
+    p = plan(transition_entropy)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
