@@ -230,6 +230,7 @@ HEADLINE = [
     "friedman_test",
     "odds_ratio",
     "transition_entropy",
+    "sign_test",
 ]
 
 

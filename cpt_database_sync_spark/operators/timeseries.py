@@ -2227,3 +2227,82 @@ def cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "event_type", "nd", "plus", "m", F.expr(_CS_Z_EXPR).alias("z")
     )
+
+
+# --- Paired sign test --------------------------------------------------------
+
+SIGN_A = "click"
+SIGN_B = "view"
+
+_SIGN_SQL = f"""
+    WITH {_DAILY_COUNT_CTE},
+    d AS (
+      SELECT dn,
+             CAST(SUM(CASE WHEN event_type = '{SIGN_A}' THEN c ELSE 0 END)
+                  AS BIGINT) AS xa,
+             CAST(SUM(CASE WHEN event_type = '{SIGN_B}' THEN c ELSE 0 END)
+                  AS BIGINT) AS xb
+      FROM daily
+      WHERE dn IS NOT NULL AND event_type IN ('{SIGN_A}', '{SIGN_B}')
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN xa > xb THEN 1 ELSE 0 END) AS BIGINT)
+               AS plus,
+             CAST(SUM(CASE WHEN xa <> xb THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM d
+    )
+    SELECT n_days, plus, m, {_CS_Z_EXPR} AS z
+    FROM s
+"""
+
+
+@register("sign_test", oracle=_SIGN_SQL)
+def sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: on each observed day, does '{a}' volume
+    exceed '{b}' volume? — the PAIRED two-sample test completing the
+    battery (`mann_whitney_u` compares two UNPAIRED samples; pairing
+    by day blocks out the shared daily level, so a consistent small
+    excess is detected even when day-to-day swings dwarf it). Days
+    where the two counts tie drop from m (the standard convention);
+    the null is exactly Binomial(m, ½) and z is the same normal
+    approximation `cox_stuart` uses (the SAME closed-form text).
+
+    Exactness: both daily series come from ONE conditional rollup of
+    the shared daily relation (absent types count 0 on a day either
+    type fired — identical CASE/WHEN semantics both engines); plus/m
+    are exact BIGINTs off strict integer compares; z is the shared
+    `_CS_Z_EXPR` text, round-9, all-tied → NULL via NULLIF.
+
+    Physics: one map-side-combined daily rollup, a |days|-row
+    re-rollup, a single-row fold. Calendar-sized after the first
+    pass.
+    """.format(a=SIGN_A, b=SIGN_B)
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", _dn().alias("dn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(
+            F.col("dn").isNotNull()
+            & F.col("event_type").isin(SIGN_A, SIGN_B)
+        )
+    )
+    d = daily.groupBy("dn").agg(
+        F.sum(F.when(F.col("event_type") == SIGN_A, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("xa"),
+        F.sum(F.when(F.col("event_type") == SIGN_B, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("xb"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("xa") > F.col("xb"), 1).otherwise(0))
+        .cast("long")
+        .alias("plus"),
+        F.sum(F.when(F.col("xa") != F.col("xb"), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+    )
+    return s.select("n_days", "plus", "m", F.expr(_CS_Z_EXPR).alias("z"))

@@ -2465,3 +2465,14 @@ def test_r11q_or_entropy_plan_physics(spark, sf_dir):
     p = plan(transition_entropy)
     assert p.count("InMemoryTableScan") >= 2
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r11r_sign_test_plan_physics(spark, sf_dir):
+    """Physics gate for sign_test."""
+    from cpt_database_sync_spark.operators.timeseries import sign_test
+
+    p = plan_string(sign_test(spark, sf_dir), "simple")
+    # one scan, two chained map-side-combined rollups, single-row
+    # fold; no join, no window
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
