@@ -495,13 +495,28 @@ def warmup_dir(sf_dir: str) -> str | None:
     return sf_dir if os.path.isdir(sf_dir) else None
 
 
+#: Stability contract for the isolated lane (VERDICT r11 next #3: the
+#: r11 recorded lane was itself steal-contaminated — dedup_canonical
+#: 7.0 s recorded vs 1.47 s on a quiet host — so the adjudicator's
+#: conclusion contradicted its own artifact). A pass is `trials`
+#: timed runs → one min; the lane re-runs passes until the two best
+#: pass-minima agree within ISOLATED_STABLE_TOL, up to
+#: ISOLATED_MAX_PASSES. Loadavg is recorded per pass so a
+#: contaminated sample is visible in the artifact.
+ISOLATED_STABLE_TOL = 0.10
+ISOLATED_MAX_PASSES = 4
+
+
 def run_isolated(name: str, out_path: str) -> None:
     """One query, alone, in a fresh JVM — the adjudication lane
     (VERDICT r9 next #1): when a key's sharded min moves round-over-round,
     the isolated number mechanically distinguishes host steal / shard
     cohabitation (isolated ≈ previous round) from a genuine plan change
     (isolated ≈ the new sharded min). Same warmup + best-of-N protocol as
-    the shard sweep, minus the JVM history of every other query."""
+    the shard sweep, minus the JVM history of every other query; passes
+    repeat until the two best minima agree within ISOLATED_STABLE_TOL
+    (a single pass immediately after the sharded sweep inherits the
+    host's steal burst — the r11 contamination)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     spark = get_spark(app_name=f"bench-isolated-{name}")
@@ -509,13 +524,32 @@ def run_isolated(name: str, out_path: str) -> None:
     warm_dir = warmup_dir(sf_dir)
     if warm_dir:
         fn(spark, warm_dir).count()
-    samples = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        samples.append(time.perf_counter() - t0)
+    pass_mins: list[float] = []
+    loadavgs: list[float] = []
+    stable = False
+    for _ in range(ISOLATED_MAX_PASSES):
+        loadavgs.append(round(os.getloadavg()[0], 2))
+        samples = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        pass_mins.append(round(min(samples), 3))
+        if len(pass_mins) >= 2:
+            best = sorted(pass_mins)[:2]
+            if best[1] <= best[0] * (1 + ISOLATED_STABLE_TOL):
+                stable = True
+                break
     with open(out_path, "w") as f:
-        json.dump({"min": round(min(samples), 3)}, f)
+        json.dump(
+            {
+                "min": min(pass_mins),
+                "pass_mins": pass_mins,
+                "stable": stable,
+                "loadavg": loadavgs,
+            },
+            f,
+        )
     spark.stop()
 
 
@@ -543,6 +577,27 @@ def pick_movers(prev: dict[str, float], cur: dict[str, float]) -> list[str]:
     # slowest first within each class.
     movers.sort(key=lambda k: (k not in CORE_R8, -cur[k]))
     return movers[:ISOLATE_MAX_KEYS]
+
+
+def adjudicate(prev_min: float, isolated_min: float, stable) -> str:
+    """Machine-generated per-mover verdict (VERDICT r11 next #3: the
+    round-summary sentence must derive from the artifact, not the other
+    way around). `noise`: the quiet isolated re-time lands back at the
+    prior cost (within ISOLATE_RATIO) — the sharded move was steal /
+    cohabitation. `regression` / `improvement`: the isolated number
+    confirms the move. `unstable`: the lane never converged
+    (ISOLATED_MAX_PASSES passes without two minima within tolerance) —
+    trust nothing, re-run on a quiet host."""
+    if not stable:
+        return "unstable"
+    if prev_min <= 0:
+        return "regression"
+    r = isolated_min / prev_min
+    if r > ISOLATE_RATIO:
+        return "regression"
+    if r < 1.0 / ISOLATE_RATIO:
+        return "improvement"
+    return "noise"
 
 
 LINE_BUDGET = 1900  # chars; the driver keeps only the last ~2000 of stdout
@@ -671,11 +726,17 @@ def main() -> None:
                 )
                 if proc.returncode == 0 and os.path.exists(out):
                     with open(out) as f:
-                        iso_min = json.load(f)["min"]
+                        iso = json.load(f)
                     isolated[name] = {
                         "prev_min": prev_mins[name],
                         "sharded_min": timings[name],
-                        "isolated_min": iso_min,
+                        "isolated_min": iso["min"],
+                        "pass_mins": iso.get("pass_mins"),
+                        "stable": iso.get("stable"),
+                        "loadavg": iso.get("loadavg"),
+                        "verdict": adjudicate(
+                            prev_mins[name], iso["min"], iso.get("stable")
+                        ),
                     }
                     os.remove(out)
     # Full detail to a sidecar file: the driver snapshots only a bounded

@@ -3522,7 +3522,7 @@ _TRANSITION_ENTROPY_SQL = f"""
     SELECT n AS n_transitions, CAST(k AS INT) AS n_states,
            round(CAST(sx - sxy AS DOUBLE) / CAST(n AS DOUBLE), 9)
              AS entropy_rate,
-           {_TE_QLN.format(c='NULLIF(k, 0)')} AS entropy_max
+           round(ln(CAST(NULLIF(k, 0) AS DOUBLE)), 9) AS entropy_max
     FROM s
 """
 
@@ -3582,5 +3582,11 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double"),
             9,
         ).alias("entropy_rate"),
-        F.expr(_TE_QLN.format(c="NULLIF(k, 0)")).alias("entropy_max"),
+        # entropy_max is a display SCALAR, not a summand: plain round-9
+        # double (the shared device for one-shot transcendentals). The
+        # decimal quantization lane is for values that get SUMMED; a
+        # decimal(15,9) display column was the r11 driver hash-red class.
+        F.expr("round(ln(CAST(NULLIF(k, 0) AS DOUBLE)), 9)").alias(
+            "entropy_max"
+        ),
     )

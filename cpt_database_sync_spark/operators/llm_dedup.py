@@ -925,7 +925,7 @@ def _canonical_oracle() -> str:
     """
 
 
-@register("dedup_canonical", oracle=_canonical_oracle(), tags=("reverify:r11",))
+@register("dedup_canonical", oracle=_canonical_oracle(), tags=("reverify:r12",))
 def dedup_canonical(
     spark: SparkSession, sf_dir: str, n_docs_hint: int = 0
 ) -> DataFrame:
@@ -1525,7 +1525,7 @@ _NOVELTY_SQL = f"""
 """
 
 
-@register("ngram_novelty", oracle=_NOVELTY_SQL, tags=("reverify:r11",))
+@register("ngram_novelty", oracle=_NOVELTY_SQL, tags=("reverify:r12",))
 def ngram_novelty(
     spark: SparkSession, sf_dir: str, hashed: bool = True
 ) -> DataFrame:

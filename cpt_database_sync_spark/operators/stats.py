@@ -2341,12 +2341,17 @@ MWU_GROUP2 = "purchase"
 
 # Tie-corrected normal approximation, one closed form over exact
 # integer inputs (u2 = 2*U1, ties = sum of t^3 - t over tie groups).
+# Operands are the INTERNAL decimal-lane names (u2d / tiesd) — the
+# display columns are BIGINT casts of those lanes, and referencing the
+# display aliases from the same SELECT would lean on lateral-alias
+# resolution, which the two engines disambiguate differently when a
+# display alias shadows an input column (the r11 decimal-display class).
 _MWU_Z_EXPR = (
-    "round((CAST(u2 AS DOUBLE) / 2"
+    "round((CAST(u2d AS DOUBLE) / 2"
     " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)"
     " / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12"
     " * (CAST(n1 + n2 + 1 AS DOUBLE)"
-    " - CAST(ties AS DOUBLE)"
+    " - CAST(tiesd AS DOUBLE)"
     " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),"
     " CAST(0 AS DOUBLE)), 9)"
 )
@@ -2372,16 +2377,72 @@ _MWU_SQL = f"""
              CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
              CAST(SUM(cnt1 * avg2) AS DECIMAL(38,0)) AS r2_1,
              CAST(SUM(CASE WHEN cnt > 1 THEN cnt * cnt * cnt - cnt
-                           ELSE 0 END) AS DECIMAL(38,0)) AS ties
+                           ELSE 0 END) AS DECIMAL(38,0)) AS tiesd
       FROM w
+    ),
+    m2 AS (
+      SELECT n1, n2, tiesd,
+             CAST(r2_1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                  AS DECIMAL(38,0)) AS u2d
+      FROM m
     )
     SELECT n1, n2,
-           CAST(r2_1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
-                AS DECIMAL(38,0)) AS u2,
-           ties,
+           CAST(u2d AS BIGINT) AS u2,
+           CAST(tiesd AS BIGINT) AS ties,
            {_MWU_Z_EXPR} AS z
-    FROM m
+    FROM m2
 """
+
+
+# Value-range chunk width for the two-level rank prefix (VERDICT r11
+# next #4): the rank family's cumulative structure used to ride ONE
+# unpartitioned Window.orderBy("value") over the distinct-value rollup
+# — Spark funnels that through a single task ("Moving all data to a
+# single partition"), the bottleneck once |distinct values| grows with
+# the corpus. floor(value / width) is monotone in value, so chunks are
+# contiguous value ranges: (chunk ASC, value ASC) IS the global value
+# order, chunk-local prefix sums shift to global ones by the chunk's
+# incoming balance, and that balance is a prefix over the chunk
+# AGGREGATES only (|chunks| rows — the `concurrency_peak` device).
+RANK_CHUNK_WIDTH = 50.0
+
+
+def _rank_avg2_two_level(v: DataFrame, passengers: list[str]) -> DataFrame:
+    """Doubled average rank per distinct value, avg2 = 2*cum(cnt) - cnt
+    + 1, computed TWO-LEVEL over the (value, cnt, *passengers) rollup:
+    chunk-local running sums in parallel (window partitioned by chunk),
+    then one prefix over the |chunks|-row aggregate relation broadcast
+    back. Bit-identical to the global-window form (differential twin in
+    tests/test_units.py): floor is monotone, so the chunk-local order
+    concatenated in chunk order is the global value order, and
+    balance + local_cum is the global inclusive cumulative count."""
+    chunked = v.withColumn(
+        "chunk", F.floor(F.col("value") / RANK_CHUNK_WIDTH).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("chunk")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = chunked.select(
+        *passengers,
+        "cnt",
+        "chunk",
+        F.sum("cnt").over(w_local).alias("lcum"),
+    )
+    totals = chunked.groupBy("chunk").agg(F.sum("cnt").alias("ctot"))
+    w_prefix = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bal = totals.select(
+        "chunk",
+        F.coalesce(F.sum("ctot").over(w_prefix), F.lit(0)).alias("bal"),
+    )
+    return local.join(F.broadcast(bal), "chunk").select(
+        *passengers,
+        "cnt",
+        (2 * (F.col("bal") + F.col("lcum")) - F.col("cnt") + 1).alias("avg2"),
+    )
 
 
 @register("mann_whitney_u", oracle=_MWU_SQL)
@@ -2396,16 +2457,22 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: ranks are NEVER materialized per row — the pooled rank
     structure is fully determined by the per-value rollup (cnt, cnt1),
     and the doubled average rank of every occurrence of a value is
-    avg2 = 2*cum(cnt) - cnt + 1, an exact BIGINT off ONE ordered
-    window over the DISTINCT-value relation. Rank sums and the tie
-    term sum(t^3 - t) accumulate in DECIMAL(38,0) ↔ HUGEINT; u2 = 2*U1
-    stays integral (avg ranks are half-integral); the z closed form is
+    avg2 = 2*cum(cnt) - cnt + 1, an exact BIGINT off the two-level
+    chunked prefix over the DISTINCT-value relation (bit-identical to
+    the ordered-window form — differential twin). Rank sums and the
+    tie term sum(t^3 - t) accumulate in DECIMAL(38,0) ↔ HUGEINT
+    INTERNALLY; the DISPLAY columns u2 = 2*U1 and ties are BIGINT
+    casts (u2 stays integral — avg ranks are half-integral; both fit
+    at any driver fixture scale, and the decimal lane keeps the sums
+    exact on the way there — the r11 decimal-display fix: no raw
+    DECIMAL ever reaches the display schema). The z closed form is
     the same expression text on both engines, round-9. No continuity
     correction (documented; both engines identically).
 
     Physics: one map-side-combined rollup to |distinct values| rows,
-    one ordered window over that rollup (|distinct|-sized, NOT corpus-
-    sized — the `lorenz_deciles` device), one single-row fold. At
+    a chunk-partitioned window over that rollup plus a prefix over the
+    |chunks|-row aggregates (no single-partition funnel — the
+    `concurrency_peak` two-level device), one single-row fold. At
     100 TB the distinct-value relation is the honest footprint of an
     exact rank test; if values are near-unique the GK-sketch rank
     lane substitutes (documented swap, same closed form).
@@ -2420,15 +2487,8 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == MWU_GROUP1, 1).otherwise(0)
         ).cast("long").alias("cnt1"),
     )
-    w = v.select(
-        "cnt",
-        "cnt1",
-        (
-            2 * F.sum("cnt").over(Window.orderBy("value"))
-            - F.col("cnt")
-            + 1
-        ).alias("avg2"),
-    )
+    v = bounded_cache("mann_whitney_u.v", v)
+    w = _rank_avg2_two_level(v, passengers=["cnt1"])
     m = w.agg(
         F.sum("cnt1").cast("long").alias("n1"),
         F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
@@ -2445,18 +2505,20 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("decimal(18,0)"))
         )
         .cast("decimal(38,0)")
-        .alias("ties"),
+        .alias("tiesd"),
     )
-    return m.select(
-        "n1",
-        "n2",
+    m2 = m.withColumn(
+        "u2d",
         (
             F.col("r2_1")
             - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
-        )
-        .cast("decimal(38,0)")
-        .alias("u2"),
-        "ties",
+        ).cast("decimal(38,0)"),
+    )
+    return m2.select(
+        "n1",
+        "n2",
+        F.col("u2d").cast("long").alias("u2"),
+        F.col("tiesd").cast("long").alias("ties"),
         F.expr(_MWU_Z_EXPR).alias("z"),
     )
 
@@ -2691,8 +2753,10 @@ _KW_H_RAW = (
     " - 3 * (CAST(n AS DOUBLE) + 1)"
 )
 _KW_H_EXPR = f"round({_KW_H_RAW}, 9)"
+# tiesd is the INTERNAL decimal lane; the display `ties` is its BIGINT
+# cast (same no-shadowing discipline as _MWU_Z_EXPR).
 _KW_HTIE_EXPR = (
-    f"round(({_KW_H_RAW}) / NULLIF(1 - CAST(ties AS DOUBLE)"
+    f"round(({_KW_H_RAW}) / NULLIF(1 - CAST(tiesd AS DOUBLE)"
     " / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
     " - CAST(n AS DOUBLE), CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)), 9)"
 )
@@ -2721,7 +2785,7 @@ _KW_SQL = f"""
     ),
     t AS (
       SELECT CAST(SUM(CASE WHEN cnt > 1 THEN cnt * cnt * cnt - cnt
-                           ELSE 0 END) AS DECIMAL(38,0)) AS ties
+                           ELSE 0 END) AS DECIMAL(38,0)) AS tiesd
       FROM d
     ),
     folded AS (
@@ -2733,7 +2797,8 @@ _KW_SQL = f"""
                          (acc, x) -> acc + x) AS srr
       FROM g
     )
-    SELECT n, k, t.ties, {_KW_H_EXPR} AS h_stat, {_KW_HTIE_EXPR} AS h_tie
+    SELECT n, k, CAST(t.tiesd AS BIGINT) AS ties,
+           {_KW_H_EXPR} AS h_stat, {_KW_HTIE_EXPR} AS h_tie
     FROM folded, t
 """
 
@@ -2749,22 +2814,27 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: ranks are never materialized per row — the pooled
     doubled average rank of every occurrence of a value is avg2 =
-    2*cum(cnt) - cnt + 1, an exact BIGINT off ONE ordered window over
-    the DISTINCT-value relation (the `mann_whitney_u` device), and
+    2*cum(cnt) - cnt + 1, an exact BIGINT off the two-level chunked
+    prefix over the DISTINCT-value relation (the `mann_whitney_u`
+    device, differential-twinned against the ordered-window form), and
     the per-group doubled rank sums R2_g = sum cg*avg2 accumulate in
-    DECIMAL(38,0) (doubling cancels: R_g^2/n_g = R2_g^2/(4 n_g)). The
-    per-group double terms share ONE expression text and fold in
-    EVENT-TYPE ORDER on both engines (the `anova_oneway` device); the
-    H closed forms are shared text over identical operands, round-9.
-    Degenerate all-tied input: the correction divisor hits 0 and
-    h_tie is NULL via NULLIF on both sides.
+    DECIMAL(38,0) INTERNALLY (doubling cancels: R_g^2/n_g =
+    R2_g^2/(4 n_g)); the DISPLAY `ties` column is a BIGINT cast of
+    that lane (the r11 decimal-display fix — no raw DECIMAL reaches
+    the display schema). The per-group double terms share ONE
+    expression text and fold in EVENT-TYPE ORDER on both engines (the
+    `anova_oneway` device); the H closed forms are shared text over
+    identical operands, round-9. Degenerate all-tied input: the
+    correction divisor hits 0 and h_tie is NULL via NULLIF on both
+    sides.
 
     Physics: one map-side-combined (value, type) rollup, a
-    |distinct-value|-sized re-rollup + ordered window (the
-    `lorenz_deciles` device — never corpus-sized), one value-keyed
-    join of the two catalog-sized relations, a k-row fold. At 100 TB
-    the distinct-value relation is the honest footprint of an exact
-    rank test; the GK-sketch rank lane substitutes if values are
+    |distinct-value|-sized re-rollup + chunk-partitioned window with a
+    |chunks|-row prefix (no single-partition funnel — the
+    `concurrency_peak` two-level device), one value-keyed join of the
+    two catalog-sized relations, a k-row fold. At 100 TB the
+    distinct-value relation is the honest footprint of an exact rank
+    test; the GK-sketch rank lane substitutes if values are
     near-unique (documented swap, same closed form).
     """
     ev = load(spark, sf_dir, "events").filter(
@@ -2775,15 +2845,10 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = bounded_cache("kruskal_wallis.v", v)
     d = v.groupBy("value").agg(F.sum("cg").cast("long").alias("cnt"))
-    w = d.select(
-        "value",
-        "cnt",
-        (
-            2 * F.sum("cnt").over(Window.orderBy("value"))
-            - F.col("cnt")
-            + 1
-        ).alias("avg2"),
-    ).withColumnRenamed("value", "w_value")
+    d = bounded_cache("kruskal_wallis.d", d)
+    w = _rank_avg2_two_level(d, passengers=["value"]).withColumnRenamed(
+        "value", "w_value"
+    )
     g = (
         v.join(w, F.col("value") == F.col("w_value"))
         .groupBy("event_type")
@@ -2805,7 +2870,7 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("decimal(18,0)"))
         )
         .cast("decimal(38,0)")
-        .alias("ties")
+        .alias("tiesd")
     )
     folded = g.select(
         "event_type", "ng", "r2", F.expr(_KW_TERM_EXPR).alias("term")
@@ -2821,7 +2886,7 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.crossJoin(ties).select(
         "n",
         "k",
-        "ties",
+        F.col("tiesd").cast("long").alias("ties"),
         F.expr(_KW_H_EXPR).alias("h_stat"),
         F.expr(_KW_HTIE_EXPR).alias("h_tie"),
     )

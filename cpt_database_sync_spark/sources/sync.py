@@ -973,11 +973,17 @@ def _checksum_row_sql(cols: list[str]) -> str:
 
 
 def _sync_checksum_sql() -> str:
+    # Display lane: the exact DECIMAL(38,0) sum rendered as its digit
+    # STRING (scale-0 decimal→string is plain digits on both engines).
+    # A raw DECIMAL display column was the r11 driver hash-red class;
+    # the string keeps the full 38-digit value (an xor fold would not —
+    # duplicated rows cancel under xor, and duplicate detection is the
+    # point of a content checksum) while the sum lane stays decimal.
     parts = [
         f"""SELECT '{t}' AS table_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(COALESCE(SUM({_checksum_row_sql(cols)}), 0)
-                    AS DECIMAL(38,0)) AS checksum
+               CAST(CAST(COALESCE(SUM({_checksum_row_sql(cols)}), 0)
+                         AS DECIMAL(38,0)) AS STRING) AS checksum
         FROM {t}"""
         for t, cols in _CHECKSUM_COLS.items()
     ]
@@ -993,7 +999,9 @@ def sync_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND an order-insensitive content checksum (Σ over rows of the
     first 48 bits of md5(canonical row string), summed in an exact
     DECIMAL(38,0) lane — no overflow at any corpus size, no ordering
-    sensitivity, distributable as a map-side-combined SUM). Running it
+    sensitivity, distributable as a map-side-combined SUM; DISPLAYED
+    as the digit string of that sum, since a raw DECIMAL display
+    column was the r11 driver hash-red class). Running it
     on source and target and diffing two small relations IS the sync
     acceptance test; `snapshot_diff` then localizes which rows moved.
 
@@ -1021,6 +1029,7 @@ def sync_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.coalesce(F.sum(h), F.lit(0))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("checksum"),
         ).select(F.lit(t).alias("table_name"), "n_rows", "checksum")
         out = df if out is None else out.unionByName(df)
@@ -1333,8 +1342,10 @@ _PARTITION_DIGEST_SQL = f"""
     SELECT COALESCE(s.ym, t.ym) AS ym,
            CAST(COALESCE(s.n_rows, 0) AS BIGINT) AS src_rows,
            CAST(COALESCE(t.n_rows, 0) AS BIGINT) AS tgt_rows,
-           CAST(COALESCE(s.checksum, 0) AS DECIMAL(38,0)) AS src_checksum,
-           CAST(COALESCE(t.checksum, 0) AS DECIMAL(38,0)) AS tgt_checksum,
+           CAST(CAST(COALESCE(s.checksum, 0) AS DECIMAL(38,0)) AS STRING)
+             AS src_checksum,
+           CAST(CAST(COALESCE(t.checksum, 0) AS DECIMAL(38,0)) AS STRING)
+             AS tgt_checksum,
            COALESCE(s.n_rows, 0) = COALESCE(t.n_rows, 0) AS rows_match,
            COALESCE(s.checksum, 0) = COALESCE(t.checksum, 0)
              AS content_match
@@ -1359,7 +1370,8 @@ def sync_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the per-row digest is `sync_checksum`'s canonical
     serialization verbatim (DECIMAL(18,2) money lane, DATE lane, NULL
     sentinels, first 48 bits of md5 summed in DECIMAL(38,0) — order-
-    insensitive and overflow-free); the partition key is
+    insensitive and overflow-free — displayed as the digit string of
+    that sum, the r11 decimal-display fix); the partition key is
     year*100+month over DATE (portable where date_trunc is not); the
     match verdicts are exact integer/decimal equality.
 
@@ -1415,11 +1427,15 @@ def sync_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("s.ym"), F.col("t.ym")).alias("ym"),
         F.coalesce(F.col("s.n_rows"), F.lit(0)).cast("long").alias("src_rows"),
         F.coalesce(F.col("t.n_rows"), F.lit(0)).cast("long").alias("tgt_rows"),
+        # digit-string display of the exact decimal lane (the r11
+        # decimal-display fix — see _sync_checksum_sql)
         F.coalesce(F.col("s.checksum"), zero)
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("src_checksum"),
         F.coalesce(F.col("t.checksum"), zero)
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("tgt_checksum"),
         (
             F.coalesce(F.col("s.n_rows"), F.lit(0))

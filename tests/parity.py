@@ -66,10 +66,35 @@ def compare(spark_cols, spark_rows, ora_cols, ora_rows) -> list[str]:
     return problems
 
 
+def decimal_display_offenders(sdf) -> list[str]:
+    """Display-schema lint (VERDICT r11 next #1): DecimalType column
+    names in a query's DISPLAY schema, at any nesting depth. The
+    driver's value-hash canonicalizes Decimal cells differently than
+    this harness — the only 5 driver hash-red rows in 11 rounds were
+    exactly the 5 keys exposing a raw DECIMAL display column. Exact
+    decimal lanes stay INTERNAL; the display edge is string/bigint/
+    double/bool/date/timestamp only. repr() of a nested type spells
+    out every child type, so the substring check covers arrays/
+    structs/maps without walking them."""
+    return [
+        f.name for f in sdf.schema.fields if "DecimalType" in repr(f.dataType)
+    ]
+
+
 def run_query_pair(spark, con, fn, oracle_sql: str, sf_dir: str):
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    offenders = decimal_display_offenders(sdf)
+    if offenders:
+        return (
+            [
+                f"display schema exposes DecimalType in {offenders} — "
+                "cast to BIGINT/DOUBLE/STRING at the display edge "
+                "(the r11 driver hash-red class)"
+            ],
+            len(spark_rows),
+        )
     res = con.execute(oracle_sql)
     ora_cols = [d[0] for d in res.description]
     ora_rows = res.fetchall()

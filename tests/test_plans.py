@@ -2476,3 +2476,39 @@ def test_r11r_sign_test_plan_physics(spark, sf_dir):
     # fold; no join, no window
     assert p.count("Scan parquet") == 1
     assert "Join" not in p and "Window" not in p
+
+
+def test_rank_family_two_level_plan_shape(spark, sf_dir):
+    """The rank-test family's cumulative structure must NOT funnel the
+    distinct-value relation through an unpartitioned window (VERDICT
+    r11 next #4 — "Moving all data to a single partition"): the
+    value-ordered window must partition by the value-range chunk, and
+    the ONLY unpartitioned window left is the prefix over the chunk
+    AGGREGATES (|chunks| rows, ordered by chunk — the concurrency_peak
+    two-level device). The chunk-balance join must broadcast."""
+    import re
+
+    from cpt_database_sync_spark.operators.stats import (
+        kruskal_wallis,
+        mann_whitney_u,
+    )
+
+    for op in (mann_whitney_u, kruskal_wallis):
+        p = plan_string(op(spark, sf_dir))
+        assert re.search(
+            r"windowspecdefinition\(chunk#\d+L, value#\d+ ASC", p
+        ), f"{op.__name__}: value window must partition by chunk:\n{p}"
+        assert not re.search(r"windowspecdefinition\(value#\d+", p), (
+            f"{op.__name__}: unpartitioned window over the distinct-value "
+            f"relation (the single-partition funnel):\n{p}"
+        )
+        unpartitioned = re.findall(
+            r"windowspecdefinition\((\w+)#\d+L? ASC", p
+        )
+        assert set(unpartitioned) <= {"chunk"}, (
+            f"{op.__name__}: unexpected unpartitioned window over "
+            f"{unpartitioned} — only the |chunks|-row prefix is allowed"
+        )
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, (
+            f"{op.__name__}: chunk balance must broadcast back"
+        )
