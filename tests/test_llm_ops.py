@@ -496,3 +496,22 @@ def test_prefix_filter_shrinks_candidate_set(spark, sf_dir):
     assert cand < full * 0.5, (
         f"prefix filtering should halve the candidate set at least: {cand}/{full}"
     )
+
+
+def test_bpe_learn_matches_pure_python_reference(spark, sf_dir):
+    """The sfN step-up sweep verifies bpe_learn on GENERATED corpora
+    against tests/bpe_ref.py (VERDICT r11 next #7 — the golden oracle
+    only covers committed fixtures); this pins the reference itself to
+    the engine on the committed fixture, so a semantic drift in either
+    implementation (tie-break, greedy-merge fold, word split) fails
+    here first."""
+    from cpt_database_sync_spark.plans.registry import all_specs
+    from tests.bpe_ref import bpe_learn_ref_rows
+
+    got = {
+        tuple(r) for r in all_specs()["bpe_learn"].fn(spark, sf_dir).collect()
+    }
+    want = bpe_learn_ref_rows(sf_dir)
+    assert got == want, (
+        f"only-spark={list(got - want)[:3]} only-ref={list(want - got)[:3]}"
+    )
