@@ -557,9 +557,14 @@ def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_CLOSE_NUM = 1
 T_CLOSE_DEN = 5
 
+# NULLIF: a single-class sensitive attribute (m = 1) zeroes BOTH the
+# numerator and the (m-1) normalizer — ANSI Spark aborts on the bare
+# division (caught by the edge-shape battery, r12). The EMD is
+# undefined at m=1 (displayed NULL identically on both engines); the
+# membership VERDICT below never divides and stays trivially TRUE.
 _TCLOSE_EMD_EXPR = (
-    "round(CAST(emd_num AS DOUBLE) / (CAST(n_rows AS DOUBLE)"
-    " * CAST(nn AS DOUBLE) * (m - 1)), 9)"
+    "round(CAST(emd_num AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE)"
+    " * CAST(nn AS DOUBLE) * (m - 1), CAST(0 AS DOUBLE)), 9)"
 )
 
 _TCLOSE_SQL = f"""

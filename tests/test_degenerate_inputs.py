@@ -274,3 +274,129 @@ def test_every_query_total_on_unicode_text(spark, unicode_sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def edge_shapes_sf_dir(sf_dir):
+    """Targeted edge SHAPES for the r11 additions (VERDICT r11 next #8
+    — the registry-wide empty/1-row/nulls/unicode sweeps above cover
+    totality; these pin the keys' OWN degenerate geometries):
+
+    - documents: a single-word doc (vocab of 1 — zipf_fit's rank
+      variance hits 0), an all-hapax doc, a zero-hapax doc (every word
+      repeats), NULL and empty text (octet_length 0 -> the 1x1-PIXEL
+      synthesized PNG for multimodal_image_histogram), and a doc whose
+      text is exactly 64 bytes (n%64 == 0 and (3n)%48 == 0 -> the
+      OTHER 1x1-pixel shape, via a non-trivial byte length);
+    - orders: o_orderpriority overwritten to ONE class — t-closeness
+      with single-class partitions (every group distribution equals
+      the global singleton distribution, EMD 0) and class_rebalance's
+      no-op path exercised via embeddings below;
+    - embeddings: every label identical (majority class == every
+      class: rebalance must replicate nothing).
+    Other tables copy through unchanged."""
+    import duckdb as ddb
+
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    out = os.path.join(scratch_dir(), "sf_edge_shapes")
+    os.makedirs(out, exist_ok=True)
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    con = ddb.connect()
+    for t in ALL_TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM (VALUES
+                    (CAST(1 AS BIGINT), 'solitary', 'en', 'edge',
+                     CAST(8 AS BIGINT)),
+                    (CAST(2 AS BIGINT), 'all words here are hapax',
+                     'en', 'edge', CAST(24 AS BIGINT)),
+                    (CAST(3 AS BIGINT), 'rep rep rep twin twin',
+                     'en', 'edge', CAST(21 AS BIGINT)),
+                    (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), 'en',
+                     'edge', CAST(NULL AS BIGINT)),
+                    (CAST(5 AS BIGINT), '', 'en', 'edge',
+                     CAST(0 AS BIGINT)),
+                    (CAST(6 AS BIGINT), repeat('y', 64), 'en', 'edge',
+                     CAST(64 AS BIGINT))
+                  ) t(doc_id, text, lang, source, n_chars)
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        elif t == "orders":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE ('1-URGENT' AS o_orderpriority)
+                  FROM read_parquet('{src}')
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (0 AS label) FROM read_parquet('{src}')
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}')) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+    con.close()
+    open(done, "w").close()
+    return out
+
+
+EDGE_SHAPE_KEYS = [
+    "class_rebalance",
+    "hapax_ratio",
+    "multimodal_image_histogram",
+    "t_closeness_check",
+    "zipf_fit",
+]
+
+
+def test_r11_keys_on_their_edge_shapes(spark, edge_shapes_sf_dir):
+    """Differential parity for the five r11 keys on their own edge
+    geometries, plus the semantic facts the shapes exist to pin."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{edge_shapes_sf_dir}/{t}.parquet'"
+        )
+    specs = all_specs()
+    failures = []
+    for name in EDGE_SHAPE_KEYS:
+        spec = specs[name]
+        try:
+            problems, _ = run_query_pair(
+                spark, con, spec.fn, spec.oracle, edge_shapes_sf_dir
+            )
+            if problems:
+                failures.append(f"{name}: {problems[0]}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: EXCEPTION {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+    # 1x1-pixel images: the zero-length and 64-byte docs must each emit
+    # exactly ONE histogram row with n_px = 1.
+    hist = {
+        r["doc_id"]: (r["bucket"], r["n_px"])
+        for r in specs["multimodal_image_histogram"]
+        .fn(spark, edge_shapes_sf_dir)
+        .collect()
+        if r["doc_id"] in (5, 6)
+    }
+    assert set(hist) == {5, 6}, f"1x1 images missing: {hist}"
+    assert all(npx == 1 for _, npx in hist.values()), hist
+
+    # single-class embeddings: rebalance replicates nothing.
+    reb = specs["class_rebalance"].fn(spark, edge_shapes_sf_dir)
+    n_in = spark.read.parquet(
+        f"{edge_shapes_sf_dir}/embeddings.parquet"
+    ).count()
+    assert reb.count() == n_in, "single-class rebalance must be a no-op"
