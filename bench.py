@@ -231,6 +231,11 @@ HEADLINE = [
     "odds_ratio",
     "transition_entropy",
     "sign_test",
+    "mcnemar_test",
+    "theil_u",
+    "kl_divergence",
+    "cohens_d",
+    "curriculum_stages",
 ]
 
 

@@ -1804,3 +1804,58 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ZIPF_SLOPE).alias("slope"),
         F.expr(_ZIPF_INTERCEPT).alias("intercept"),
     )
+
+
+CURRICULUM_STAGES = 4  # quartile stages by token count
+
+
+_CURRICULUM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT)
+               AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_tokens,
+           CAST(NTILE({CURRICULUM_STAGES})
+                OVER (ORDER BY n_tokens, doc_id) AS INT) AS stage
+    FROM t
+"""
+
+
+@register("curriculum_stages", oracle=_CURRICULUM_SQL)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum assignment: every document binned into one of
+    {n} quartile stages by whitespace token count — the standard
+    shortest-first curriculum schedule a training pipeline emits
+    before sequence packing (`sequence_packing` fills fixed windows;
+    this decides the ORDER corpora feed in). Deterministic: stage
+    boundaries come from NTILE over the total order (n_tokens,
+    doc_id), so re-runs assign identically — no sampling, no RNG.
+
+    Exactness: token counts are exact INTs off the shared
+    `token_count` regex (regexp_count ↔ len(regexp_extract_all) of
+    the SAME pattern); NTILE is deterministic once the order is total
+    (the `rfm_segments` device — both engines share the remainder
+    rule: first stages take the extras). NULL text carries no length
+    signal and is out of contract on both sides.
+
+    Physics: map-only token counting, then ONE |docs|-sized ordered
+    pass for the stage split — rank the DIMENSION-sized doc-length
+    relation, never anything wider. At 100 TB the stage boundaries
+    come from approx_percentile and assignment becomes a map-only
+    broadcast gate (the `winsorize_approx` lane, documented trade).
+    """.format(n=CURRICULUM_STAGES)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(CURRICULUM_STAGES).over(w).cast("int").alias("stage"),
+    )

@@ -3210,3 +3210,492 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("k"),
         F.expr(_FRIEDMAN_Q_EXPR).alias("q_stat"),
     )
+
+
+# --- McNemar paired-proportions test -----------------------------------------
+
+# Plain (uncorrected) McNemar: chi2 = (b - c)^2 / (b + c) over the two
+# discordant cells; b + c = 0 (no discordant pairs) -> NULL via NULLIF
+# on both engines. No continuity correction (documented; identically).
+_MCNEMAR_EXPR = (
+    "round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+    " * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+    " / NULLIF(CAST(b + c AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+)
+
+_MCNEMAR_SQL = f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = '{MWU_GROUP1}' THEN 1 ELSE 0 END)
+               AS b1,
+             MAX(CASE WHEN event_type = '{MWU_GROUP2}' THEN 1 ELSE 0 END)
+               AS b2
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(b1 * b2) AS BIGINT) AS a,
+             CAST(SUM(b1 * (1 - b2)) AS BIGINT) AS b,
+             CAST(SUM((1 - b1) * b2) AS BIGINT) AS c,
+             CAST(SUM((1 - b1) * (1 - b2)) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT n_users, a, b, c, d, {_MCNEMAR_EXPR} AS chi2_stat
+    FROM cells
+"""
+
+
+@register("mcnemar_test", oracle=_MCNEMAR_SQL)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test of marginal homogeneity for PAIRED BINARY outcomes:
+    per user, "ever clicked" vs "ever purchased" — does the click rate
+    differ from the purchase rate across the SAME users? Completes the
+    paired corner of the battery: `sign_test` pairs numeric series,
+    `mann_whitney_u` compares unpaired distributions, this pairs
+    binary indicators (the A/B-exposure readout) using only the
+    discordant cells b, c: chi2 = (b-c)^2/(b+c). The reference moves
+    event rows without any test surface at all
+    (`sync/QueryBuilder.java:46-75`).
+
+    Exactness: the per-user indicator pair is ONE conditional rollup
+    (MAX of 0/1 — no join); all five cells are exact BIGINTs off a
+    second single-row rollup; the statistic is one shared closed-form
+    text, round-9, with the no-discordant-pairs degenerate NULL via
+    NULLIF on both engines.
+
+    Physics: one map-side-combined user rollup (the only corpus-sized
+    shuffle) and a single-row fold. Scale-invariant past the rollup.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == MWU_GROUP1, 1).otherwise(0)
+        ).alias("b1"),
+        F.max(
+            F.when(F.col("event_type") == MWU_GROUP2, 1).otherwise(0)
+        ).alias("b2"),
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("b1") * F.col("b2")).cast("long").alias("a"),
+        F.sum(F.col("b1") * (1 - F.col("b2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("b1")) * F.col("b2")).cast("long").alias("c"),
+        F.sum((1 - F.col("b1")) * (1 - F.col("b2"))).cast("long").alias("d"),
+    )
+    return cells.select(
+        "n_users", "a", "b", "c", "d",
+        F.expr(_MCNEMAR_EXPR).alias("chi2_stat"),
+    )
+
+
+# --- Theil's U (uncertainty coefficient) --------------------------------------
+
+# Quantized-ln decimal device (entropy_profile): every ln is rounded to
+# DECIMAL(15,9) BEFORE any sum or difference, so all entropy NUMERATORS
+# are exact decimal arithmetic — N*q(ln N) - Sy, Sx - Sxy — and the only
+# IEEE ops are the two terminal divisions. U is a ratio of exact
+# decimals: one double division per display column.
+_THEIL_QLN = "CAST(round(ln(CAST({c} AS DOUBLE)), 9) AS DECIMAL(15,9))"
+
+_THEIL_U_EXPRS = {
+    "h_prio": "round(CAST(hxd AS DOUBLE) / CAST(n AS DOUBLE), 9)",
+    "h_status": "round(CAST(hyd AS DOUBLE) / CAST(n AS DOUBLE), 9)",
+    "u_status_given_prio": (
+        "round(CAST(hyd - (sx - sxy) AS DOUBLE)"
+        " / NULLIF(CAST(hyd AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+    ),
+    "u_prio_given_status": (
+        "round(CAST(hxd - (sy - sxy) AS DOUBLE)"
+        " / NULLIF(CAST(hxd AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+    ),
+}
+
+_THEIL_U_SQL = f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT prio, CAST(SUM(c_xy) AS BIGINT) AS c_x
+           FROM cells GROUP BY 1),
+    my AS (SELECT status, CAST(SUM(c_xy) AS BIGINT) AS c_y
+           FROM cells GROUP BY 1),
+    s AS (
+      SELECT
+        (SELECT CAST(SUM(c_xy) AS BIGINT) FROM cells) AS n,
+        (SELECT CAST(SUM(c_xy * {_THEIL_QLN.format(c='c_xy')})
+                     AS DECIMAL(38,9)) FROM cells) AS sxy,
+        (SELECT CAST(SUM(c_x * {_THEIL_QLN.format(c='c_x')})
+                     AS DECIMAL(38,9)) FROM mx) AS sx,
+        (SELECT CAST(SUM(c_y * {_THEIL_QLN.format(c='c_y')})
+                     AS DECIMAL(38,9)) FROM my) AS sy
+    ),
+    hd AS (
+      SELECT n, sx, sy, sxy,
+             CAST(n * {_THEIL_QLN.format(c='n')} - sx AS DECIMAL(38,9))
+               AS hxd,
+             CAST(n * {_THEIL_QLN.format(c='n')} - sy AS DECIMAL(38,9))
+               AS hyd
+      FROM s
+    )
+    SELECT n,
+           {_THEIL_U_EXPRS['h_prio']} AS h_prio,
+           {_THEIL_U_EXPRS['h_status']} AS h_status,
+           {_THEIL_U_EXPRS['u_status_given_prio']} AS u_status_given_prio,
+           {_THEIL_U_EXPRS['u_prio_given_status']} AS u_prio_given_status
+    FROM hd
+"""
+
+
+@register("theil_u", oracle=_THEIL_U_SQL)
+def theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U over the order-priority x
+    order-status table — the DIRECTED, normalized [0,1] categorical
+    association `chi2_independence` (symmetric test statistic) and
+    `mutual_info_categorical` (unnormalized bits) don't give:
+    U(Y|X) = (H(Y) - H(Y|X)) / H(Y), "what fraction of Y's uncertainty
+    does knowing X remove" — and it is asymmetric, so both directions
+    ship. The feature-selection screen for categorical predictors.
+
+    Exactness: all counts are exact BIGINTs off ONE (x, y) rollup;
+    every ln is quantized to DECIMAL(15,9) BEFORE composition (the
+    `entropy_profile` device), so every entropy NUMERATOR — H(X):
+    N*q(ln N) - Sx, H(Y|X): Sx - Sxy — is exact decimal arithmetic at
+    any corpus size, and each display column is ONE terminal IEEE
+    division of exact decimals, round-9. A constant column (H = 0)
+    yields NULL U via NULLIF identically on both engines.
+
+    Physics: one map-side-combined rollup to |prio|x|status| rows;
+    margins and all four sums are catalog-sized. Nothing downstream of
+    the rollup is corpus-sized.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    cells = bounded_cache("theil_u.cells", cells)
+    mx = cells.groupBy("prio").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    my = cells.groupBy("status").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    s_xy = cells.agg(
+        F.sum("c_xy").cast("long").alias("n"),
+        F.sum(F.expr(f"c_xy * {_THEIL_QLN.format(c='c_xy')}"))
+        .cast("decimal(38,9)")
+        .alias("sxy"),
+    )
+    s_x = mx.agg(
+        F.sum(F.expr(f"c_x * {_THEIL_QLN.format(c='c_x')}"))
+        .cast("decimal(38,9)")
+        .alias("sx")
+    )
+    s_y = my.agg(
+        F.sum(F.expr(f"c_y * {_THEIL_QLN.format(c='c_y')}"))
+        .cast("decimal(38,9)")
+        .alias("sy")
+    )
+    hd = (
+        s_xy.crossJoin(s_x)
+        .crossJoin(s_y)
+        .withColumn(
+            "hxd",
+            F.expr(
+                f"CAST(n * {_THEIL_QLN.format(c='n')} - sx AS DECIMAL(38,9))"
+            ),
+        )
+        .withColumn(
+            "hyd",
+            F.expr(
+                f"CAST(n * {_THEIL_QLN.format(c='n')} - sy AS DECIMAL(38,9))"
+            ),
+        )
+    )
+    return hd.select(
+        "n",
+        F.expr(_THEIL_U_EXPRS["h_prio"]).alias("h_prio"),
+        F.expr(_THEIL_U_EXPRS["h_status"]).alias("h_status"),
+        F.expr(_THEIL_U_EXPRS["u_status_given_prio"]).alias(
+            "u_status_given_prio"
+        ),
+        F.expr(_THEIL_U_EXPRS["u_prio_given_status"]).alias(
+            "u_prio_given_status"
+        ),
+    )
+
+
+# --- KL divergence between user cohorts ---------------------------------------
+
+# Laplace(+1)-smoothed KL over the shared type domain (k = |union of
+# types|): p_i = (c_i+1)/(N+k), q_i = (d_i+1)/(M+k). Folding the
+# constant ln((M+k)/(N+k)) into the decimal numerator keeps the WHOLE
+# statistic one exact-decimal sum and ONE terminal division:
+# KL(A||B) = [ S_ab + (q(ln(M+k)) - q(ln(N+k))) * (N+k) ] / (N+k)
+# with S_ab = sum_i (c_i+1) * (q(ln(c_i+1)) - q(ln(d_i+1))).
+_KL_EXPR = (
+    "round(CAST(s{a}{b} + (({qb}) - ({qa})) * (n_{a} + k) AS DOUBLE)"
+    " / CAST(n_{a} + k AS DOUBLE), 9)"
+)
+
+_KL_SQL = f"""
+    WITH a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND user_id % 2 = 0
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND user_id % 2 = 1
+      GROUP BY 1
+    ),
+    dom AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS t,
+             COALESCE(a.c, 0) AS c, COALESCE(b.d, 0) AS d
+      FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    ),
+    s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_a,
+             CAST(SUM(d) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM((c + 1) * ({_THEIL_QLN.format(c='c + 1')}
+                                 - {_THEIL_QLN.format(c='d + 1')}))
+                  AS DECIMAL(38,9)) AS sab,
+             CAST(SUM((d + 1) * ({_THEIL_QLN.format(c='d + 1')}
+                                 - {_THEIL_QLN.format(c='c + 1')}))
+                  AS DECIMAL(38,9)) AS sba
+      FROM dom
+    )
+    SELECT n_a, n_b, CAST(k AS INT) AS k_types,
+           {_KL_EXPR.format(a='a', b='b',
+                            qa=_THEIL_QLN.format(c='n_a + k'),
+                            qb=_THEIL_QLN.format(c='n_b + k'))} AS kl_ab,
+           {_KL_EXPR.format(a='b', b='a',
+                            qa=_THEIL_QLN.format(c='n_b + k'),
+                            qb=_THEIL_QLN.format(c='n_a + k'))} AS kl_ba
+    FROM s
+"""
+
+
+@register("kl_divergence", oracle=_KL_SQL)
+def kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed Kullback-Leibler divergence (both directions) between
+    the event-type distributions of two user cohorts (even/odd
+    user_id — the standard A/B split key). The information-theoretic
+    drift measure beside `drift_psi` (binned score with its own
+    smoothing convention) and `drift_ks` (numeric CDF distance):
+    KL is THE quantity a language-model data pipeline quotes for
+    corpus-mix shift. Laplace(+1) smoothing over the union type
+    domain keeps it finite when a type is missing from one cohort
+    (documented; both engines identically).
+
+    Exactness: cohort counts are exact BIGINTs off one rollup each
+    side of a full-outer domain join; every ln is quantized to
+    DECIMAL(15,9) BEFORE composition (the `entropy_profile` device),
+    the constant ln((M+k)/(N+k)) folds INTO the decimal numerator, so
+    each KL is one exact-decimal sum and ONE terminal IEEE division,
+    round-9.
+
+    Physics: the (type, cohort) rollup map-side combines in one scan
+    shape (two grouped branches over the same scan at fixture scale;
+    at 100 TB a single groupBy(type, cohort) rollup feeds both sides
+    — same exchange count); everything after is |types|-sized.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    a = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    b = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dom = (
+        a.join(b, "event_type", "full_outer")
+        .select(
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+    )
+    s = dom.agg(
+        F.sum("c").cast("long").alias("n_a"),
+        F.sum("d").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr(
+                f"(c + 1) * ({_THEIL_QLN.format(c='c + 1')}"
+                f" - {_THEIL_QLN.format(c='d + 1')})"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("sab"),
+        F.sum(
+            F.expr(
+                f"(d + 1) * ({_THEIL_QLN.format(c='d + 1')}"
+                f" - {_THEIL_QLN.format(c='c + 1')})"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("sba"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.col("k").cast("int").alias("k_types"),
+        F.expr(
+            _KL_EXPR.format(
+                a="a", b="b",
+                qa=_THEIL_QLN.format(c="n_a + k"),
+                qb=_THEIL_QLN.format(c="n_b + k"),
+            )
+        ).alias("kl_ab"),
+        F.expr(
+            _KL_EXPR.format(
+                a="b", b="a",
+                qa=_THEIL_QLN.format(c="n_b + k"),
+                qb=_THEIL_QLN.format(c="n_a + k"),
+            )
+        ).alias("kl_ba"),
+    )
+
+
+# --- Cohen's d effect size ----------------------------------------------------
+
+# Pooled-SD standardized mean difference over the exact-cents moment
+# lanes; the scale factor (cents) cancels in d. Group sums-of-squares
+# compose in doubles via the anova_oneway device (one shared text per
+# term); sd displays in ORIGINAL units (cents / 100).
+_COHENS_D_EXPRS = {
+    "mean1": "round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100, 9)",
+    "mean2": "round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100, 9)",
+    "pooled_sd": (
+        "round(sqrt(((CAST(ss1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " + (CAST(ss2 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+        " / NULLIF(CAST(n1 + n2 - 2 AS DOUBLE), CAST(0 AS DOUBLE))) / 100, 9)"
+    ),
+    "cohens_d": (
+        "round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / NULLIF(sqrt(((CAST(ss1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " + (CAST(ss2 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+        " / NULLIF(CAST(n1 + n2 - 2 AS DOUBLE), CAST(0 AS DOUBLE))),"
+        " CAST(0 AS DOUBLE)), 9)"
+    ),
+}
+
+_COHENS_D_SQL = f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('{MWU_GROUP1}', '{MWU_GROUP2}')
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = '{MWU_GROUP1}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = '{MWU_GROUP2}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = '{MWU_GROUP1}' THEN cents
+                      ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = '{MWU_GROUP2}' THEN cents
+                      ELSE 0 END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN event_type = '{MWU_GROUP1}'
+                      THEN CAST(cents AS DECIMAL(38,0)) * cents
+                      ELSE 0 END) AS DECIMAL(38,0)) AS ss1,
+        CAST(SUM(CASE WHEN event_type = '{MWU_GROUP2}'
+                      THEN CAST(cents AS DECIMAL(38,0)) * cents
+                      ELSE 0 END) AS DECIMAL(38,0)) AS ss2
+      FROM v
+    )
+    SELECT n1, n2,
+           {_COHENS_D_EXPRS['mean1']} AS mean1,
+           {_COHENS_D_EXPRS['mean2']} AS mean2,
+           {_COHENS_D_EXPRS['pooled_sd']} AS pooled_sd,
+           {_COHENS_D_EXPRS['cohens_d']} AS cohens_d
+    FROM m
+"""
+
+
+@register("cohens_d", oracle=_COHENS_D_SQL)
+def cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized mean difference between click and
+    purchase values — the parametric EFFECT SIZE companion to
+    `mann_whitney_u`'s rank test (which says whether the
+    distributions differ; d says by how many pooled standard
+    deviations the means do), completing the effect-size row beside
+    `odds_ratio` (2x2) and chi2's Cramer's V (categorical).
+
+    Exactness: the 2-dp generated values pin to exact integer CENTS
+    through the DECIMAL(18,2) lane (raw-double sums are never
+    portable — the `tail_cvar` device); n/sum/sum-of-squares are
+    exact BIGINT/DECIMAL(38,0) off ONE conditional rollup; the cents
+    scale cancels in d, and means/sd display in original units via
+    /100 inside the shared texts. Degenerate n1+n2-2 = 0 or zero
+    pooled variance -> NULL via NULLIF on both engines.
+
+    Physics: one map-side-combined single-row rollup over the scan;
+    nothing downstream exists.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(MWU_GROUP1, MWU_GROUP2)
+    )
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    is1 = F.col("event_type") == MWU_GROUP1
+    is2 = F.col("event_type") == MWU_GROUP2
+    m = v.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(is2, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                is1, F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+        F.sum(
+            F.when(
+                is2, F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ss2"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.expr(_COHENS_D_EXPRS["mean1"]).alias("mean1"),
+        F.expr(_COHENS_D_EXPRS["mean2"]).alias("mean2"),
+        F.expr(_COHENS_D_EXPRS["pooled_sd"]).alias("pooled_sd"),
+        F.expr(_COHENS_D_EXPRS["cohens_d"]).alias("cohens_d"),
+    )

@@ -2040,12 +2040,17 @@ def test_r11b_rank_stats_plan_physics(spark, sf_dir):
     assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1
     assert "Join" not in p
 
-    # MWU: rank structure off the DISTINCT-value rollup — one scan,
-    # exactly two exchanges (rollup + the |distinct|-sized ordered
-    # window), never a per-row rank, no join
+    # MWU: rank structure off the DISTINCT-value rollup, reworked to
+    # the two-level chunked prefix in r12 (window shape gated in
+    # test_rank_family_two_level_plan_shape): the cached rollup feeds
+    # both the chunk-local window and the chunk totals (two
+    # InMemoryTableScans — the corpus is scanned once into the cache),
+    # the |chunks|-row balance comes back as a BROADCAST join, and
+    # nothing sort-merges or goes cartesian.
     p = plan(mann_whitney_u)
-    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 2
-    assert "Join" not in p
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
     # runs test: cached daily rollup consumed twice (median fit +
     # sign pass); the |types|-row median relation broadcasts.
