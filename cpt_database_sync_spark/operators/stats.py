@@ -3505,30 +3505,23 @@ def kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     each KL is one exact-decimal sum and ONE terminal IEEE division,
     round-9.
 
-    Physics: the (type, cohort) rollup map-side combines in one scan
-    shape (two grouped branches over the same scan at fixture scale;
-    at 100 TB a single groupBy(type, cohort) rollup feeds both sides
-    — same exchange count); everything after is |types|-sized.
+    Physics: ONE map-side-combined conditional rollup over ONE scan —
+    every row belongs to exactly one cohort, so groupBy(type) with two
+    conditional sums IS the full-outer union domain (plan-gated: one
+    scan, one exchange, no join — the oracle spells the same relation
+    as a full-outer of two per-cohort rollups, which DuckDB folds the
+    same way); everything after is |types|-sized.
     """
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
     )
-    a = (
-        ev.filter(F.col("user_id") % 2 == 0)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    b = (
-        ev.filter(F.col("user_id") % 2 == 1)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    dom = (
-        a.join(b, "event_type", "full_outer")
-        .select(
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
-        )
+    dom = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
     )
     s = dom.agg(
         F.sum("c").cast("long").alias("n_a"),

@@ -2517,3 +2517,50 @@ def test_rank_family_two_level_plan_shape(spark, sf_dir):
         assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, (
             f"{op.__name__}: chunk balance must broadcast back"
         )
+
+
+def test_r12_ops_plan_physics(spark, sf_dir):
+    """Physics gates for the r12 batch (mcnemar, theil_u, kl, cohens_d,
+    curriculum): single-rollup shapes stay single-rollup — no joins
+    creep in, aggregations map-side combine, nothing sort-merges or
+    goes cartesian, and the heaviest (kl_divergence) reads the corpus
+    exactly once with exactly one exchange."""
+    from cpt_database_sync_spark.operators.llm_text import curriculum_stages
+    from cpt_database_sync_spark.operators.stats import (
+        cohens_d,
+        kl_divergence,
+        mcnemar_test,
+        theil_u,
+    )
+
+    def plan(op):
+        return plan_string(op(spark, sf_dir), "simple")
+
+    # mcnemar: user rollup + single-row fold — two exchanges, no join
+    p = plan(mcnemar_test)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 2
+    assert "Join" not in p
+    assert "partial_" in p, "user rollup must map-side combine"
+
+    # kl: ONE conditional rollup IS the union domain — one scan, two
+    # exchanges (type rollup + the single-row fold), no full-outer
+    # join anywhere
+    p = plan(kl_divergence)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 2
+    assert "Join" not in p
+
+    # cohens_d: one conditional moment rollup, nothing downstream
+    p = plan(cohens_d)
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1
+    assert "Join" not in p
+
+    # theil_u: the cached cells rollup feeds margins + all sums (corpus
+    # scanned once into the cache); 1-row folds cross-join broadcast
+    p = plan(theil_u)
+    assert p.count("InMemoryTableScan") >= 3
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # curriculum: map-only token count + the |docs|-sized NTILE pass
+    p = plan(curriculum_stages)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
