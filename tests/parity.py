@@ -81,10 +81,63 @@ def decimal_display_offenders(sdf) -> list[str]:
     ]
 
 
-def run_query_pair(spark, con, fn, oracle_sql: str, sf_dir: str):
+# Keys whose plan legitimately carries an UNPARTITIONED window — each
+# one runs over a provably bounded relation (catalog / vocabulary /
+# calendar / chunk-aggregate sized), never the corpus. The r11 verdict
+# flagged the rank family for sorting the corpus-scaled distinct-value
+# relation on a single task; that class is now extinct (the two-level
+# chunk device) and THIS allowlist keeps it extinct: a new key whose
+# plan funnels through a single-partition window fails parity until it
+# is consciously justified here (the decimal-lint governance pattern).
+# Audited registry-wide at r12 (14 keys; tests/test_plans.py carries
+# the per-shape gates):
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "bm25_retrieval",        # |top-k candidates| rank, docstring-costed
+    "curriculum_stages",     # |docs| NTILE; approx_percentile swap documented
+    "data_skew_profile",     # |distinct keys| rollup rank
+    "join_lateral",          # ANSI lateral demo over the |orders/custkey| rows
+    "kaplan_meier",          # |event calendar| suffix sum
+    "kruskal_wallis",        # |chunks|-row prefix (the two-level device)
+    "mann_whitney_u",        # |chunks|-row prefix (the two-level device)
+    "rfm_segments",          # |customers| NTILEs; approx swap documented
+    "rolling_corr",          # |calendar days| relation
+    "skyline_pareto",        # |parts| dimension dominance sort
+    "sql_ansi_extras",       # ANSI window-surface demo, |orders| bounded slice
+    "vocab_growth",          # |vocab| first-occurrence + |deciles| grid
+    "weighted_sample",       # |sample k| rank
+    "zipf_fit",              # |vocab| rank, docstring-costed
+}
+
+_UNPART_WINDOW_RE = r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)"
+
+
+def unpartitioned_window_offense(name: str, sdf) -> str | None:
+    """Single-partition-window lint: keys outside the allowlist must
+    not plan any window without a partition spec (Spark's "Moving all
+    data to a single partition" funnel — the r11 scale finding)."""
+    import re
+
+    if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+        return None
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    if re.search(_UNPART_WINDOW_RE, plan):
+        return (
+            f"{name}: plan contains an UNPARTITIONED window (single-"
+            "partition funnel) — partition it, use the two-level chunk "
+            "device, or justify the key in "
+            "UNPARTITIONED_WINDOW_ALLOWLIST"
+        )
+    return None
+
+
+def run_query_pair(spark, con, fn, oracle_sql: str, sf_dir: str, name: str | None = None):
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    if name is not None:
+        offense = unpartitioned_window_offense(name, sdf)
+        if offense:
+            return [offense], len(spark_rows)
     offenders = decimal_display_offenders(sdf)
     if offenders:
         return (
@@ -148,7 +201,9 @@ def main():
                 print(f"  ROWS-ONLY {name}: {n} rows")
                 n_rows_only += 1
                 continue
-            problems, nrows = run_query_pair(spark, con, spec.fn, spec.oracle, sf_dir)
+            problems, nrows = run_query_pair(
+                spark, con, spec.fn, spec.oracle, sf_dir, name=name
+            )
             if problems:
                 n_fail += 1
                 print(f"✗ {name} ({nrows} rows)")

@@ -34,7 +34,9 @@ def assert_no_decimal_display(name: str, df) -> None:
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(name, spark, oracle_con, sf_dir):
     spec = SPECS[name]
-    problems, nrows = run_query_pair(spark, oracle_con, spec.fn, spec.oracle, sf_dir)
+    problems, nrows = run_query_pair(
+        spark, oracle_con, spec.fn, spec.oracle, sf_dir, name=name
+    )
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
