@@ -3319,3 +3319,67 @@ def test_survey_registry_key_sets_match():
         f"README says {m.group(1)} operators; registry has "
         f"{len(registered)} — regenerate the README count"
     )
+
+
+def test_rank_avg2_two_level_property(spark):
+    """Property form of the two-level twin (hypothesis): for ANY
+    distinct-value relation — negative values, values spanning many
+    empty chunks, exact boundary multiples, huge counts — the chunked
+    prefix must equal the global-window form. 15 adversarial examples
+    per run; the fixture twin above pins the real-data case."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.stats import (
+        RANK_CHUNK_WIDTH,
+        _rank_avg2_two_level,
+    )
+
+    values = st.one_of(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        # exact chunk boundaries and their neighbors
+        st.integers(min_value=-20, max_value=20).map(
+            lambda k: k * RANK_CHUNK_WIDTH
+        ),
+    )
+
+    @given(
+        rel=st.dictionaries(
+            values, st.integers(min_value=1, max_value=10**6),
+            min_size=1, max_size=30,
+        )
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(rel):
+        v = spark.createDataFrame(
+            [(float(val), int(cnt)) for val, cnt in rel.items()],
+            "value double, cnt long",
+        )
+        got = {
+            tuple(r)
+            for r in _rank_avg2_two_level(v, passengers=["value"]).collect()
+        }
+        want = {
+            tuple(r)
+            for r in v.select(
+                "value",
+                "cnt",
+                (
+                    2 * F.sum("cnt").over(Window.orderBy("value"))
+                    - F.col("cnt")
+                    + 1
+                ).alias("avg2"),
+            ).collect()
+        }
+        assert got == want
+
+    check()
