@@ -1831,7 +1831,9 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     before sequence packing (`sequence_packing` fills fixed windows;
     this decides the ORDER corpora feed in). Deterministic: stage
     boundaries come from NTILE over the total order (n_tokens,
-    doc_id), so re-runs assign identically — no sampling, no RNG.
+    doc_id), so re-runs assign identically — no sampling, no RNG. No
+    reference analogue (`sync/QueryBuilder.java:46-75` copies rows in
+    table order; ordering policy is out of its model entirely).
 
     Exactness: token counts are exact INTs off the shared
     `token_count` regex (regexp_count ↔ len(regexp_extract_all) of

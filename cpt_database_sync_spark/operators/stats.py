@@ -3360,7 +3360,10 @@ def theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     `mutual_info_categorical` (unnormalized bits) don't give:
     U(Y|X) = (H(Y) - H(Y|X)) / H(Y), "what fraction of Y's uncertainty
     does knowing X remove" — and it is asymmetric, so both directions
-    ship. The feature-selection screen for categorical predictors.
+    ship. The feature-selection screen for categorical predictors; the
+    reference's pipeline moves these columns without any association
+    surface (`sync/QueryBuilder.java:46-75` — bare SELECT, no
+    aggregation).
 
     Exactness: all counts are exact BIGINTs off ONE (x, y) rollup;
     every ln is quantized to DECIMAL(15,9) BEFORE composition (the
@@ -3496,7 +3499,9 @@ def kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL is THE quantity a language-model data pipeline quotes for
     corpus-mix shift. Laplace(+1) smoothing over the union type
     domain keeps it finite when a type is missing from one cohort
-    (documented; both engines identically).
+    (documented; both engines identically). The reference has no
+    distribution surface at all — its verification stops at
+    fetch-count == pull-count (`sync/FetchRunner.java:38`).
 
     Exactness: cohort counts are exact BIGINTs off one rollup each
     side of a full-outer domain join; every ln is quantized to
@@ -3635,7 +3640,9 @@ def cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     `mann_whitney_u`'s rank test (which says whether the
     distributions differ; d says by how many pooled standard
     deviations the means do), completing the effect-size row beside
-    `odds_ratio` (2x2) and chi2's Cramer's V (categorical).
+    `odds_ratio` (2x2) and chi2's Cramer's V (categorical); beyond the
+    reference's aggregation-free row mover
+    (`sync/QueryBuilder.java:46-75`).
 
     Exactness: the 2-dp generated values pin to exact integer CENTS
     through the DECIMAL(18,2) lane (raw-double sums are never
