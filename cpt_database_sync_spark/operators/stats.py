@@ -2276,8 +2276,24 @@ _SPEARMAN_SQL = f"""
 """
 
 
-@register("spearman_corr", oracle=_SPEARMAN_SQL)
-def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-flag fact-row ceiling for spearman's in-partition rank sort: the
+# window lane sorts each flag's FULL fact slice inside one task
+# (parallelism = |flags| = 3), which is the right plan at fixture scale
+# and impossible at 100 TB (tens of TB per task). Above the ceiling the
+# rank structure comes from per-(flag, value) ROLLUPS run through the
+# two-level chunked prefix (`_rank_avg2_two_level` grouped by flag — no
+# unpartitioned window anywhere) and joined back to the fact on
+# (flag, value): the fact is never sorted, only shuffled on join keys,
+# full parallelism. Bit-identical (tie-averaged ranks are a pure
+# function of the per-value rollup) — differential twin in
+# tests/test_units.py, plan gate in tests/test_plans.py.
+SPEARMAN_WINDOW_ROW_CEILING = 50_000_000
+
+
+@register("spearman_corr", oracle=_SPEARMAN_SQL, tags=("reverify:r12",))
+def spearman_corr(
+    spark: SparkSession, sf_dir: str, n_per_group_hint: int = 0
+) -> DataFrame:
     """Spearman rank correlation between quantity and extended price
     per return flag — the robust counterpart to `corr_matrix`'s Pearson
     (monotone association, insensitive to outliers and any monotone
@@ -2296,18 +2312,61 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     are out of contract on both sides (rank order of NULL differs by
     engine).
 
-    Physics: two within-group sort windows over the fact (rank by x,
-    rank by y — one exchange on the group key, two in-partition sorts),
-    then one map-side-combined moment rollup to |groups| rows. At
-    100 TB per-group ranking is the honest cost of exact Spearman; the
-    documented swap is approximate ranks from the GK sketch lane
-    (`agg_approx_percentile`) feeding the same closed form —
-    rank-interval contract instead of exact ranks, same plan minus the
-    sorts.
+    Physics: BELOW ``SPEARMAN_WINDOW_ROW_CEILING`` rows per flag, two
+    within-group sort windows over the fact (rank by x, rank by y —
+    one exchange on the group key, two in-partition sorts), then one
+    map-side-combined moment rollup to |groups| rows. ABOVE it, the
+    rank structure comes from per-(flag, value) rollups through the
+    flag-grouped two-level chunked prefix, joined back to the fact on
+    (flag, value) — the fact is never sorted inside a task (see the
+    ceiling constant). Both lanes feed the identical moment rollup.
+    The further documented swap is approximate ranks from the GK
+    sketch lane (`agg_approx_percentile`) feeding the same closed
+    form — rank-interval contract instead of exact ranks.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
+    if n_per_group_hint > SPEARMAN_WINDOW_ROW_CEILING:
+        li2 = li.select(
+            "l_returnflag",
+            F.col("l_quantity").alias("q"),
+            F.col("l_extendedprice").alias("p"),
+        )
+
+        def rank_rel(col: str, out: str) -> DataFrame:
+            rel = li2.groupBy(
+                "l_returnflag", F.col(col).alias("value")
+            ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            rel = _rank_avg2_two_level(
+                rel, passengers=["value"], group_cols=("l_returnflag",)
+            )
+            return rel.select(
+                "l_returnflag",
+                F.col("value").alias(col),
+                F.col("avg2").alias(out),
+            )
+
+        ranked = (
+            li2.join(rank_rel("q", "rx2"), ["l_returnflag", "q"])
+            .join(rank_rel("p", "ry2"), ["l_returnflag", "p"])
+            .select(
+                "l_returnflag",
+                F.col("rx2").cast("decimal(18,0)").alias("rx"),
+                F.col("ry2").cast("decimal(18,0)").alias("ry"),
+            )
+        )
+        m = ranked.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rx").cast("decimal(38,0)").alias("sx"),
+            F.sum("ry").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+            F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+        )
+        return m.select(
+            "l_returnflag", "n", F.expr(_SPEARMAN_EXPR).alias("rho")
+        )
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wqt = Window.partitionBy("l_returnflag", "l_quantity")
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
@@ -2407,38 +2466,52 @@ _MWU_SQL = f"""
 RANK_CHUNK_WIDTH = 50.0
 
 
-def _rank_avg2_two_level(v: DataFrame, passengers: list[str]) -> DataFrame:
+def _rank_avg2_two_level(
+    v: DataFrame,
+    passengers: list[str],
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Doubled average rank per distinct value, avg2 = 2*cum(cnt) - cnt
-    + 1, computed TWO-LEVEL over the (value, cnt, *passengers) rollup:
-    chunk-local running sums in parallel (window partitioned by chunk),
-    then one prefix over the |chunks|-row aggregate relation broadcast
-    back. Bit-identical to the global-window form (differential twin in
-    tests/test_units.py): floor is monotone, so the chunk-local order
-    concatenated in chunk order is the global value order, and
-    balance + local_cum is the global inclusive cumulative count."""
+    + 1, computed TWO-LEVEL over the (value, cnt, *passengers) rollup
+    (per group when ``group_cols`` is set — ranks restart per group):
+    chunk-local running sums in parallel (window partitioned by
+    group+chunk), then one prefix over the chunk-AGGREGATE relation
+    broadcast back (|groups|x|chunks| rows; partitioned by the group
+    when one exists, so the grouped form has NO unpartitioned window at
+    all). Bit-identical to the ordered-window form (differential twin +
+    hypothesis property in tests/test_units.py): floor is monotone, so
+    the chunk-local order concatenated in chunk order is the global
+    value order, and balance + local_cum is the inclusive cumulative
+    count."""
+    g = list(group_cols)
     chunked = v.withColumn(
         "chunk", F.floor(F.col("value") / RANK_CHUNK_WIDTH).cast("long")
     )
     w_local = (
-        Window.partitionBy("chunk")
+        Window.partitionBy(*g, "chunk")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = chunked.select(
+        *g,
         *passengers,
         "cnt",
         "chunk",
         F.sum("cnt").over(w_local).alias("lcum"),
     )
-    totals = chunked.groupBy("chunk").agg(F.sum("cnt").alias("ctot"))
-    w_prefix = Window.orderBy("chunk").rowsBetween(
-        Window.unboundedPreceding, -1
+    totals = chunked.groupBy(*g, "chunk").agg(F.sum("cnt").alias("ctot"))
+    w_prefix = (
+        (Window.partitionBy(*g) if g else Window)
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     bal = totals.select(
+        *g,
         "chunk",
         F.coalesce(F.sum("ctot").over(w_prefix), F.lit(0)).alias("bal"),
     )
-    return local.join(F.broadcast(bal), "chunk").select(
+    return local.join(F.broadcast(bal), [*g, "chunk"]).select(
+        *g,
         *passengers,
         "cnt",
         (2 * (F.col("bal") + F.col("lcum")) - F.col("cnt") + 1).alias("avg2"),

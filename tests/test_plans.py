@@ -2564,3 +2564,33 @@ def test_r12_ops_plan_physics(spark, sf_dir):
     p = plan(curriculum_stages)
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
+
+
+def test_spearman_two_level_plan_shape(spark, sf_dir):
+    """Above the ceiling, spearman must never sort the fact inside a
+    task: every window partitions by (flag, chunk) or by flag over the
+    chunk AGGREGATES — no window ordered by a raw measure column with
+    the fact as input, no unpartitioned window at all — and the rank
+    relations come back via joins (no cartesian/nested-loop)."""
+    import re
+
+    from cpt_database_sync_spark.operators.stats import (
+        SPEARMAN_WINDOW_ROW_CEILING,
+        spearman_corr,
+    )
+
+    p = plan_string(
+        spearman_corr(
+            spark, sf_dir, n_per_group_hint=SPEARMAN_WINDOW_ROW_CEILING + 1
+        )
+    )
+    assert not re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, (l_quantity|l_extendedprice)#\d+ ASC",
+        p,
+    ), "fact must not be rank-sorted per flag in the two-level lane"
+    assert not re.search(r"windowspecdefinition\(\w+#\d+L? ASC", p), (
+        "no unpartitioned window in the grouped two-level lane"
+    )
+    assert re.search(r"windowspecdefinition\(l_returnflag#\d+, chunk#\d+L", p)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

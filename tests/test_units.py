@@ -3383,3 +3383,26 @@ def test_rank_avg2_two_level_property(spark):
         assert got == want
 
     check()
+
+
+def test_spearman_two_level_lane_identical(spark, sf_dir):
+    """Scale-dispatch twin for spearman_corr: the rollup+join lane
+    (above SPEARMAN_WINDOW_ROW_CEILING) must be bit-identical to the
+    default window lane — tie-averaged ranks are a pure function of
+    the per-(flag, value) rollup, so the lanes differ only in physics."""
+    from cpt_database_sync_spark.operators.stats import (
+        SPEARMAN_WINDOW_ROW_CEILING,
+        spearman_corr,
+    )
+
+    a = sorted(map(tuple, spearman_corr(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            spearman_corr(
+                spark, sf_dir,
+                n_per_group_hint=SPEARMAN_WINDOW_ROW_CEILING + 1,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
