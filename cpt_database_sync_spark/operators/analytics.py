@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.functions.numeric import sql_dsum
 from cpt_database_sync_spark.plans.registry import register
-from cpt_database_sync_spark.sources.tables import load
+from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 SESSION_GAP_MIN = 30
 
@@ -2755,6 +2755,12 @@ def concurrency_peak(
             )
         ).alias("p"),
     ).select("event_type", "p.t", "p.delta", "p.event_id")
+    if n_per_key_hint == 0:
+        # Data-derived dispatch (VERDICT r12 next #3): footer row count
+        # as a conservative per-key upper bound (one type could own the
+        # whole fact — the skew case IS the reason the ceiling exists).
+        # A caller hint still wins; probe 0 = unknown = window lane.
+        n_per_key_hint = table_rowcount(sf_dir, "events")
     if n_per_key_hint > CONCURRENCY_WINDOW_ROW_CEILING:
         # Two-level sweep: chunk-local partials over (type, time-chunk)
         # — parallelism |type|×|chunks| — then a prefix window over the

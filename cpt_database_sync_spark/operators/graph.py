@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
-from cpt_database_sync_spark.sources.tables import load
+from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 # Minimum absolute support for a reported co-occurrence pair.
 MIN_SUPPORT = 3
@@ -69,6 +69,16 @@ def _iteration_edges(edges: DataFrame, key: str, n_nodes_hint: int):
     # deterministic: per-partition hash build of the (smaller) iterate
     # side against the pre-partitioned edges, no sort, no broadcast.
     return eco, lambda it: eco.join(it.hint("shuffle_hash"), key)
+
+
+def _nodes_hint(sf_dir: str, n_nodes_hint: int) -> int:
+    """Data-derived node-count hint (VERDICT r12 next #3): an explicit
+    caller hint wins; otherwise the nation parquet FOOTER row count —
+    the node domain IS the nation catalog, so the footer is the exact
+    |nodes| statistic, metadata-only (``tables.table_rowcount``). A
+    probe miss returns 0 = unknown = the broadcast lane (nodes are
+    catalog-sized entities; broadcast is the right default)."""
+    return n_nodes_hint if n_nodes_hint else table_rowcount(sf_dir, "nation")
 
 
 _OP_CTE = """
@@ -327,7 +337,7 @@ _PAGERANK_SQL = (
 def pagerank_nations(
     spark: SparkSession,
     sf_dir: str,
-    n_nodes_hint: int = 25,
+    n_nodes_hint: int = 0,
 ) -> DataFrame:
     """PageRank over the nation-level trade graph (edge src -> dst
     weighted by lineitems a supplier nation ships into a customer
@@ -389,6 +399,7 @@ def pagerank_nations(
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{PR_SCALE} div n").alias("r")
     )
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
     edges, iter_join = _iteration_edges(edges, "src", n_nodes_hint)
     bcast_nodes = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
     for _ in range(PR_ROUNDS):
@@ -608,7 +619,7 @@ _SHORTEST_PATH_SQL = (
 def shortest_path_weighted(
     spark: SparkSession,
     sf_dir: str,
-    n_nodes_hint: int = 25,
+    n_nodes_hint: int = 0,
 ) -> DataFrame:
     """Single-source WEIGHTED shortest path over the nation trade graph
     (Bellman-Ford relaxation), completing the graph family's distance
@@ -653,6 +664,7 @@ def shortest_path_weighted(
     dist = nodes.filter(F.col("node") == SP_SOURCE_NATION).select(
         "node", F.lit(0).cast("long").alias("d")
     )
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
     e, iter_join = _iteration_edges(e, "src", n_nodes_hint)
     bcast_nodes = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
     for _ in range(SP_MAX_EDGES):
@@ -822,7 +834,7 @@ _CC_SQL = f"""
 def connected_components(
     spark: SparkSession,
     sf_dir: str,
-    n_nodes_hint: int = 25,
+    n_nodes_hint: int = 0,
 ) -> DataFrame:
     """Connected components of the STRONG-lane trade graph — the graph
     family's partition primitive (`dedup_clusters` runs the same
@@ -874,6 +886,7 @@ def connected_components(
         .union(flows.select(F.col("dst").alias("node")))
         .distinct()
     )
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
     e, iter_join = _iteration_edges(und, "src", n_nodes_hint)
     bcast = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
     lab = nodes.select("node", F.col("node").alias("comp"))
@@ -1076,7 +1089,7 @@ _LPA_SQL = (
 def label_propagation(
     spark: SparkSession,
     sf_dir: str,
-    n_nodes_hint: int = 25,
+    n_nodes_hint: int = 0,
 ) -> DataFrame:
     """Synchronous weighted label propagation over the symmetrized
     nation trade graph — community detection where `connected_
@@ -1120,6 +1133,7 @@ def label_propagation(
         .unionByName(flows.select(F.col("dst").alias("node")))
         .distinct()
     )
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
     eu, iter_join = _iteration_edges(eu, "src", n_nodes_hint)
     nodes = nodes.localCheckpoint(eager=False)
     bcast = n_nodes_hint <= GRAPH_BCAST_NODE_CEILING

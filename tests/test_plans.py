@@ -2594,3 +2594,44 @@ def test_spearman_two_level_plan_shape(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(l_returnflag#\d+, chunk#\d+L", p)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_size_dispatch_derives_from_footer(spark, sf_dir, monkeypatch):
+    """VERDICT r12 next #3: the REGISTERED callables must reach the big
+    lane with NO extra argument once the data outgrows the ceiling —
+    the hint is derived from parquet footer row counts, not supplied by
+    a knowing caller. Ceilings are patched below the fixture's footer
+    counts; every call here is hint-free."""
+    import re
+
+    from cpt_database_sync_spark.operators import analytics as an
+    from cpt_database_sync_spark.operators import graph as gr
+    from cpt_database_sync_spark.operators import stats as st
+    from cpt_database_sync_spark.sources.tables import table_rowcount
+
+    assert table_rowcount(sf_dir, "lineitem") > 1
+    assert table_rowcount(sf_dir, "nation") > 1
+
+    # spearman: hint-free call must plan the grouped two-level lane.
+    monkeypatch.setattr(st, "SPEARMAN_WINDOW_ROW_CEILING", 1)
+    p = plan_string(st.spearman_corr(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(l_returnflag#\d+, chunk#\d+L", p)
+    assert not re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, (l_quantity|l_extendedprice)#\d+ ASC",
+        p,
+    )
+
+    # concurrency_peak: hint-free call must plan the chunked sweep.
+    monkeypatch.setattr(an, "CONCURRENCY_WINDOW_ROW_CEILING", 1)
+    p = plan_string(an.concurrency_peak(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(event_type#\d+, c#\d+L", p)
+
+    # graph iterate joins: hint-free call must flip off the broadcast
+    # (per-round ShuffledHashJoin against the pre-partitioned edges).
+    monkeypatch.setattr(gr, "GRAPH_BCAST_NODE_CEILING", 1)
+    p = plan_string(gr.pagerank_nations(spark, sf_dir))
+    assert "ShuffledHashJoin" in p
+
+    # explicit caller hint still wins over the derived count
+    p = plan_string(gr.pagerank_nations(spark, sf_dir, n_nodes_hint=10**9))
+    assert "ShuffledHashJoin" in p
