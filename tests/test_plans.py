@@ -2635,3 +2635,34 @@ def test_size_dispatch_derives_from_footer(spark, sf_dir, monkeypatch):
     # explicit caller hint still wins over the derived count
     p = plan_string(gr.pagerank_nations(spark, sf_dir, n_nodes_hint=10**9))
     assert "ShuffledHashJoin" in p
+
+
+def test_quantile_normalize_two_level_plan_shape(spark, sf_dir):
+    """Above the ceiling, quantile_normalize must never sort the fact
+    inside a task (VERDICT r12 what's-wrong #1): every window
+    partitions by (g, chunk) or by g over the chunk AGGREGATES — no
+    window partitioned by the bare channel key ordered by the raw
+    measure, no unpartitioned window — and the per-type n arrives as a
+    broadcast, the rank relation via an equi-join."""
+    import re
+
+    from cpt_database_sync_spark.operators.stats import (
+        QN_WINDOW_ROW_CEILING,
+        quantile_normalize,
+    )
+
+    p = plan_string(
+        quantile_normalize(
+            spark, sf_dir, n_rows_hint=QN_WINDOW_ROW_CEILING + 1
+        )
+    )
+    assert not re.search(
+        r"windowspecdefinition\(\w+#\d+, value#\d+ ASC", p
+    ), "fact must not be rank-sorted per channel in the two-level lane"
+    assert not re.search(r"windowspecdefinition\(\w+#\d+L? ASC", p), (
+        "no unpartitioned window in the grouped two-level lane"
+    )
+    assert re.search(r"windowspecdefinition\(g#\d+, chunk#\d+L", p)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -3406,3 +3406,72 @@ def test_spearman_two_level_lane_identical(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_quantile_normalize_two_level_lane_identical(spark, sf_dir):
+    """Scale-dispatch twin for quantile_normalize (VERDICT r12 next #1):
+    the rollup+join lane above QN_WINDOW_ROW_CEILING must be
+    bit-identical to the window lane — percent_rank's RANK is the peer
+    group's MIN rank, a pure function of the per-(type, value) rollup,
+    and (min_rank−1)/(n−1) is the same exact-long IEEE division."""
+    from cpt_database_sync_spark.operators.stats import (
+        QN_WINDOW_ROW_CEILING,
+        quantile_normalize,
+    )
+
+    a = sorted(map(tuple, quantile_normalize(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            quantile_normalize(
+                spark, sf_dir, n_rows_hint=QN_WINDOW_ROW_CEILING + 1
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_quantile_normalize_null_channel_and_singleton(spark):
+    """The big lane's (is_null, value) struct key must keep NULL
+    event_type as a REAL group (equi-joins drop NULL keys — the exact
+    hazard), and a 1-row group must produce percent_rank's defined 0.0
+    rather than 0/0: both lanes checked on a synthetic fixture."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cpt_database_sync_spark.operators.stats import (
+        QN_WINDOW_ROW_CEILING,
+        quantile_normalize,
+    )
+    from cpt_database_sync_spark.sources.sync import scratch_dir
+
+    out = os.path.join(scratch_dir(), "sf_qn_nullgroup")
+    os.makedirs(out, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "event_type": pa.array(["a", "a", None, None, "a", "solo"]),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000] * 6, pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 5.0, 3.0, 2.0, 9.0]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "events.parquet"))
+
+    def rows(hint):
+        return sorted(
+            map(tuple, quantile_normalize(spark, out, n_rows_hint=hint).collect())
+        )
+
+    small, big = rows(1), rows(QN_WINDOW_ROW_CEILING + 1)
+    assert small == big
+    got = {r[0]: (r[1], r[3]) for r in big}
+    # group a: values 1,2,2 → ranks 1,2,2 → qn 0, .5, .5
+    assert got[1] == ("a", 0.0)
+    assert got[2] == ("a", 0.5) and got[5] == ("a", 0.5)
+    # NULL group kept: values 5,3 → qn 1.0, 0.0
+    assert got[3] == (None, 1.0) and got[4] == (None, 0.0)
+    # singleton group: defined 0.0, not 0/0
+    assert got[6] == ("solo", 0.0)
