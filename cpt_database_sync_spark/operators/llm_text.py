@@ -1808,6 +1808,17 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURRICULUM_STAGES = 4  # quartile stages by token count
 
+# Token-count chunk width for the curriculum rank device: chunk =
+# n_tokens div width is monotone in the curriculum order's leading key,
+# so chunks are contiguous token-count ranges, chunk-local row_numbers
+# shift to global ranks by the chunk's incoming row balance, and that
+# balance is a prefix over the chunk AGGREGATES only — |chunks| is
+# bounded by max-doc-tokens / width (a per-document bound, NOT corpus
+# size), so the prefix runs driver-side on the collected chunk counts
+# (the bounded-literal class: k centroids, per-dim ranges) and comes
+# back as a broadcast join. No unpartitioned window anywhere.
+CURRICULUM_CHUNK_TOKENS = 32
+
 
 _CURRICULUM_SQL = f"""
     WITH t AS (
@@ -1823,41 +1834,92 @@ _CURRICULUM_SQL = f"""
 """
 
 
-@register("curriculum_stages", oracle=_CURRICULUM_SQL)
+def ntile_stage_sql(rank_col: str, n: int, k: int) -> str:
+    """NTILE(k) of the 1-based global rank column ``rank_col`` over
+    ``n`` rows as closed-form SQL — both engines' remainder rule (the
+    first n mod k buckets take the extras) computed from the rank
+    instead of a single-task ordered pass. With base = n div k and
+    m = n mod k: ranks up to m*(base+1) fall in the wide buckets
+    (stage = ceil(rank / (base+1))), the rest in the narrow ones. All
+    exact BIGINT ``div`` arithmetic; ``n`` is a driver scalar so the
+    base=0 (n < k) degenerate — every bucket holds at most one row,
+    stage = rank — is a Python branch, never a division by zero
+    in-plan."""
+    base, m = n // k, n % k
+    if base == 0:
+        return f"CAST({rank_col} AS INT)"
+    if m == 0:
+        return f"CAST(({rank_col} - 1) div {base} + 1 AS INT)"
+    return (
+        f"CAST(CASE WHEN {rank_col} <= {m * (base + 1)}"
+        f" THEN ({rank_col} - 1) div {base + 1} + 1"
+        f" ELSE {m} + ({rank_col} - 1 - {m * (base + 1)}) div {base} + 1"
+        f" END AS INT)"
+    )
+
+
+@register("curriculum_stages", oracle=_CURRICULUM_SQL, tags=("reverify:r13",))
 def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum assignment: every document binned into one of
-    {n} quartile stages by whitespace token count — the standard
+    four quartile stages by whitespace token count — the standard
     shortest-first curriculum schedule a training pipeline emits
     before sequence packing (`sequence_packing` fills fixed windows;
     this decides the ORDER corpora feed in). Deterministic: stage
-    boundaries come from NTILE over the total order (n_tokens,
-    doc_id), so re-runs assign identically — no sampling, no RNG. No
-    reference analogue (`sync/QueryBuilder.java:46-75` copies rows in
-    table order; ordering policy is out of its model entirely).
+    boundaries derive from the total (n_tokens, doc_id) order with
+    NTILE's remainder rule, so re-runs assign identically — no
+    sampling, no RNG. No reference analogue
+    (`sync/QueryBuilder.java:46-75` copies rows in table order;
+    ordering policy is out of its model entirely).
 
     Exactness: token counts are exact INTs off the shared
     `token_count` regex (regexp_count ↔ len(regexp_extract_all) of
-    the SAME pattern); NTILE is deterministic once the order is total
-    (the `rfm_segments` device — both engines share the remainder
-    rule: first stages take the extras). NULL text carries no length
-    signal and is out of contract on both sides.
+    the SAME pattern); the stage is NTILE's exact answer — the closed
+    form over the exact global rank (``ntile_stage_expr``) with both
+    engines' shared remainder rule (first stages take the extras) —
+    twin-tested bit-identical to the ordered NTILE pass. NULL text
+    carries no length signal and is out of contract on both sides.
 
-    Physics: map-only token counting, then ONE |docs|-sized ordered
-    pass for the stage split — rank the DIMENSION-sized doc-length
-    relation, never anything wider. At 100 TB the stage boundaries
-    come from approx_percentile and assignment becomes a map-only
-    broadcast gate (the `winsorize_approx` lane, documented trade).
-    """.format(n=CURRICULUM_STAGES)
+    Physics (VERDICT r12 next #2 — this key used to funnel the whole
+    corpus through ONE unpartitioned NTILE task): map-only token
+    counting; ranks come from the two-level chunk device applied to
+    the fact — chunk-local row_number over contiguous token-count
+    ranges (window partitioned by chunk, corpus-fraction tasks), plus
+    the chunk's incoming row balance, a prefix over the |chunks|-row
+    chunk-count relation (bounded by max-doc-tokens / width, NOT
+    corpus size) computed driver-side and broadcast back. Stage
+    assignment is then a map-side closed form over (rank, n). The
+    corpus is never sorted inside a task and nothing unpartitioned
+    ever plans.
+    """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     t = d.select(
         "doc_id",
         F.regexp_count("text", F.lit(TOKEN_PATTERN))
         .cast("int")
         .alias("n_tokens"),
+    ).withColumn(
+        "chunk", F.expr(f"n_tokens div {CURRICULUM_CHUNK_TOKENS}").cast("long")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    return t.select(
+    counts = sorted(
+        (row["chunk"], row["cnt"])
+        for row in t.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in counts)
+    bal_rows, running = [], 0
+    for chunk, cnt in counts:
+        bal_rows.append((chunk, running))
+        running += cnt
+    bal = spark.createDataFrame(
+        bal_rows or [], schema="chunk long, bal long"
+    )
+    w = Window.partitionBy("chunk").orderBy("n_tokens", "doc_id")
+    ranked = t.join(F.broadcast(bal), "chunk").select(
         "doc_id",
         "n_tokens",
-        F.ntile(CURRICULUM_STAGES).over(w).cast("int").alias("stage"),
+        (F.col("bal") + F.row_number().over(w)).alias("r"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(ntile_stage_sql("r", n, CURRICULUM_STAGES)).alias("stage"),
     )

@@ -1641,6 +1641,20 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Row ceiling for the dimension-rank family's window lane (gini /
+# lorenz here, rfm_segments in analytics.py): the nation-partitioned
+# row_number/NTILE sorts each nation's FULL customer rollup inside one
+# task — dimension-sized today, single-task-funnel once customers
+# rival the fact (VERDICT r12 next #6). Above the ceiling (hint
+# derived from the customer parquet footer when the caller passes
+# none) ranks come from the two-level chunked row_number
+# (operators/ranks.py): cents-range chunks sort corpus fractions in
+# parallel, the chunk balance prefixes over |nations|x|chunks|
+# aggregate rows, and NTILE becomes a closed form over (rank, n) — no
+# per-nation relation sort anywhere. Twin-tested bit-identical.
+CUSTOMER_RANK_ROW_CEILING = 50_000_000
+CENTS_CHUNK_WIDTH = 10_000_000  # $100k lifetime-spend chunks
+
 _GINI_EXPR = (
     "round((2 * CAST(s1 AS DOUBLE)"
     " - (n_customers + 1) * CAST(total_cents AS DOUBLE))"
@@ -1675,8 +1689,10 @@ _GINI_SQL = f"""
 """
 
 
-@register("gini_concentration", oracle=_GINI_SQL)
-def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("gini_concentration", oracle=_GINI_SQL, tags=("reverify:r13",))
+def gini_concentration(
+    spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
+) -> DataFrame:
     """Gini coefficient of customer spend per nation — the inequality/
     concentration rollup a marketplace-health dashboard runs (is revenue
     spread across the base or carried by whales?): G = (2·Σ i·xᵢ −
@@ -1695,12 +1711,15 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     The one double division is the identical expression tree on both
     engines (shared _GINI_EXPR text), NULL on an all-zero nation.
 
-    Physics: one customer-keyed outer join + rollup (spend), one
-    nation-keyed window sort over |customers| rows (the unavoidable
-    rank statistic — but partitioned by nation, never a global sort),
-    one map-side-combined per-nation aggregation. At 100 TB the spend
-    rollup is the only corpus-sized stage; the window runs over the
-    customer dimension.
+    Physics: one customer-keyed outer join + rollup (spend), then the
+    rank. BELOW ``CUSTOMER_RANK_ROW_CEILING`` a nation-partitioned
+    window sort over the |customers| rollup (dimension-sized — the
+    right plan until customers rival the fact); ABOVE it (hint from
+    the customer parquet footer) the two-level chunked row_number —
+    cents-range chunks sort in parallel, the balance prefixes over
+    chunk AGGREGATES only (operators/ranks.py) — so no task ever
+    sorts a nation's whole slice. One map-side-combined per-nation
+    aggregation either way.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -1719,10 +1738,25 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
-    ranked = spend.select(
-        "c_nationkey", "cents", F.row_number().over(w).alias("i")
-    )
+    if n_rows_hint == 0:
+        n_rows_hint = table_rowcount(sf_dir, "customer")
+    if n_rows_hint > CUSTOMER_RANK_ROW_CEILING:
+        from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+            two_level_row_number,
+        )
+
+        ranked = two_level_row_number(
+            spend,
+            F.expr(f"cents div {CENTS_CHUNK_WIDTH}"),
+            ["cents", "c_custkey"],
+            group_cols=("c_nationkey",),
+            out="i",
+        ).select("c_nationkey", "cents", "i")
+    else:
+        w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+        ranked = spend.select(
+            "c_nationkey", "cents", F.row_number().over(w).alias("i")
+        )
     agg = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
@@ -1959,8 +1993,10 @@ _LORENZ_SQL = f"""
 """
 
 
-@register("lorenz_deciles", oracle=_LORENZ_SQL)
-def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("lorenz_deciles", oracle=_LORENZ_SQL, tags=("reverify:r13",))
+def lorenz_deciles(
+    spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
+) -> DataFrame:
     """Lorenz curve by spend decile per nation — `gini_concentration`'s
     companion VIEW (Gini is the area summary; this is the curve a
     dashboard draws): customers sorted by spend split into 10 pinned
@@ -1976,7 +2012,12 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation.
 
     Physics: one per-customer rollup (the gini_concentration stage),
-    one nation-partitioned dimension sort for NTILE, then everything
+    then the rank. BELOW ``CUSTOMER_RANK_ROW_CEILING`` one
+    nation-partitioned dimension sort for NTILE; ABOVE it (hint from
+    the customer parquet footer) the two-level chunked row_number
+    plus the closed-form NTILE over (rank, per-nation n) — both from
+    operators/ranks.py, no per-nation relation sort, the per-nation n
+    carried on the chunk-aggregate broadcast. Everything downstream
     runs on the |nations|×10 decile relation — broadcast-scale
     regardless of corpus size.
     """
@@ -1997,10 +2038,34 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    wb = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
-    bucketed = spend.select(
-        "c_nationkey", "cents", F.ntile(LORENZ_DECILES).over(wb).alias("decile")
-    )
+    if n_rows_hint == 0:
+        n_rows_hint = table_rowcount(sf_dir, "customer")
+    if n_rows_hint > CUSTOMER_RANK_ROW_CEILING:
+        from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+            ntile_col_sql,
+            two_level_row_number,
+        )
+
+        ranked = two_level_row_number(
+            spend,
+            F.expr(f"cents div {CENTS_CHUNK_WIDTH}"),
+            ["cents", "c_custkey"],
+            group_cols=("c_nationkey",),
+            out="i",
+            total_col="n",
+        )
+        bucketed = ranked.select(
+            "c_nationkey",
+            "cents",
+            F.expr(ntile_col_sql("i", "n", LORENZ_DECILES)).alias("decile"),
+        )
+    else:
+        wb = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+        bucketed = spend.select(
+            "c_nationkey",
+            "cents",
+            F.ntile(LORENZ_DECILES).over(wb).alias("decile"),
+        )
     per_decile = bucketed.groupBy("c_nationkey", "decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("decile_cents"),

@@ -93,13 +93,13 @@ def decimal_display_offenders(sdf) -> list[str]:
 # the per-shape gates):
 UNPARTITIONED_WINDOW_ALLOWLIST = {
     "bm25_retrieval",        # |top-k candidates| rank, docstring-costed
-    "curriculum_stages",     # |docs| NTILE; approx_percentile swap documented
     "data_skew_profile",     # |distinct keys| rollup rank
     "join_lateral",          # ANSI lateral demo over the |orders/custkey| rows
     "kaplan_meier",          # |event calendar| suffix sum
     "kruskal_wallis",        # |chunks|-row prefix (the two-level device)
     "mann_whitney_u",        # |chunks|-row prefix (the two-level device)
-    "rfm_segments",          # |customers| NTILEs; approx swap documented
+    "rfm_segments",          # |customers| NTILEs below the ceiling; above it
+                             # the two-level lane prefixes |chunks|-row aggregates only (r13)
     "rolling_corr",          # |calendar days| relation
     "skyline_pareto",        # |parts| dimension dominance sort
     "sql_ansi_extras",       # ANSI window-surface demo, |orders| bounded slice

@@ -54,7 +54,43 @@ STEPUP_KEYS = [
     "ngram_novelty",
     "concurrency_peak",
     "interval_coverage",
+    # r13 additions (VERDICT r12 next #7): the two-level rank family,
+    # the dimension-rank dispatch family, and the 5 r12 keys.
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "spearman_corr",
+    "quantile_normalize",
+    "curriculum_stages",
+    "rfm_segments",
+    "lorenz_deciles",
+    "gini_concentration",
+    "mcnemar_test",
+    "theil_u",
+    "kl_divergence",
+    "cohens_d",
 ]
+
+# Keys whose registered callable dispatches on a size ceiling: verify
+# the BIG lane at the big dir too (the small lane is what the footer
+# probe picks at sf1 — the big lane is the 100 TB plan and needs its
+# own oracle row). Each override forces the ceiling via the hint param.
+BIG_LANE_OVERRIDES = {
+    "spearman_corr": lambda fn: (
+        lambda spark, d: fn(spark, d, n_per_group_hint=10**18)
+    ),
+    "quantile_normalize": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "rfm_segments": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "lorenz_deciles": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "gini_concentration": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+}
 
 
 def _check_bpe_learn(spark, specs, big: str) -> tuple[str, int]:
@@ -165,6 +201,14 @@ def main() -> None:
             "parity": status,
             "rows_big": nrows,
         }
+        if name in BIG_LANE_OVERRIDES and spec.oracle and not golden:
+            big_fn = BIG_LANE_OVERRIDES[name](spec.fn)
+            t0 = time.perf_counter()
+            problems2, _ = run_query_pair(spark, con, big_fn, spec.oracle, big)
+            out[name]["parity_big_lane"] = "pass" if not problems2 else "FAIL"
+            out[name]["t_big_lane"] = round(time.perf_counter() - t0, 3)
+            if problems2:
+                print(f"  {name} BIG-LANE PARITY PROBLEMS: {problems2[:2]}")
         print(
             f"{name}: {t_small:.2f}s -> {t_big:.2f}s (x{ratio}) "
             f"[{status}, {nrows} rows]"

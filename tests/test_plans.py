@@ -2560,10 +2560,19 @@ def test_r12_ops_plan_physics(spark, sf_dir):
     assert p.count("InMemoryTableScan") >= 3
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
-    # curriculum: map-only token count + the |docs|-sized NTILE pass
+    # curriculum (r13 rework): map-only token count, chunk-partitioned
+    # row_number, |chunks|-row balance broadcast back, map-side stage
+    # closed form — no NTILE, no unpartitioned window, no fact sort
+    # outside the chunk-local pass
+    import re as _re
+
     p = plan(curriculum_stages)
     assert p.count("Scan parquet") == 1
-    assert "Join" not in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "ntile" not in p.lower()
+    assert not _re.search(r"windowspecdefinition\(n_tokens#\d+", p), (
+        "no window keyed on the bare token count"
+    )
 
 
 def test_spearman_two_level_plan_shape(spark, sf_dir):
@@ -2666,3 +2675,50 @@ def test_quantile_normalize_two_level_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dimension_rank_family_two_level_plan_shape(spark, sf_dir):
+    """Above their ceilings, gini / lorenz / rfm must not sort the
+    customer rollup inside one task per group: no NTILE anywhere, no
+    window ordered by the raw metric without a chunk partition — the
+    only ordered windows are chunk-partitioned locals and the
+    chunk-AGGREGATE prefix."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import (
+        RFM_RANK_ROW_CEILING,
+        rfm_segments,
+    )
+    from cpt_database_sync_spark.operators.stats import (
+        CUSTOMER_RANK_ROW_CEILING,
+        gini_concentration,
+        lorenz_deciles,
+    )
+
+    for fn, ceiling in (
+        (gini_concentration, CUSTOMER_RANK_ROW_CEILING),
+        (lorenz_deciles, CUSTOMER_RANK_ROW_CEILING),
+    ):
+        p = plan_string(fn(spark, sf_dir, n_rows_hint=ceiling + 1))
+        assert "ntile" not in p.lower(), fn.__name__
+        assert not re.search(
+            r"windowspecdefinition\(c_nationkey#\d+, cents#\d+L ASC", p
+        ), f"{fn.__name__}: per-nation rollup sort must not plan"
+        assert not re.search(r"windowspecdefinition\(\w+#\d+L? ASC", p), (
+            f"{fn.__name__}: no unpartitioned window in the grouped lane"
+        )
+        assert re.search(r"windowspecdefinition\(c_nationkey#\d+, _chunk#\d+L", p)
+        assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    p = plan_string(
+        rfm_segments(spark, sf_dir, n_rows_hint=RFM_RANK_ROW_CEILING + 1)
+    )
+    assert "ntile" not in p.lower()
+    # every ordered window is either chunk-partitioned (local ranks)
+    # or the |chunks|-row aggregate prefix (_chunk as leading ORDER col)
+    for m in re.finditer(r"windowspecdefinition\((\w+)#\d+L? (ASC|DESC)", p):
+        assert m.group(1) == "_chunk", f"unpartitioned window over {m.group(1)}"
+    assert not re.search(
+        r"windowspecdefinition\((r_days|f_orders|m_cents)#\d+L? (ASC|DESC)", p
+    )
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
