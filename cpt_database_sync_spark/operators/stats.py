@@ -3739,6 +3739,15 @@ def kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d"),
     )
+    return kl_finalize(dom)
+
+
+def kl_finalize(dom: DataFrame) -> DataFrame:
+    """Shared KL finalizer over the (event_type, c, d) cohort-count
+    relation — the fixed expression tree both the batch operator and
+    `stream_kl_divergence`'s stream-maintained serving table run, so
+    batch ≡ stream bit-for-bit (counts are algebraic; the quantized-ln
+    decimal lanes and the ONE terminal division are shared text)."""
     s = dom.agg(
         F.sum("c").cast("long").alias("n_a"),
         F.sum("d").cast("long").alias("n_b"),

@@ -819,6 +819,58 @@ def stream_drift_psi_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_finalize(hist.groupBy("event_type").agg(*aggs))
 
 
+def _kl_oracle_text() -> str:
+    from cpt_database_sync_spark.operators.stats import _KL_SQL  # noqa: PLC0415
+
+    return _KL_SQL
+
+
+@register("stream_kl_divergence", oracle=_kl_oracle_text())
+def stream_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix KL drift maintained BY THE STREAM — `kl_divergence`'s
+    serving twin, completing the drift-monitoring trio in serving form
+    (stream_drift_psi: binned score; stream_benford: leading-digit
+    fit; this: the information-theoretic number an LM data pipeline
+    quotes for cohort shift). The per-type (even-cohort, odd-cohort)
+    counters are a streaming aggregation in UPDATE mode — state per
+    type = two integers, watermark-bounded — each micro-batch MERGEs
+    only changed counters into the keyed serving table, and the shared
+    `kl_finalize` expression tree (quantized-ln decimal lanes, one
+    terminal division) runs as a batch read over that |types|-sized
+    table. Counts are algebraic, so the stream-maintained relation IS
+    the batch rollup and the oracle is the batch _KL_SQL verbatim (the
+    stream_drift_psi batch≡stream discipline).
+
+    Reference basis: `streaming/incremental.py`'s lineage — the
+    reference's timed full re-pulls (`handler/Handler.java:42-55`)
+    re-answer this only by rescanning history; here the answer is
+    continuous.
+    """
+    from cpt_database_sync_spark.operators.stats import (  # noqa: PLC0415
+        kl_finalize,
+    )
+
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    counts = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    tbl, _ = serve_keyed_stream(
+        counts, ["event_type"], "stream_kl_", varchar_lengths={"event_type": 40}
+    )
+    return kl_finalize(tbl.select("event_type", "c", "d"))
+
+
 def _cusum_oracle_text() -> str:
     from cpt_database_sync_spark.operators.timeseries import _CUSUM_SQL  # noqa: PLC0415
 

@@ -3596,3 +3596,67 @@ def test_dimension_rank_family_two_level_lanes_identical(spark, sf_dir):
             map(tuple, fn(spark, sf_dir, n_rows_hint=ceiling + 1).collect())
         )
         assert a == b and len(a) > 0, fn.__name__
+
+
+def test_stream_kl_invariant_under_batch_splits(spark, sf_dir):
+    """stream_kl_divergence accumulates pure algebraic cohort counts,
+    so a multi-batch split of the event feed must finalize BIT-EQUAL
+    to the batch kl_divergence (batch≡stream — the oracle is the batch
+    _KL_SQL verbatim and kl_finalize is shared expression text)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.stats import (
+        kl_divergence,
+        kl_finalize,
+    )
+    from cpt_database_sync_spark.sources.sync import scratch_dir, sweep_scratch
+    from cpt_database_sync_spark.sources.tables import load
+    from cpt_database_sync_spark.streaming.windows import run_to_table
+
+    sweep_scratch("kl_split_")
+    workdir = os.path.join(scratch_dir(), "kl_split_src")
+    ev = load(spark, sf_dir, "events")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{workdir}/b{i}")
+    files_dir = os.path.join(scratch_dir(), "kl_split_landing")
+    os.makedirs(files_dir, exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(f"{workdir}/b{i}/part-*.parquet")[0]
+        dst = f"{files_dir}/b{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    schema = spark.read.parquet(f"{workdir}/b0").schema
+    counts = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    served = run_to_table(counts, "complete")
+    multi = {
+        tuple(r)
+        for r in kl_finalize(served.select("event_type", "c", "d")).collect()
+    }
+    batch = {tuple(r) for r in kl_divergence(spark, sf_dir).collect()}
+    assert multi == batch, (
+        f"split stream diverged from batch: only-stream={multi - batch} "
+        f"only-batch={batch - multi}"
+    )
