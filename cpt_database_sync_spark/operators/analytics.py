@@ -2437,8 +2437,12 @@ _CONC_HIST_SQL = f"""
 """
 
 
-@register("concurrency_histogram", oracle=_CONC_HIST_SQL)
-def concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "concurrency_histogram", oracle=_CONC_HIST_SQL, tags=("reverify:r13",)
+)
+def concurrency_histogram(
+    spark: SparkSession, sf_dir: str, n_per_key_hint: int = 0
+) -> DataFrame:
     """Duration-weighted concurrency-DEPTH histogram per channel —
     `concurrency_peak` answers "how deep did it stack and when"; this
     answers "how long did it spend at EVERY depth" (depth 0 = idle time
@@ -2459,13 +2463,21 @@ def concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint (depth 0 forever after) has no next and is out of the
     span by construction.
 
-    Physics: identical to the peak sweep — one type-keyed shuffle, one
-    within-partition sort feeding running sum + LEAD + span extrema in
-    the SAME window pass, then a map-side-combined rollup over (type,
-    depth). The hot-key escape hatch is the peak's two-level chunk
-    device (CONCURRENCY_WINDOW_ROW_CEILING): per-chunk local histograms
-    need only the chunk's incoming balance — the same prefix over chunk
-    aggregates — to shift local depths to global ones.
+    Physics: identical to the peak sweep. BELOW
+    ``CONCURRENCY_WINDOW_ROW_CEILING`` (hint derived from the events
+    parquet footer when the caller passes none) one type-keyed shuffle,
+    one within-partition sort feeding running sum + LEAD + span extrema
+    in the SAME window pass, then a map-side-combined rollup over
+    (type, depth). ABOVE it the peak's two-level chunk device,
+    implemented (r13, was documented-only): per-(type, time-chunk)
+    local running sums, LEAD and depth histograms in parallel; the
+    chunk balance (prefix over chunk AGGREGATES) shifts local depths to
+    global ones through a broadcast join; cross-chunk gap durations —
+    last endpoint of chunk k to first endpoint of chunk k+1, held at
+    the chunk's closing global depth — come from a LEAD over the same
+    chunk-aggregate relation; span extrema assemble from per-chunk
+    min/max. Twin-tested bit-identical, plan-gated (no per-type
+    endpoint sort above the ceiling).
     """
     ev = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
@@ -2489,6 +2501,87 @@ def concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("event_type", "p.t", "p.delta", "p.event_id")
+    if n_per_key_hint == 0:
+        n_per_key_hint = table_rowcount(sf_dir, "events")
+    if n_per_key_hint > CONCURRENCY_WINDOW_ROW_CEILING:
+        pts = pts.withColumn("c", F.floor(F.col("t") / CONCURRENCY_CHUNK_US))
+        w_local = (
+            Window.partitionBy("event_type", "c")
+            .orderBy("t", "delta", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_lead_local = Window.partitionBy("event_type", "c").orderBy(
+            "t", "delta", "event_id"
+        )
+        local = pts.select(
+            "event_type",
+            "c",
+            "t",
+            "delta",
+            F.sum("delta").over(w_local).alias("lr"),
+            F.lead("t").over(w_lead_local).alias("nt"),
+        )
+        # chunk-local depth histogram (local depths, shifted later)
+        lhist = (
+            local.filter(F.col("nt").isNotNull())
+            .groupBy("event_type", "c", F.col("lr").alias("ld"))
+            .agg(F.sum(F.col("nt") - F.col("t")).alias("ldur"))
+        )
+        chunk_agg = local.groupBy("event_type", "c").agg(
+            F.sum("delta").alias("sd"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+        )
+        w_prefix = (
+            Window.partitionBy("event_type")
+            .orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_next = Window.partitionBy("event_type").orderBy("c")
+        chunk2 = chunk_agg.select(
+            "event_type",
+            "c",
+            "t_min",
+            "t_max",
+            F.coalesce(F.sum("sd").over(w_prefix), F.lit(0)).alias("b"),
+            (F.coalesce(F.sum("sd").over(w_prefix), F.lit(0)) + F.col("sd"))
+            .alias("b_end"),
+            F.lead("t_min").over(w_next).alias("t_next_min"),
+        )
+        span = chunk_agg.groupBy("event_type").agg(
+            (F.max("t_max") - F.min("t_min")).alias("span_us")
+        )
+        shifted = lhist.join(
+            F.broadcast(chunk2.select("event_type", "c", "b")),
+            ["event_type", "c"],
+        ).select(
+            "event_type",
+            (F.col("ld") + F.col("b")).alias("depth"),
+            F.col("ldur").alias("dur"),
+        )
+        # cross-chunk gap: held at the chunk's CLOSING global depth
+        # from its last endpoint to the next chunk's first endpoint
+        boundary = chunk2.filter(F.col("t_next_min").isNotNull()).select(
+            "event_type",
+            F.col("b_end").alias("depth"),
+            (F.col("t_next_min") - F.col("t_max")).alias("dur"),
+        )
+        hist = (
+            shifted.unionByName(boundary)
+            .groupBy("event_type", "depth")
+            .agg(F.sum("dur").cast("long").alias("dur_us"))
+            .filter(F.col("dur_us") > 0)
+        )
+        return hist.join(F.broadcast(span), "event_type").select(
+            "event_type",
+            F.col("depth").cast("long").alias("depth"),
+            "dur_us",
+            F.round(
+                F.col("dur_us").cast("double")
+                / F.col("span_us").cast("double"),
+                9,
+            ).alias("share"),
+        )
     w = (
         Window.partitionBy("event_type")
         .orderBy("t", "delta", "event_id")
@@ -3323,8 +3416,10 @@ _BURSTINESS_SQL = f"""
 """
 
 
-@register("burstiness", oracle=_BURSTINESS_SQL)
-def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("burstiness", oracle=_BURSTINESS_SQL, tags=("reverify:r13",))
+def burstiness(
+    spark: SparkSession, sf_dir: str, n_per_key_hint: int = 0
+) -> DataFrame:
     """Goh-Barabasi burstiness of the per-type arrival process:
     B = (σ−μ)/(σ+μ) over inter-event gaps — B → −1 periodic, B ≈ 0
     Poisson, B → 1 bursty. THE temporal-pattern diagnostic for event
@@ -3341,15 +3436,80 @@ def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n=1-gap degenerate (σ=0, μ>0 → B=−1) falling out identically.
     Zero-gap-only types: σ+μ = 0 → NULL via NULLIF.
 
-    Physics: one window pass over the type-keyed exchange, one
-    map-side-combined moment rollup to |types| rows. At 100 TB
-    per-type time-sorting is the honest cost of gap statistics; the
-    per-partition pre-sorted-ingest swap (sort within arrival files,
-    merge at read) is documented for feeds that land ordered.
+    Physics: BELOW ``CONCURRENCY_WINDOW_ROW_CEILING`` (hint derived
+    from the events parquet footer) one window pass over the type-keyed
+    exchange, one map-side-combined moment rollup to |types| rows.
+    ABOVE it the chunked-lag device (r13, was documented-only): gaps
+    are time-local, so time-range chunks compute their gap moments in
+    parallel and only the CROSS-CHUNK gaps — last arrival of chunk k to
+    first arrival of chunk k+1, one per chunk pair — assemble on the
+    |chunks|-row aggregate relation via LEAD; the per-type moments are
+    then one rollup over chunk aggregates. Twin-tested bit-identical
+    (moments are sums — chunk decomposition is exact). The
+    pre-sorted-ingest swap (sort within arrival files, merge at read)
+    remains documented for feeds that land ordered.
     """
     ev = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )
+    if n_per_key_hint == 0:
+        n_per_key_hint = table_rowcount(sf_dir, "events")
+    if n_per_key_hint > CONCURRENCY_WINDOW_ROW_CEILING:
+        t = F.unix_micros("ts")
+        pts = ev.select(
+            "event_type",
+            t.alias("t"),
+            "event_id",
+            F.floor(t / CONCURRENCY_CHUNK_US).alias("c"),
+        )
+        w_local = Window.partitionBy("event_type", "c").orderBy(
+            "t", "event_id"
+        )
+        local = pts.select(
+            "event_type",
+            "c",
+            "t",
+            (F.col("t") - F.lag("t").over(w_local)).alias("gap"),
+        )
+        chunk_agg = local.groupBy("event_type", "c").agg(
+            F.count(F.when(F.col("gap").isNotNull(), 1)).alias("n_l"),
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("s1_l"),
+            F.coalesce(
+                F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s2_l"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+        )
+        w_next = Window.partitionBy("event_type").orderBy("c")
+        bridged = chunk_agg.withColumn(
+            "bgap", F.lead("t_first").over(w_next) - F.col("t_last")
+        )
+        m = bridged.groupBy("event_type").agg(
+            (
+                F.sum("n_l") + F.count(F.when(F.col("bgap").isNotNull(), 1))
+            )
+            .cast("long")
+            .alias("n"),
+            (F.sum("s1_l") + F.coalesce(F.sum("bgap"), F.lit(0)))
+            .cast("long")
+            .alias("s1"),
+            (
+                F.sum("s2_l")
+                + F.coalesce(
+                    F.sum(F.col("bgap").cast("decimal(38,0)") * F.col("bgap")),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        return m.filter(F.col("n") > 0).select(
+            "event_type",
+            "n",
+            F.col("s1").alias("total_gap_us"),
+            F.expr(_BURST_EXPR).alias("burstiness"),
+        )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",

@@ -2146,8 +2146,21 @@ _DRIFT_KS_SQL = f"""
 """
 
 
-@register("drift_ks", oracle=_DRIFT_KS_SQL)
-def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-type distinct-value ceiling for drift_ks's cumulative window:
+# the per-type ordered CDF pass runs over DISTINCT values, which scale
+# with the corpus for continuous measures — the same class the
+# spearman/MWU two-level device closed. Above the ceiling (hint from
+# the events parquet footer, a conservative distinct-value upper
+# bound) both cumulative counts run chunk-locally with a prefix over
+# the chunk AGGREGATES only. Bit-identical: the CDF gap is a pure
+# function of the per-value cumulative counts the device preserves.
+KS_WINDOW_ROW_CEILING = 50_000_000
+
+
+@register("drift_ks", oracle=_DRIFT_KS_SQL, tags=("reverify:r13",))
+def drift_ks(
+    spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
+) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift per event type —
     `drift_psi`'s companion monitor over the SAME before/after cutoff:
     PSI bins and smooths (robust, but its value depends on the bin
@@ -2168,12 +2181,14 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physics: one type-keyed exchange of the (type, value)-deduplicated
     counts feeds both the ordered cumulative window and the totals;
-    everything upstream is a map-side-combined groupBy. The per-type
-    sort is over DISTINCT values. A key whose distinct-value count
-    explodes swaps in the GK-sketch lane (`winsorize_approx`'s
-    documented trade: D to within the sketch's rank ε) or the two-level
-    chunked prefix (`concurrency_peak`'s device) — both shapes already
-    in the engine.
+    everything upstream is a map-side-combined groupBy. BELOW
+    ``KS_WINDOW_ROW_CEILING`` the per-type sort is over DISTINCT
+    values; ABOVE it (hint from the events parquet footer) both
+    cumulative counts run through the two-level chunked prefix —
+    value-range chunks locally, balance over chunk AGGREGATES,
+    implemented r13 (was documented-only). The further documented swap
+    is the GK-sketch lane (`winsorize_approx`'s trade: D to within the
+    sketch's rank ε).
     """
     ev = load(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
@@ -2186,19 +2201,61 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = ev.groupBy("event_type", "value").agg(
         F.sum(a).alias("ca"), F.sum(1 - a).alias("cb")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("event_type")
-    cum = per_v.select(
-        "event_type",
-        F.sum("ca").over(w).alias("cua"),
-        F.sum("cb").over(w).alias("cub"),
-        F.sum("ca").over(wt).alias("na"),
-        F.sum("cb").over(wt).alias("nb"),
-    )
+    if n_rows_hint == 0:
+        n_rows_hint = table_rowcount(sf_dir, "events")
+    if n_rows_hint > KS_WINDOW_ROW_CEILING:
+        chunked = per_v.withColumn(
+            "chunk", F.floor(F.col("value") / RANK_CHUNK_WIDTH).cast("long")
+        )
+        w_local = (
+            Window.partitionBy("event_type", "chunk")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = chunked.select(
+            "event_type",
+            "chunk",
+            F.sum("ca").over(w_local).alias("la"),
+            F.sum("cb").over(w_local).alias("lb"),
+        )
+        totals = chunked.groupBy("event_type", "chunk").agg(
+            F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+        )
+        w_prefix = (
+            Window.partitionBy("event_type")
+            .orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_type = Window.partitionBy("event_type")
+        bal = totals.select(
+            "event_type",
+            "chunk",
+            F.coalesce(F.sum("ta").over(w_prefix), F.lit(0)).alias("ba"),
+            F.coalesce(F.sum("tb").over(w_prefix), F.lit(0)).alias("bb"),
+            F.sum("ta").over(w_type).alias("na"),
+            F.sum("tb").over(w_type).alias("nb"),
+        )
+        cum = local.join(F.broadcast(bal), ["event_type", "chunk"]).select(
+            "event_type",
+            (F.col("ba") + F.col("la")).alias("cua"),
+            (F.col("bb") + F.col("lb")).alias("cub"),
+            "na",
+            "nb",
+        )
+    else:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("event_type")
+        cum = per_v.select(
+            "event_type",
+            F.sum("ca").over(w).alias("cua"),
+            F.sum("cb").over(w).alias("cub"),
+            F.sum("ca").over(wt).alias("na"),
+            F.sum("cb").over(wt).alias("nb"),
+        )
     gap = F.abs(
         F.col("cua").cast("double") / F.col("na").cast("double")
         - F.col("cub").cast("double") / F.col("nb").cast("double")

@@ -68,6 +68,10 @@ STEPUP_KEYS = [
     "theil_u",
     "kl_divergence",
     "cohens_d",
+    "concurrency_histogram",
+    "drift_ks",
+    "burstiness",
+    "stream_kl_divergence",
 ]
 
 # Keys whose registered callable dispatches on a size ceiling: verify
@@ -89,6 +93,18 @@ BIG_LANE_OVERRIDES = {
     ),
     "gini_concentration": lambda fn: (
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "concurrency_histogram": lambda fn: (
+        lambda spark, d: fn(spark, d, n_per_key_hint=10**18)
+    ),
+    "drift_ks": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "burstiness": lambda fn: (
+        lambda spark, d: fn(spark, d, n_per_key_hint=10**18)
+    ),
+    "concurrency_peak": lambda fn: (
+        lambda spark, d: fn(spark, d, n_per_key_hint=10**18)
     ),
 }
 

@@ -2722,3 +2722,38 @@ def test_dimension_rank_family_two_level_plan_shape(spark, sf_dir):
         r"windowspecdefinition\((r_days|f_orders|m_cents)#\d+L? (ASC|DESC)", p
     )
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_event_sweep_family_two_level_plan_shape(spark, sf_dir):
+    """Above their ceilings, concurrency_histogram / drift_ks /
+    burstiness must not sort a type's whole slice in one task: every
+    ordered window partitions by (event_type, chunk) or runs over the
+    chunk-AGGREGATE relation (leading partition key = event_type with
+    the chunk as a data column), never by the bare event_type over the
+    fact-sized relation ordered by raw time/value."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import (
+        burstiness,
+        concurrency_histogram,
+    )
+    from cpt_database_sync_spark.operators.stats import drift_ks
+
+    for fn, kw, raw in (
+        (concurrency_histogram, "n_per_key_hint", r"t#\d+L"),
+        (burstiness, "n_per_key_hint", r"(ts|t)#\d+L?"),
+        (drift_ks, "n_rows_hint", r"value#\d+"),
+    ):
+        p = plan_string(fn(spark, sf_dir, **{kw: 10**18}))
+        assert not re.search(
+            rf"windowspecdefinition\(event_type#\d+, {raw} ASC", p
+        ), f"{fn.__name__}: per-type fact-slice sort must not plan"
+        assert not re.search(r"windowspecdefinition\(\w+#\d+L? ASC", p), (
+            f"{fn.__name__}: no unpartitioned window"
+        )
+        assert re.search(
+            r"windowspecdefinition\(event_type#\d+, c(hunk)?#\d+L", p
+        ) or re.search(
+            r"windowspecdefinition\(event_type#\d+, c(hunk)?#\d+L?,", p
+        ), f"{fn.__name__}: chunk-partitioned local pass expected"
+        assert "CartesianProduct" not in p

@@ -3660,3 +3660,27 @@ def test_stream_kl_invariant_under_batch_splits(spark, sf_dir):
         f"split stream diverged from batch: only-stream={multi - batch} "
         f"only-batch={batch - multi}"
     )
+
+
+def test_event_sweep_family_two_level_lanes_identical(spark, sf_dir):
+    """Scale-dispatch twins for the r13 event-sweep closures:
+    concurrency_histogram (chunked depth histogram + boundary gaps),
+    drift_ks (chunked cumulative CDF counts) and burstiness
+    (chunked-lag gap moments) above their ceilings must be
+    bit-identical to the single-window lanes — depths, cumulative
+    counts and moments are pure functions of the total orders the
+    chunk devices preserve."""
+    from cpt_database_sync_spark.operators.analytics import (
+        burstiness,
+        concurrency_histogram,
+    )
+    from cpt_database_sync_spark.operators.stats import drift_ks
+
+    for fn, kw in (
+        (concurrency_histogram, "n_per_key_hint"),
+        (burstiness, "n_per_key_hint"),
+        (drift_ks, "n_rows_hint"),
+    ):
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, fn(spark, sf_dir, **{kw: 10**18}).collect()))
+        assert a == b and len(a) > 0, fn.__name__
