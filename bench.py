@@ -135,6 +135,7 @@ HEADLINE = [
     "grouping_surface",
     "datetime_surface",
     "stream_drift_psi",
+    "stream_kl_divergence",
     "export_manifest",
     "dedup_substring",
     "dedup_substring_excise",

@@ -1689,7 +1689,14 @@ _GINI_SQL = f"""
 """
 
 
-@register("gini_concentration", oracle=_GINI_SQL, tags=("reverify:r13",))
+# NOT reverify-tagged despite the r13 dispatch add: the r13 driver
+# budget is spent on the r6 cohort (verdict next #4 arithmetic — 42
+# cohort keys + 8 front-of-queue = the 50-key budget), and this is the
+# round's most-evidenced small change (sf0.01 vanilla parity, sf1
+# BIG-lane oracle row in STEPUP_r13, twin + plan gates; the shared
+# ranks.py device is also driver-exercised through lorenz_deciles,
+# which keeps its tag).
+@register("gini_concentration", oracle=_GINI_SQL)
 def gini_concentration(
     spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
 ) -> DataFrame:
