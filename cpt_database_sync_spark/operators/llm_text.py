@@ -1892,13 +1892,21 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever plans.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    t = d.select(
-        "doc_id",
-        F.regexp_count("text", F.lit(TOKEN_PATTERN))
-        .cast("int")
-        .alias("n_tokens"),
-    ).withColumn(
-        "chunk", F.expr(f"n_tokens div {CURRICULUM_CHUNK_TOKENS}").cast("long")
+    # lineage-cut the token-count relation: the chunk-count collect and
+    # the final rank pass both consume it — without the cut each would
+    # re-scan documents and re-run the regex (two corpus passes).
+    t = (
+        d.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(TOKEN_PATTERN))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "chunk",
+            F.expr(f"n_tokens div {CURRICULUM_CHUNK_TOKENS}").cast("long"),
+        )
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (row["chunk"], row["cnt"])
