@@ -87,6 +87,113 @@ def two_level_row_number(
     )
 
 
+def group_quantiles_cont(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: dict[str, float],
+    chunk_width: float,
+) -> DataFrame:
+    """Exact ``percentile(value, q)`` per group WITHOUT a per-group
+    value sort — the 100 TB lane for the exact-percentile family
+    (``iqr_fences``, ``tail_cvar``; their small lanes keep Spark's
+    built-in exact Percentile aggregate, whose per-group value buffer
+    is the scale hazard the r12 verdict names).
+
+    Device: per-(group, value) rollup → two-level cumulative counts
+    (chunk-local running sums over contiguous ``value`` ranges, plus a
+    prefix over the |groups|×|chunks|-row chunk aggregates — the
+    ``_rank_avg2_two_level`` shape) → each requested quantile's TWO
+    bracketing order statistics looked up by rank in one conditional
+    aggregation → Spark's own Percentile interpolation applied as a
+    closed-form column expression.
+
+    Bit-identity contract (differential twins per consumer): Spark's
+    exact Percentile computes position = q·(n−1), brackets it with
+    lower = floor(position), higher = ceil(position), returns the lower
+    order statistic outright when higher == lower OR both brackets land
+    on the same value, else interpolates
+    (higher − position)·v_lo + (position − lower)·v_hi
+    (sql/catalyst PercentileBase.getPercentile). The expressions below
+    are that arithmetic verbatim — the same doubles multiplied and
+    added in the same order — so both lanes agree to the bit.
+
+    Returns one row per group: ``group_cols`` + ``n`` (BIGINT non-NULL
+    count) + one double column per ``qs`` key. NULL group keys survive
+    (groupBy keeps them; no equi-join on the group key happens here —
+    callers joining the result back drop NULL groups exactly as their
+    small lane's join does).
+    """
+    g = list(group_cols)
+    rel = df.groupBy(*g, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    chunked = rel.withColumn(
+        "_chunk", F.floor(F.col(value_col) / chunk_width).cast("long")
+    )
+    w_local = (
+        Window.partitionBy(*g, "_chunk")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = chunked.select(
+        *g,
+        value_col,
+        "_cnt",
+        "_chunk",
+        F.sum("_cnt").over(w_local).alias("_lcum"),
+    )
+    totals = chunked.groupBy(*g, "_chunk").agg(
+        F.sum("_cnt").alias("_ctot")
+    )
+    w_prefix = (
+        (Window.partitionBy(*g) if g else Window)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_total = Window.partitionBy(*g) if g else Window.partitionBy()
+    bal = totals.select(
+        *g,
+        "_chunk",
+        F.coalesce(F.sum("_ctot").over(w_prefix), F.lit(0)).alias("_bal"),
+        F.sum("_ctot").over(w_total).cast("long").alias("_n"),
+    )
+    cum = local.join(F.broadcast(bal), [*g, "_chunk"]).select(
+        *g,
+        value_col,
+        "_cnt",
+        "_n",
+        (F.col("_bal") + F.col("_lcum")).cast("long").alias("_cum"),
+    )
+    # Each 1-based rank r is covered by exactly one rollup row:
+    # the one with min_rank = cum − cnt + 1 ≤ r ≤ cum.
+    aggs = [F.max("_n").alias("n")]
+    for name, q in qs.items():
+        pos = F.lit(float(q)) * (F.col("_n") - 1).cast("double")
+        for side, rank in (("lo", F.floor(pos) + 1), ("hi", F.ceil(pos) + 1)):
+            covers = (F.col("_cum") - F.col("_cnt") + 1 <= rank) & (
+                rank <= F.col("_cum")
+            )
+            aggs.append(
+                F.max(F.when(covers, F.col(value_col))).alias(
+                    f"_{name}_{side}"
+                )
+            )
+    res = cum.groupBy(*g).agg(*aggs)
+    for name, q in qs.items():
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        v_lo, v_hi = F.col(f"_{name}_lo"), F.col(f"_{name}_hi")
+        res = res.withColumn(
+            name,
+            F.when((lo == hi) | (v_lo == v_hi), v_lo).otherwise(
+                (hi.cast("double") - pos) * v_lo
+                + (pos - lo.cast("double")) * v_hi
+            ),
+        )
+    return res.select(*g, "n", *qs.keys())
+
+
 def ntile_col_sql(rank_col: str, n_col: str, k: int) -> str:
     """NTILE(k) of the 1-based rank column over a PER-GROUP row-count
     column as closed-form SQL — the column-operand twin of

@@ -72,6 +72,11 @@ STEPUP_KEYS = [
     "drift_ks",
     "burstiness",
     "stream_kl_divergence",
+    # r13 late additions: the exact-percentile dispatch family
+    # (VERDICT r12 missing #3 — the last documented-not-implemented
+    # approx-boundary pair, now a real two-level lane).
+    "iqr_fences",
+    "tail_cvar",
 ]
 
 # Keys whose registered callable dispatches on a size ceiling: verify
@@ -105,6 +110,12 @@ BIG_LANE_OVERRIDES = {
     ),
     "concurrency_peak": lambda fn: (
         lambda spark, d: fn(spark, d, n_per_key_hint=10**18)
+    ),
+    "iqr_fences": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "tail_cvar": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
     ),
 }
 

@@ -2760,3 +2760,39 @@ def test_event_sweep_family_two_level_plan_shape(spark, sf_dir):
             r"windowspecdefinition\(event_type#\d+, c(hunk)?#\d+L?,", p
         ), f"{fn.__name__}: chunk-partitioned local pass expected"
         assert "CartesianProduct" not in p
+
+
+def test_exact_percentile_family_two_level_plan_shape(spark, sf_dir):
+    """Above PCTL_SORT_ROW_CEILING, iqr_fences and tail_cvar must not
+    plan Spark's Percentile aggregate (its per-group value buffer IS
+    the scale hazard) nor sort the fact per group: the only ordered
+    windows are the chunk-partitioned locals and the group-partitioned
+    chunk-aggregate prefix, the quantile relation arrives broadcast."""
+    import re
+
+    from cpt_database_sync_spark.operators.analytics import (
+        iqr_fences,
+        tail_cvar,
+    )
+
+    for fn, grp, val in (
+        (iqr_fences, r"event_type#\d+", r"value#\d+"),
+        (tail_cvar, r"o_orderpriority#\d+", r"o_totalprice#\d+"),
+    ):
+        p = plan_string(fn(spark, sf_dir, n_rows_hint=10**18))
+        assert "percentile(" not in p, (
+            f"{fn.__name__}: exact Percentile aggregate must not plan "
+            "in the big lane"
+        )
+        assert not re.search(
+            rf"windowspecdefinition\({grp}, {val} ASC", p
+        ), f"{fn.__name__}: per-group fact-slice sort must not plan"
+        assert not re.search(r"windowspecdefinition\(\w+#\d+L? ASC", p), (
+            f"{fn.__name__}: no unpartitioned window"
+        )
+        assert re.search(
+            rf"windowspecdefinition\({grp}, _chunk#\d+L", p
+        ), f"{fn.__name__}: chunk-partitioned local pass expected"
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

@@ -3684,3 +3684,67 @@ def test_event_sweep_family_two_level_lanes_identical(spark, sf_dir):
         a = sorted(map(tuple, fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, fn(spark, sf_dir, **{kw: 10**18}).collect()))
         assert a == b and len(a) > 0, fn.__name__
+
+
+def test_exact_percentile_family_two_level_lanes_identical(spark, sf_dir):
+    """Scale-dispatch twins for the exact-percentile family (VERDICT
+    r12 missing #3 — the last documented-not-implemented swap pair):
+    iqr_fences and tail_cvar above PCTL_SORT_ROW_CEILING must be
+    bit-identical to Spark's built-in exact Percentile lane —
+    group_quantiles_cont replicates PercentileBase.getPercentile's
+    bracketing and interpolation arithmetic verbatim (including both
+    short-circuits: integral position, and equal bracketing values)."""
+    from cpt_database_sync_spark.operators.analytics import (
+        iqr_fences,
+        tail_cvar,
+    )
+
+    for fn in (iqr_fences, tail_cvar):
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(
+            map(tuple, fn(spark, sf_dir, n_rows_hint=10**18).collect())
+        )
+        assert a == b and len(a) > 0, fn.__name__
+
+
+def test_group_quantiles_cont_degenerates(spark):
+    """The closed-form percentile device on the shapes that break
+    naive interpolation: a 1-row group (position 0 — lower==higher
+    short-circuit), a group where both brackets land inside one tie
+    block (equal-values short-circuit), and a 2-row group with a real
+    fractional position. Twin: Spark's own percentile() aggregate."""
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.ranks import (
+        group_quantiles_cont,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("solo", 7.25),
+            ("ties", 3.0),
+            ("ties", 3.0),
+            ("ties", 3.0),
+            ("ties", 9.0),
+            ("pair", 1.0),
+            ("pair", 2.0),
+        ],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: (r["n"], r["q1"], r["med"])
+        for r in group_quantiles_cont(
+            df, ["g"], "v", {"q1": 0.25, "med": 0.5}, chunk_width=2.0
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["q1"], r["med"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.percentile("v", 0.25).alias("q1"),
+            F.percentile("v", 0.5).alias("med"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3
