@@ -585,24 +585,33 @@ def pick_movers(prev: dict[str, float], cur: dict[str, float]) -> list[str]:
     return movers[:ISOLATE_MAX_KEYS]
 
 
-def adjudicate(prev_min: float, isolated_min: float, stable) -> str:
+def adjudicate(
+    prev_min: float, isolated_min: float, stable, fixture_changed: bool = False
+) -> str:
     """Machine-generated per-mover verdict (VERDICT r11 next #3: the
     round-summary sentence must derive from the artifact, not the other
     way around). `noise`: the quiet isolated re-time lands back at the
     prior cost (within ISOLATE_RATIO) — the sharded move was steal /
     cohabitation. `regression` / `improvement`: the isolated number
-    confirms the move. `unstable`: the lane never converged
-    (ISOLATED_MAX_PASSES passes without two minima within tolerance) —
-    trust nothing, re-run on a quiet host."""
+    confirms the move AGAINST THE SAME DATA. `cross-fixture-move`: the
+    move is confirmed but the previous min was timed on a DIFFERENT
+    fixture fingerprint (the driver regenerates /root/testdata between
+    rounds) — a data-distribution shift and a plan change are
+    indistinguishable from timings alone, so the class never asserts
+    either (r13: drift_psi 0.70→1.12 s across regenerated fixtures
+    machine-read as `regression` with zero code changes — this class is
+    the fix). `unstable`: the lane never converged (ISOLATED_MAX_PASSES
+    passes without two minima within tolerance) — trust nothing, re-run
+    on a quiet host."""
     if not stable:
         return "unstable"
     if prev_min <= 0:
         return "regression"
     r = isolated_min / prev_min
-    if r > ISOLATE_RATIO:
-        return "regression"
-    if r < 1.0 / ISOLATE_RATIO:
-        return "improvement"
+    if r > ISOLATE_RATIO or r < 1.0 / ISOLATE_RATIO:
+        if fixture_changed:
+            return "cross-fixture-move"
+        return "regression" if r > ISOLATE_RATIO else "improvement"
     return "noise"
 
 
@@ -741,7 +750,13 @@ def main() -> None:
                         "stable": iso.get("stable"),
                         "loadavg": iso.get("loadavg"),
                         "verdict": adjudicate(
-                            prev_mins[name], iso["min"], iso.get("stable")
+                            prev_mins[name],
+                            iso["min"],
+                            iso.get("stable"),
+                            fixture_changed=(
+                                prev_fixture is not None
+                                and prev_fixture != fixture["hash"]
+                            ),
                         ),
                     }
                     os.remove(out)

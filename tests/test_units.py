@@ -3748,3 +3748,30 @@ def test_group_quantiles_cont_degenerates(spark):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_bench_adjudicate_cross_fixture_class():
+    """A confirmed mover must not class as regression/improvement when
+    the previous min was timed on a DIFFERENT fixture fingerprint (the
+    driver regenerates /root/testdata between rounds; r13: drift_psi
+    0.70→1.12 s with zero code changes machine-read as `regression`
+    before this class existed). noise/unstable are fixture-independent."""
+    import bench
+
+    # confirmed move, same fixture → the real classes
+    assert bench.adjudicate(1.0, 2.0, True) == "regression"
+    assert bench.adjudicate(2.0, 1.0, True) == "improvement"
+    # confirmed move, regenerated fixture → never asserts a plan change
+    assert bench.adjudicate(1.0, 2.0, True, fixture_changed=True) == (
+        "cross-fixture-move"
+    )
+    assert bench.adjudicate(2.0, 1.0, True, fixture_changed=True) == (
+        "cross-fixture-move"
+    )
+    # landing back at the prior cost is noise either way
+    assert bench.adjudicate(1.0, 1.1, True, fixture_changed=True) == "noise"
+    assert bench.adjudicate(1.0, 1.1, True) == "noise"
+    # an unconverged lane trumps everything
+    assert bench.adjudicate(1.0, 9.9, False, fixture_changed=True) == (
+        "unstable"
+    )
