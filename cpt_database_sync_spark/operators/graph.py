@@ -1018,8 +1018,12 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LPA_ROUNDS = 3  # fixed synchronous rounds (oracle unrolls the same count)
 
-_LPA_EDGE_CTES = """
-    flows AS (
+# The three edge relations as BODY strings: the registered oracle
+# composes them as CTEs; the sf1 step-up materializes them stepwise as
+# temp tables from the SAME text (DuckDB 1.0.0 plans the double-inlined
+# `flows` under eu's UNION ALL pathologically at sf1 — reproduced
+# unbounded spill; see tests/stepup.py::_sf1_lpa_oracle).
+_LPA_FLOWS_BODY = """
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
              CAST(count(*) AS BIGINT) AS w
       FROM lineitem l
@@ -1027,18 +1031,25 @@ _LPA_EDGE_CTES = """
       JOIN supplier s ON l.l_suppkey  = s.s_suppkey
       JOIN customer c ON o.o_custkey  = c.c_custkey
       GROUP BY 1, 2
-    ),
-    -- symmetrized weighted edges, self-loops excluded (a self-loop
-    -- only reinforces a node's own label and stalls propagation)
-    eu AS (
+"""
+
+# symmetrized weighted edges, self-loops excluded (a self-loop only
+# reinforces a node's own label and stalls propagation)
+_LPA_EU_BODY = """
       SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
         SELECT src, dst, w FROM flows WHERE src <> dst
         UNION ALL
         SELECT dst, src, w FROM flows WHERE src <> dst
       ) GROUP BY 1, 2
-    ),
-    nodes AS (SELECT DISTINCT node FROM
-              (SELECT src AS node FROM flows UNION ALL SELECT dst FROM flows)),
+"""
+
+_LPA_NODES_BODY = """SELECT DISTINCT node FROM
+              (SELECT src AS node FROM flows UNION ALL SELECT dst FROM flows)"""
+
+_LPA_EDGE_CTES = f"""
+    flows AS ({_LPA_FLOWS_BODY}),
+    eu AS ({_LPA_EU_BODY}),
+    nodes AS ({_LPA_NODES_BODY}),
     l0 AS (SELECT node, node AS lab FROM nodes)
 """
 
@@ -1070,10 +1081,16 @@ def _lpa_round_sql(prev: str, this: str) -> str:
 """
 
 
-_LPA_SQL = (
-    "WITH " + _LPA_EDGE_CTES
-    + "".join(_lpa_round_sql(f"l{i}", f"l{i+1}") for i in range(LPA_ROUNDS))
-    + f"""
+# Exposed as parts so the sf1 step-up can recompose a feasible oracle:
+# DuckDB inlines the lineitem 4-way `flows` join into every unrolled
+# round's `eu` reference at sf1 and spills unboundedly (reproduced:
+# ~6 GB/4 min under an 8 GB cap; the round-13 disk-fill incident).
+# tests/stepup.py materializes eu/nodes ONCE as temp tables from the
+# same CTE text and runs the identical round chain + tail off them.
+_LPA_ROUND_CHAIN = "".join(
+    _lpa_round_sql(f"l{i}", f"l{i+1}") for i in range(LPA_ROUNDS)
+)
+_LPA_TAIL = f"""
     , sizes AS (SELECT lab, COUNT(*) AS csize FROM l{LPA_ROUNDS} GROUP BY lab)
     SELECT nat.n_name,
            CAST(l.lab AS BIGINT) AS community,
@@ -1082,7 +1099,8 @@ _LPA_SQL = (
     JOIN sizes s USING (lab)
     JOIN nation nat ON nat.n_nationkey = l.node
 """
-)
+
+_LPA_SQL = "WITH " + _LPA_EDGE_CTES + _LPA_ROUND_CHAIN + _LPA_TAIL
 
 
 @register("label_propagation", oracle=_LPA_SQL)

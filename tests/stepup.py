@@ -77,6 +77,18 @@ STEPUP_KEYS = [
     # approx-boundary pair, now a real two-level lane).
     "iqr_fences",
     "tail_cvar",
+    # r13 breadth: the iterative-graph family (the per-round
+    # iterate⋈edges dispatch at 10× the edge mass; four keys also get
+    # forced co-partitioned BIG-lane oracle rows), the IVF ANN probe,
+    # the Derby FK audit, and the heaviest streaming soak key.
+    "pagerank_nations",
+    "bfs_hops",
+    "label_propagation",
+    "local_clustering",
+    "jaccard_neighbors",
+    "sim_ann_ivf",
+    "sync_fk_audit",
+    "stream_page_hinkley",
 ]
 
 # Keys whose registered callable dispatches on a size ceiling: verify
@@ -116,6 +128,21 @@ BIG_LANE_OVERRIDES = {
     ),
     "tail_cvar": lambda fn: (
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    # graph iterate-join dispatch: forcing the node hint past
+    # GRAPH_BCAST_NODE_CEILING flips every per-round join to the
+    # co-partitioned shuffle lane — the 100 TB physical plan.
+    "pagerank_nations": lambda fn: (
+        lambda spark, d: fn(spark, d, n_nodes_hint=10**18)
+    ),
+    "label_propagation": lambda fn: (
+        lambda spark, d: fn(spark, d, n_nodes_hint=10**18)
+    ),
+    "connected_components": lambda fn: (
+        lambda spark, d: fn(spark, d, n_nodes_hint=10**18)
+    ),
+    "shortest_path_weighted": lambda fn: (
+        lambda spark, d: fn(spark, d, n_nodes_hint=10**18)
     ),
 }
 
@@ -165,6 +192,48 @@ GOLDEN_REFERENCE_CHECKS = {
 }
 
 
+def _sf1_lpa_oracle(con) -> str:
+    """Feasible sf1 form of label_propagation's oracle: DuckDB 1.0.0
+    plans the double-inlined `flows` 4-way lineitem join under eu's
+    UNION ALL pathologically at sf1 and spills unboundedly (reproduced:
+    the direct flows join runs in 1.2 s, the same join through the eu
+    CTE never returns and filled the disk — the round-13 incident).
+    Materialize flows → eu → nodes STEPWISE as temp tables from the
+    SAME body strings the registered oracle composes as CTEs, then run
+    the identical round chain + tail off them — the value contract is
+    unchanged (asserted value-identical to the registered single
+    statement at sf0.01 in test_units), only the oracle's physical
+    plan is."""
+    from cpt_database_sync_spark.operators.graph import (
+        _LPA_EU_BODY,
+        _LPA_FLOWS_BODY,
+        _LPA_NODES_BODY,
+        _LPA_ROUND_CHAIN,
+        _LPA_TAIL,
+    )
+
+    for rel, body in (
+        ("flows", _LPA_FLOWS_BODY),
+        ("eu", _LPA_EU_BODY),
+        ("nodes", _LPA_NODES_BODY),
+    ):
+        con.execute(f"CREATE OR REPLACE TEMP TABLE {rel} AS " + body)
+    return (
+        "WITH l0 AS (SELECT node, node AS lab FROM nodes)"
+        + _LPA_ROUND_CHAIN
+        + _LPA_TAIL
+    )
+
+
+# Keys whose REGISTERED oracle is infeasible on the big dir (oracle-side
+# physics, not engine-side): callable(con) prepares state and returns the
+# value-identical SQL actually run at sf1. Recorded per key as
+# oracle_note in the output.
+SF1_ORACLE_REWRITES = {
+    "label_propagation": _sf1_lpa_oracle,
+}
+
+
 def time_key(fn, spark, sf_dir: str, trials: int = 2) -> float:
     best = float("inf")
     for _ in range(trials):
@@ -201,9 +270,14 @@ def main() -> None:
         t_small = time_key(spec.fn, spark, small)
         t_big = time_key(spec.fn, spark, big)
         golden = spec.oracle and "corpus_md5" in spec.oracle
-        if spec.oracle and not golden:
+        oracle = spec.oracle
+        oracle_note = None
+        if name in SF1_ORACLE_REWRITES and oracle and not golden:
+            oracle = SF1_ORACLE_REWRITES[name](con)
+            oracle_note = "rewritten: CTEs materialized (see docstring)"
+        if oracle and not golden:
             problems, nrows = run_query_pair(
-                spark, con, spec.fn, spec.oracle, big
+                spark, con, spec.fn, oracle, big
             )
             status = "pass" if not problems else "FAIL"
             if problems:
@@ -228,10 +302,12 @@ def main() -> None:
             "parity": status,
             "rows_big": nrows,
         }
-        if name in BIG_LANE_OVERRIDES and spec.oracle and not golden:
+        if oracle_note:
+            out[name]["oracle_note"] = oracle_note
+        if name in BIG_LANE_OVERRIDES and oracle and not golden:
             big_fn = BIG_LANE_OVERRIDES[name](spec.fn)
             t0 = time.perf_counter()
-            problems2, _ = run_query_pair(spark, con, big_fn, spec.oracle, big)
+            problems2, _ = run_query_pair(spark, con, big_fn, oracle, big)
             out[name]["parity_big_lane"] = "pass" if not problems2 else "FAIL"
             out[name]["t_big_lane"] = round(time.perf_counter() - t0, 3)
             if problems2:

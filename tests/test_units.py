@@ -3775,3 +3775,85 @@ def test_bench_adjudicate_cross_fixture_class():
     assert bench.adjudicate(1.0, 9.9, False, fixture_changed=True) == (
         "unstable"
     )
+
+
+def test_group_quantiles_cont_property(spark):
+    """Property form of the exact-percentile twin (hypothesis): for ANY
+    grouped value multiset — ties, negative values, chunk-boundary
+    multiples, singleton groups — group_quantiles_cont must equal
+    Spark's built-in exact percentile() aggregate bit-for-bit at
+    interior AND extreme quantiles. 12 adversarial examples per run;
+    the fixture twins pin the real-data case."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.ranks import (
+        group_quantiles_cont,
+    )
+
+    values = st.one_of(
+        st.floats(
+            min_value=-1e4, max_value=1e4,
+            allow_nan=False, allow_infinity=False,
+        ),
+        # exact chunk boundaries and small tie-prone integers
+        st.integers(min_value=-6, max_value=6).map(lambda k: k * 7.0),
+    )
+    QS = {"p05": 0.05, "q1": 0.25, "med": 0.5, "p95": 0.95}
+
+    @given(
+        groups=st.dictionaries(
+            st.sampled_from(["a", "b", "c"]),
+            st.lists(values, min_size=1, max_size=12),
+            min_size=1, max_size=3,
+        )
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(groups):
+        rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r["g"]: tuple(r[c] for c in ("n", *QS))
+            for r in group_quantiles_cont(
+                df, ["g"], "v", QS, chunk_width=7.0
+            ).collect()
+        }
+        want = {
+            r["g"]: tuple(r[c] for c in ("n", *QS))
+            for r in df.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[F.percentile("v", q).alias(c) for c, q in QS.items()],
+            )
+            .collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_lpa_sf1_oracle_rewrite_value_identical(spark, sf_dir):
+    """The sf1 step-up's materialized-temp-table form of
+    label_propagation's oracle (tests/stepup.py::_sf1_lpa_oracle —
+    DuckDB 1.0.0 plans the registered single statement pathologically
+    at sf1) must produce exactly the registered oracle's rows: same
+    body text, different physical plan only."""
+    import duckdb
+
+    from cpt_database_sync_spark.operators.graph import _LPA_SQL
+    from cpt_database_sync_spark.sources.tables import ALL_TABLES
+    from tests.stepup import _sf1_lpa_oracle
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    a = sorted(con.execute(_LPA_SQL).fetchall())
+    b = sorted(con.execute(_sf1_lpa_oracle(con)).fetchall())
+    assert a == b and len(a) > 0
