@@ -400,3 +400,48 @@ def test_r11_keys_on_their_edge_shapes(spark, edge_shapes_sf_dir):
         f"{edge_shapes_sf_dir}/embeddings.parquet"
     ).count()
     assert reb.count() == n_in, "single-class rebalance must be a no-op"
+
+
+def test_big_lanes_on_degenerate_fixtures(
+    spark, empty_sf_dir, one_row_sf_dir, payload_nulls_sf_dir
+):
+    """Forced BIG lanes on the empty, 1-row and null-payload fixtures
+    (r13): the default-lane sweeps above never reach the scale lanes —
+    the footer probe sees tiny counts — yet at 100 TB an empty
+    PARTITION of a huge table presents exactly this shape to the big
+    plan, and NULL groups/measures are where rollup+equi-join lanes
+    silently drop rows the window lanes keep. Every ceiling-dispatched
+    key (the stepup BIG_LANE_OVERRIDES set, forced past its ceiling)
+    must run and agree with its oracle on all three shapes: no
+    empty-chunk prefix assumptions, no 0-row broadcast literal typing,
+    no n−1/0 in the closed forms, no NULL-key join drops."""
+    from tests.stepup import BIG_LANE_OVERRIDES
+
+    failures = []
+    for dirpath in (empty_sf_dir, one_row_sf_dir, payload_nulls_sf_dir):
+        con = duckdb.connect()
+        for t in ALL_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{dirpath}/{t}.parquet'"
+            )
+        specs = all_specs()
+        for name, wrap in sorted(BIG_LANE_OVERRIDES.items()):
+            spec = specs[name]
+            if spec.oracle is None or _golden_keyed(spec):
+                continue
+            try:
+                problems, _ = run_query_pair(
+                    spark, con, wrap(spec.fn), spec.oracle, dirpath,
+                    name=name,
+                )
+                if problems:
+                    failures.append(
+                        f"{name}@{os.path.basename(dirpath)}: {problems[0]}"
+                    )
+            except Exception as e:  # noqa: BLE001
+                failures.append(
+                    f"{name}@{os.path.basename(dirpath)}: EXCEPTION "
+                    f"{type(e).__name__}: {e}"
+                )
+        con.close()
+    assert not failures, "\n".join(failures)
