@@ -2648,6 +2648,16 @@ def test_size_dispatch_derives_from_footer(spark, sf_dir, monkeypatch):
     p = plan_string(gr.pagerank_nations(spark, sf_dir, n_nodes_hint=10**9))
     assert "ShuffledHashJoin" in p
 
+    # exact-percentile pair (r13): hint-free call must leave the
+    # Percentile aggregate for the two-level rollup lane.
+    monkeypatch.setattr(an, "PCTL_SORT_ROW_CEILING", 1)
+    for fn in (an.iqr_fences, an.tail_cvar):
+        p = plan_string(fn(spark, sf_dir))
+        assert "percentile(" not in p, fn.__name__
+        assert re.search(r"windowspecdefinition\(\w+#\d+, _chunk#\d+L", p), (
+            fn.__name__
+        )
+
 
 def test_quantile_normalize_two_level_plan_shape(spark, sf_dir):
     """Above the ceiling, quantile_normalize must never sort the fact
