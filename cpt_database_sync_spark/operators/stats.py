@@ -3244,6 +3244,13 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Levene / Brown-Forsythe variance-homogeneity test --------------------
 
+# Same governance as analytics.PCTL_SORT_ROW_CEILING (the iqr_fences /
+# tail_cvar pair): above this many fact rows the exact median leaves
+# Spark's Percentile aggregate for ranks.group_quantiles_cont. Own
+# binding so monkeypatch-style tests patch per module.
+PCTL_SORT_ROW_CEILING = 50_000_000
+QUANTITY_CHUNK_WIDTH = 5.0  # l_quantity spans [1, 50] integers
+
 # The ANOVA machinery applied to DOUBLED absolute deviations from the
 # group MEDIAN: with integer-valued x and a median landing on x.0/x.5,
 # z2 = |2x - 2*med| is an exact BIGINT per row, and the F statistic is
@@ -3296,8 +3303,10 @@ _LEVENE_SQL = f"""
 """
 
 
-@register("levene_test", oracle=_LEVENE_SQL)
-def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("levene_test", oracle=_LEVENE_SQL, tags=("reverify:r13",))
+def levene_test(
+    spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
+) -> DataFrame:
     """Levene's variance-homogeneity test (Brown-Forsythe variant:
     deviations from the group MEDIAN, the robust recommendation) —
     does the SPREAD of quantity differ across return flags? The
@@ -3316,17 +3325,41 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operands, round-9. Degenerate k=1 / N=k: NULL via
     NULLIF.
 
-    Physics: one per-group exact-median rollup (the per-group sort,
-    `agg_percentile`'s physics) broadcast back over ONE deviation
-    pass (the `iqr_fences` shape), then k-row arithmetic. The GK
-    sketch replaces the median sort at 100 TB (documented swap).
+    Physics: the per-group median relation broadcast back over ONE
+    deviation pass (the `iqr_fences` shape), then k-row arithmetic.
+    BELOW ``PCTL_SORT_ROW_CEILING`` rows (footer-derived hint) the
+    median is Spark's built-in exact Percentile; ABOVE it,
+    ``ranks.group_quantiles_cont`` — the per-(flag, quantity) rollup
+    through the flag-grouped two-level cumulative counts with
+    Percentile's own interpolation as a closed form (bit-identical
+    twin; the r13 exact-percentile dispatch closing this key's
+    documented swap). The GK sketch stays the documented lane when
+    even the rollup is too hot (quantities here are 50 distinct
+    integers — the rollup IS vocabulary-sized).
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull()
     )
-    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.percentile("l_quantity", 0.5).alias("md")
-    )
+    if n_rows_hint == 0:
+        n_rows_hint = table_rowcount(sf_dir, "lineitem")
+    if n_rows_hint > PCTL_SORT_ROW_CEILING:
+        from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+            group_quantiles_cont,
+        )
+
+        med = group_quantiles_cont(
+            li.select(
+                "l_returnflag", F.col("l_quantity").cast("double").alias("q")
+            ),
+            ["l_returnflag"],
+            "q",
+            {"md": 0.5},
+            chunk_width=QUANTITY_CHUNK_WIDTH,
+        ).select(F.col("l_returnflag").alias("flag"), "md")
+    else:
+        med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.percentile("l_quantity", 0.5).alias("md")
+        )
     z = li.join(
         F.broadcast(med), F.col("l_returnflag") == F.col("flag")
     ).select("flag", F.expr(_LEVENE_Z2).alias("z2"))

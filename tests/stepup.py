@@ -74,9 +74,10 @@ STEPUP_KEYS = [
     "stream_kl_divergence",
     # r13 late additions: the exact-percentile dispatch family
     # (VERDICT r12 missing #3 — the last documented-not-implemented
-    # approx-boundary pair, now a real two-level lane).
+    # approx-boundary swaps, now real two-level lanes).
     "iqr_fences",
     "tail_cvar",
+    "levene_test",
     # r13 breadth: the iterative-graph family (the per-round
     # iterate⋈edges dispatch at 10× the edge mass; four keys also get
     # forced co-partitioned BIG-lane oracle rows), the IVF ANN probe,
@@ -127,6 +128,9 @@ BIG_LANE_OVERRIDES = {
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
     ),
     "tail_cvar": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "levene_test": lambda fn: (
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
     ),
     # graph iterate-join dispatch: forcing the node hint past

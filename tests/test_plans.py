@@ -2648,10 +2648,11 @@ def test_size_dispatch_derives_from_footer(spark, sf_dir, monkeypatch):
     p = plan_string(gr.pagerank_nations(spark, sf_dir, n_nodes_hint=10**9))
     assert "ShuffledHashJoin" in p
 
-    # exact-percentile pair (r13): hint-free call must leave the
+    # exact-percentile family (r13): hint-free call must leave the
     # Percentile aggregate for the two-level rollup lane.
     monkeypatch.setattr(an, "PCTL_SORT_ROW_CEILING", 1)
-    for fn in (an.iqr_fences, an.tail_cvar):
+    monkeypatch.setattr(st, "PCTL_SORT_ROW_CEILING", 1)
+    for fn in (an.iqr_fences, an.tail_cvar, st.levene_test):
         p = plan_string(fn(spark, sf_dir))
         assert "percentile(" not in p, fn.__name__
         assert re.search(r"windowspecdefinition\(\w+#\d+, _chunk#\d+L", p), (
@@ -2784,10 +2785,12 @@ def test_exact_percentile_family_two_level_plan_shape(spark, sf_dir):
         iqr_fences,
         tail_cvar,
     )
+    from cpt_database_sync_spark.operators.stats import levene_test
 
     for fn, grp, val in (
         (iqr_fences, r"event_type#\d+", r"value#\d+"),
         (tail_cvar, r"o_orderpriority#\d+", r"o_totalprice#\d+"),
+        (levene_test, r"l_returnflag#\d+", r"(q|l_quantity)#\d+"),
     ):
         p = plan_string(fn(spark, sf_dir, n_rows_hint=10**18))
         assert "percentile(" not in p, (
