@@ -1615,8 +1615,11 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       quantile_cont(lat_us, 0.9) / 1e6 AS p90_latency_s
     FROM conv
     """,
+    tags=("reverify:r13",),
 )
-def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funnel_latency(
+    spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
+) -> DataFrame:
     """Time-to-convert — the metric `funnel` (stage counts) doesn't
     answer: among users whose first 'view' was eventually followed by a
     'purchase', how LONG did conversion take (p50/p90)? Product teams
@@ -1630,9 +1633,19 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact order-statistic interpolation over |converted| integers
     (agg_percentile's bit-parity precedent: F.percentile ≡
     quantile_cont), divided by 1e6 AFTER interpolation so both engines
-    run the identical IEEE steps. At 100 TB the exact percentile over
-    per-user latencies is |users|-sized — fine; raw-event-sized inputs
-    would switch to the mergeable histogram family.
+    run the identical IEEE steps.
+
+    BELOW ``PCTL_SORT_ROW_CEILING`` fact rows (footer-derived hint)
+    the percentile is Spark's built-in exact Percentile — whose
+    single-group value buffer is |converted users|-sized, i.e.
+    corpus-proportional, the scale hazard. ABOVE it,
+    ``ranks.group_quantiles_cont`` with NO group column: per distinct
+    latency rollup → hour-wide chunked cumulative counts (|chunks| is
+    bounded by the latency DOMAIN — the event-time span in hours —
+    never by the corpus) → bracketing order statistics by rank →
+    Percentile's own interpolation as a closed form. Bit-identical
+    twin; the |chunks|-row unpartitioned prefix is the audited bounded
+    class (mann_whitney_u's justification).
     """
     ev = load(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
@@ -1650,11 +1663,33 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     viewed = firsts.agg(F.count("fv").alias("n_viewed"))
-    stats = conv.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.percentile("lat_us", 0.5).alias("p50_us"),
-        F.percentile("lat_us", 0.9).alias("p90_us"),
-    )
+    if n_rows_hint == 0:
+        n_rows_hint = table_rowcount(sf_dir, "events")
+    if n_rows_hint > PCTL_SORT_ROW_CEILING:
+        from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+            group_quantiles_cont,
+        )
+
+        stats = group_quantiles_cont(
+            conv.select(F.col("lat_us").cast("double").alias("lat_us")),
+            [],
+            "lat_us",
+            {"p50_us": 0.5, "p90_us": 0.9},
+            chunk_width=LAT_US_CHUNK_WIDTH,
+        ).select(
+            # empty-input degenerate: the global agg still emits one
+            # row, n = max over nothing = NULL — the small lane's
+            # count() says 0 there.
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_converted"),
+            "p50_us",
+            "p90_us",
+        )
+    else:
+        stats = conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.percentile("lat_us", 0.5).alias("p50_us"),
+            F.percentile("lat_us", 0.9).alias("p90_us"),
+        )
     return stats.crossJoin(F.broadcast(viewed)).select(
         F.col("n_viewed").cast("bigint").alias("n_viewed"),
         F.col("n_converted").cast("bigint").alias("n_converted"),
@@ -3188,6 +3223,10 @@ PCTL_SORT_ROW_CEILING = 50_000_000
 # chunk-aggregate prefix has real parallelism feeding it.
 EVENT_VALUE_CHUNK_WIDTH = 50.0  # events.value spans ~[0, 500)
 PRICE_CHUNK_WIDTH = 10_000.0  # o_totalprice spans ~[900, 600k)
+# funnel_latency: one hour of microseconds per chunk — |chunks| =
+# the corpus's event-time span in hours (domain-bounded; the sf0.01
+# latency range is ~[425 s, 10.3 days] ≈ 247 chunks).
+LAT_US_CHUNK_WIDTH = 3_600_000_000.0
 
 _IQR_SQL = """
     WITH q AS (

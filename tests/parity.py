@@ -94,6 +94,9 @@ def decimal_display_offenders(sdf) -> list[str]:
 UNPARTITIONED_WINDOW_ALLOWLIST = {
     "bm25_retrieval",        # |top-k candidates| rank, docstring-costed
     "data_skew_profile",     # |distinct keys| rollup rank
+    "funnel_latency",        # |chunks| prefix above the ceiling (two-level
+                             # device; chunks = event-time span in hours,
+                             # domain-bounded — the mann_whitney_u class)
     "join_lateral",          # ANSI lateral demo over the |orders/custkey| rows
     "kaplan_meier",          # |event calendar| suffix sum
     "kruskal_wallis",        # |chunks|-row prefix (the two-level device)

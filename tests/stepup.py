@@ -78,6 +78,7 @@ STEPUP_KEYS = [
     "iqr_fences",
     "tail_cvar",
     "levene_test",
+    "funnel_latency",
     # r13 breadth: the iterative-graph family (the per-round
     # iterate⋈edges dispatch at 10× the edge mass; four keys also get
     # forced co-partitioned BIG-lane oracle rows), the IVF ANN probe,
@@ -131,6 +132,9 @@ BIG_LANE_OVERRIDES = {
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
     ),
     "levene_test": lambda fn: (
+        lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    "funnel_latency": lambda fn: (
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
     ),
     # graph iterate-join dispatch: forcing the node hint past

@@ -2658,6 +2658,11 @@ def test_size_dispatch_derives_from_footer(spark, sf_dir, monkeypatch):
         assert re.search(r"windowspecdefinition\(\w+#\d+, _chunk#\d+L", p), (
             fn.__name__
         )
+    # funnel_latency is the family's GLOBAL (no-group) member: the
+    # local pass partitions by the chunk alone.
+    p = plan_string(an.funnel_latency(spark, sf_dir))
+    assert "percentile(" not in p
+    assert re.search(r"windowspecdefinition\(_chunk#\d+L, lat_us#\d+", p)
 
 
 def test_quantile_normalize_two_level_plan_shape(spark, sf_dir):
@@ -2809,3 +2814,18 @@ def test_exact_percentile_family_two_level_plan_shape(spark, sf_dir):
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+    # funnel_latency: the GLOBAL (no-group) member. The local
+    # cumulative pass partitions by the chunk; the ONLY unpartitioned
+    # window is the |chunks|-row aggregate prefix (domain-bounded —
+    # the audited allowlist class), never the raw latency relation.
+    from cpt_database_sync_spark.operators.analytics import funnel_latency
+
+    p = plan_string(funnel_latency(spark, sf_dir, n_rows_hint=10**18))
+    assert "percentile(" not in p
+    assert re.search(r"windowspecdefinition\(_chunk#\d+L, lat_us#\d+", p)
+    assert not re.search(r"windowspecdefinition\(lat_us#\d+ ASC", p), (
+        "global latency sort must not plan"
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -3700,7 +3700,9 @@ def test_exact_percentile_family_two_level_lanes_identical(spark, sf_dir):
     )
     from cpt_database_sync_spark.operators.stats import levene_test
 
-    for fn in (iqr_fences, tail_cvar, levene_test):
+    from cpt_database_sync_spark.operators.analytics import funnel_latency
+
+    for fn in (iqr_fences, tail_cvar, levene_test, funnel_latency):
         a = sorted(map(tuple, fn(spark, sf_dir).collect()))
         b = sorted(
             map(tuple, fn(spark, sf_dir, n_rows_hint=10**18).collect())
