@@ -3058,7 +3058,8 @@ _FUNNEL_WINDOW_SQL = f"""
 def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed conversion funnel (the windowFunnel semantics):
     view → click → purchase counts at each stage only when the whole
-    chain completes within {hours} hours of the user's FIRST view.
+    chain completes within 48 hours (``FUNNEL_WINDOW_US``) of the
+    user's FIRST view.
     `funnel` answers "did they ever convert"; this answers "did they
     convert in THIS session/campaign horizon" — the form attribution
     and campaign analytics actually need. Entry is greedy (the first
@@ -3078,7 +3079,7 @@ def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, costing nothing. The three counts union into ONE lazy
     plan. The anchor time t1 is carried through the frontier rows, so
     no stage re-reads a prior stage's events.
-    """.format(hours=FUNNEL_WINDOW_US // 3_600_000_000)
+    """
     ev = load(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == "view")

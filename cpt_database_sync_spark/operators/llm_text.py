@@ -1558,7 +1558,8 @@ _VOCAB_GROWTH_SQL = f"""
 def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary growth curve (Heaps' law, V ≈ K·N^β): cumulative
     distinct-token count vs cumulative token count, sampled at
-    {b} corpus-prefix deciles in doc_id order. The curation signal
+    10 (``VOCAB_GROWTH_BUCKETS``) corpus-prefix deciles in doc_id
+    order. The curation signal
     behind "is more data still adding new language?" — a flattening
     curve means the corpus is saturating (dedup/boilerplate); a curve
     that keeps β ≈ 0.5 means continued lexical coverage. Complements
@@ -1569,22 +1570,22 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, empties dropped — identical on both engines). Exactness:
     a token's contribution to vocabulary is its FIRST position
     (MIN over an exact integer doc position); positions map to
-    deciles by pure integer arithmetic ceil(pos·{b}/N) =
-    (pos·{b}+N−1) div N; both cumulative sums are BIGINT windows
-    over the {b}-row grid. The grid LEFT JOIN pins empty deciles to
+    deciles by pure integer arithmetic ceil(pos·10/N) =
+    (pos·10+N−1) div N; both cumulative sums are BIGINT windows
+    over the 10-row grid. The grid LEFT JOIN pins empty deciles to
     0 (degenerate fixtures).
 
     Physics: one corpus scan; the first-occurrence rollup is the
     dedup-shaped groupBy(word) — map-side-combined, the shuffle
     carries one row per DISTINCT word (the `dedup_exact`
-    discipline); the occurrence rollup is {b} rows straight off the
+    discipline); the occurrence rollup is 10 rows straight off the
     generator. Everything downstream is grid-sized. The doc-position
     ROW_NUMBER is the one global-order structure — at 100 TB the
     position becomes a precomputed monotonic id (files are already
     ordered by ingestion; zone-map prefix counts give pos without a
     global sort — documented swap), and the word rollup shuffles
     xxhash64(word) exactly as `dedup_substring`'s hashed lane.
-    """.format(b=VOCAB_GROWTH_BUCKETS)
+    """
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     w = Window.orderBy("doc_id")
     d = docs.select(

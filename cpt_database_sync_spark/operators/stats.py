@@ -2722,8 +2722,9 @@ def _rank_avg2_two_level(
 
 @register("mann_whitney_u", oracle=_MWU_SQL)
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test: do '{g1}'
-    and '{g2}' events draw their `value` from the same distribution?
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test: do 'click'
+    and 'purchase' events (``MWU_GROUP1``/``MWU_GROUP2``) draw their
+    `value` from the same distribution?
     The nonparametric counterpart to a t-test — the distribution-drift
     primitive that needs no binning (`drift_psi`/`drift_ks` bin or
     step; this ranks) — over pooled average ranks: U1 = R1 -
@@ -2751,7 +2752,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the distinct-value relation is the honest footprint of an
     exact rank test; if values are near-unique the GK-sketch rank
     lane substitutes (documented swap, same closed form).
-    """.format(g1=MWU_GROUP1, g2=MWU_GROUP2)
+    """
     ev = load(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
         & F.col("event_type").isin(MWU_GROUP1, MWU_GROUP2)

@@ -2047,8 +2047,9 @@ _LJUNG_BOX_SQL = f"""
 
 @register("ljung_box", oracle=_LJUNG_BOX_SQL)
 def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ljung-Box portmanteau test per event type: Q = n(n+2) Σ_{{k≤h}}
-    ρ_k²/(n−k) over the first {h} daily autocorrelations — turns
+    """Ljung-Box portmanteau test per event type: Q = n(n+2) Σ_{k≤h}
+    ρ_k²/(n−k) over the first 7 (``ACF_MAX_LAG``) daily
+    autocorrelations — turns
     `autocorr_daily`'s per-lag DIAGNOSTICS into one whiteness TEST
     statistic (χ²_h under independence; the standard residual check
     after `trend_fit`/`holt_linear_forecast` claim to have explained a
@@ -2058,7 +2059,7 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: all pair moments are exact BIGINTs off the SAME rollup
     shape as `autocorr_daily`; each ρ_k and each Q contribution is one
-    shared expression text over those exact operands; the ≤{h} per-type
+    shared expression text over those exact operands; the ≤7 per-type
     contributions fold in LAG ORDER on both engines (the
     `anova_oneway` device); Q is one shared closed form, round-9.
     Degenerate lags (zero-variance pair sets → ρ NULL) contribute 0
@@ -2066,9 +2067,9 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physics: one map-side-combined daily rollup (cached, consumed by
     the pair join, its own lag-shift side, and the length rollup); the
-    lag join fans each CALENDAR-sized row out {h} ways — never
-    corpus-sized; the fold list is ≤{h} long per type.
-    """.format(h=ACF_MAX_LAG)
+    lag join fans each CALENDAR-sized row out 7 ways — never
+    corpus-sized; the fold list is ≤7 long per type.
+    """
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", _dn().alias("dn"))
@@ -2260,8 +2261,9 @@ _SIGN_SQL = f"""
 
 @register("sign_test", oracle=_SIGN_SQL)
 def sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paired sign test: on each observed day, does '{a}' volume
-    exceed '{b}' volume? — the PAIRED two-sample test completing the
+    """Paired sign test: on each observed day, does 'click' volume
+    exceed 'view' volume (``SIGN_A``/``SIGN_B``)? — the PAIRED
+    two-sample test completing the
     battery (`mann_whitney_u` compares two UNPAIRED samples; pairing
     by day blocks out the shared daily level, so a consistent small
     excess is detected even when day-to-day swings dwarf it). Days
@@ -2278,7 +2280,7 @@ def sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physics: one map-side-combined daily rollup, a |days|-row
     re-rollup, a single-row fold. Calendar-sized after the first
     pass.
-    """.format(a=SIGN_A, b=SIGN_B)
+    """
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", _dn().alias("dn"))
