@@ -3321,6 +3321,25 @@ def test_survey_registry_key_sets_match():
     )
 
 
+def test_registry_descriptions_nonempty():
+    """Registry-wide docstring lint (ADVICE r12 made structural): a
+    ``\"\"\"...\"\"\".format(...)`` tail turns the docstring literal
+    into a discarded expression — __doc__ is None and the registered
+    description goes empty, silently. Every key must carry a real
+    description with no unrendered {placeholder} (math-set notation
+    like {k≤h} and informal parameter names in UNformatted docstrings
+    are fine — the lint only rejects an EMPTY description)."""
+    from cpt_database_sync_spark.plans.registry import all_specs
+
+    empty = [
+        k for k, s in all_specs().items() if not (s.fn.__doc__ or "").strip()
+    ]
+    assert not empty, (
+        f"registered keys with empty descriptions (check for a "
+        f'""".format() tail): {empty}'
+    )
+
+
 def test_rank_avg2_two_level_property(spark):
     """Property form of the two-level twin (hypothesis): for ANY
     distinct-value relation — negative values, values spanning many
