@@ -1507,6 +1507,9 @@ def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Vocabulary growth (Heaps curve) ----------------------------------------
 
 VOCAB_GROWTH_BUCKETS = 10  # corpus-prefix deciles the curve is sampled at
+# doc_ids per chunk for the two-level position device: 1e10 docs →
+# 1e5 chunk aggregates through the one |chunks|-row prefix task.
+VOCAB_DOC_CHUNK = 100_000
 
 _VOCAB_GROWTH_SQL = f"""
     WITH d AS (
@@ -1554,8 +1557,10 @@ _VOCAB_GROWTH_SQL = f"""
 """
 
 
-@register("vocab_growth", oracle=_VOCAB_GROWTH_SQL)
-def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("vocab_growth", oracle=_VOCAB_GROWTH_SQL, tags=("reverify:r13",))
+def vocab_growth(
+    spark: SparkSession, sf_dir: str, doc_chunk: int = 0
+) -> DataFrame:
     """Vocabulary growth curve (Heaps' law, V ≈ K·N^β): cumulative
     distinct-token count vs cumulative token count, sampled at
     10 (``VOCAB_GROWTH_BUCKETS``) corpus-prefix deciles in doc_id
@@ -1579,20 +1584,30 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-shaped groupBy(word) — map-side-combined, the shuffle
     carries one row per DISTINCT word (the `dedup_exact`
     discipline); the occurrence rollup is 10 rows straight off the
-    generator. Everything downstream is grid-sized. The doc-position
-    ROW_NUMBER is the one global-order structure — at 100 TB the
-    position becomes a precomputed monotonic id (files are already
-    ordered by ingestion; zone-map prefix counts give pos without a
-    global sort — documented swap), and the word rollup shuffles
-    xxhash64(word) exactly as `dedup_substring`'s hashed lane.
+    generator. Everything downstream is grid-sized. The doc position
+    comes from ``ranks.two_level_row_number`` over monotone
+    ``doc_id div VOCAB_DOC_CHUNK`` chunks (r13 — this used to be the
+    corpus-sized single-task ROW_NUMBER the curriculum_stages rework
+    killed): chunk-local row_numbers in parallel, one |chunks|-row
+    prefix, and n_docs rides the SAME chunk-aggregate broadcast (the
+    old global COUNT() OVER () funnel is gone too). The word rollup
+    shuffles xxhash64(word) exactly as `dedup_substring`'s hashed
+    lane. ``doc_chunk`` overrides the chunk width (tests force the
+    multi-chunk path at fixture scale).
     """
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    w = Window.orderBy("doc_id")
-    d = docs.select(
-        "text",
-        F.row_number().over(w).alias("pos"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_docs"),
+    from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+        two_level_row_number,
     )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    width = doc_chunk or VOCAB_DOC_CHUNK
+    d = two_level_row_number(
+        docs.select("doc_id", "text"),
+        chunk=F.expr(f"doc_id div {width}"),
+        order_cols=["doc_id"],
+        out="pos",
+        total_col="n_docs",
+    ).select("text", "pos", "n_docs")
     tok = d.select(
         "pos", "n_docs", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

@@ -106,7 +106,8 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "rolling_corr",          # |calendar days| relation
     "skyline_pareto",        # |parts| dimension dominance sort
     "sql_ansi_extras",       # ANSI window-surface demo, |orders| bounded slice
-    "vocab_growth",          # |vocab| first-occurrence + |deciles| grid
+    "vocab_growth",          # |chunks| position prefix (two-level device,
+                             # r13) + |deciles| grid
     "weighted_sample",       # |sample k| rank
     "zipf_fit",              # |vocab| rank, docstring-costed
 }

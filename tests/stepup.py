@@ -79,6 +79,7 @@ STEPUP_KEYS = [
     "tail_cvar",
     "levene_test",
     "funnel_latency",
+    "vocab_growth",
     # r13 breadth: the iterative-graph family (the per-round
     # iterate⋈edges dispatch at 10× the edge mass; four keys also get
     # forced co-partitioned BIG-lane oracle rows), the IVF ANN probe,
@@ -136,6 +137,12 @@ BIG_LANE_OVERRIDES = {
     ),
     "funnel_latency": lambda fn: (
         lambda spark, d: fn(spark, d, n_rows_hint=10**18)
+    ),
+    # vocab_growth has a single (two-level) lane; the override forces
+    # the MULTI-chunk shape at fixture scale (default width covers the
+    # whole fixture in one chunk).
+    "vocab_growth": lambda fn: (
+        lambda spark, d: fn(spark, d, doc_chunk=7)
     ),
     # graph iterate-join dispatch: forcing the node hint past
     # GRAPH_BCAST_NODE_CEILING flips every per-round join to the

@@ -2829,3 +2829,26 @@ def test_exact_percentile_family_two_level_plan_shape(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_vocab_growth_two_level_plan_shape(spark, sf_dir):
+    """vocab_growth (r13 rework): the doc position must come from
+    chunk-partitioned local row_numbers — NO window ordered by the
+    bare doc_id (the corpus-sized single-task sort) and NO global
+    unbounded COUNT() OVER () (n_docs rides the chunk-aggregate
+    broadcast). The only unpartitioned ordered windows left are the
+    |chunks| prefix and the 10-row decile grid cumsum."""
+    import re
+
+    from cpt_database_sync_spark.operators.llm_text import vocab_growth
+
+    p = plan_string(vocab_growth(spark, sf_dir, doc_chunk=7))
+    assert not re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", p), (
+        "corpus-sized single-task doc_id sort must not plan"
+    )
+    assert re.search(r"windowspecdefinition\(_chunk#\d+L, doc_id#\d+", p), (
+        "chunk-partitioned local row_number expected"
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -3705,6 +3705,21 @@ def test_event_sweep_family_two_level_lanes_identical(spark, sf_dir):
         assert a == b and len(a) > 0, fn.__name__
 
 
+def test_vocab_growth_chunked_position_twin(spark, sf_dir):
+    """vocab_growth's two-level doc-position device (r13 — replaced
+    the corpus-sized single-task ROW_NUMBER + the global COUNT()
+    OVER () funnel): a forced tiny chunk width (multi-chunk path at
+    fixture scale) must be bit-identical to the default width (whole
+    fixture in one chunk ≡ the old single-window form)."""
+    from cpt_database_sync_spark.operators.llm_text import vocab_growth
+
+    a = sorted(map(tuple, vocab_growth(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, vocab_growth(spark, sf_dir, doc_chunk=7).collect())
+    )
+    assert a == b and len(a) == 10
+
+
 def test_exact_percentile_family_two_level_lanes_identical(spark, sf_dir):
     """Scale-dispatch twins for the exact-percentile family (VERDICT
     r12 missing #3 — the last documented-not-implemented swap pair):
