@@ -18,7 +18,7 @@ from cpt_database_sync_spark.plans.golden import (
     golden_oracle,
 )
 from cpt_database_sync_spark.plans.registry import register
-from cpt_database_sync_spark.sources.tables import load
+from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 # Language marker patterns — same regex dialect subset works in Java
 # (Spark) and RE2 (DuckDB): alternation, \b, case handled via lower().
@@ -1510,6 +1510,10 @@ VOCAB_GROWTH_BUCKETS = 10  # corpus-prefix deciles the curve is sampled at
 # doc_ids per chunk for the two-level position device: 1e10 docs →
 # 1e5 chunk aggregates through the one |chunks|-row prefix task.
 VOCAB_DOC_CHUNK = 100_000
+# Below this many documents (footer-derived) the single-window
+# row_number is cheaper than the two-level machinery (the same
+# small-lane economics as the rest of the dispatch family).
+VOCAB_WINDOW_DOC_CEILING = 10_000_000
 
 _VOCAB_GROWTH_SQL = f"""
     WITH d AS (
@@ -1559,7 +1563,10 @@ _VOCAB_GROWTH_SQL = f"""
 
 @register("vocab_growth", oracle=_VOCAB_GROWTH_SQL, tags=("reverify:r13",))
 def vocab_growth(
-    spark: SparkSession, sf_dir: str, doc_chunk: int = 0
+    spark: SparkSession,
+    sf_dir: str,
+    doc_chunk: int = 0,
+    n_docs_hint: int = 0,
 ) -> DataFrame:
     """Vocabulary growth curve (Heaps' law, V ≈ K·N^β): cumulative
     distinct-token count vs cumulative token count, sampled at
@@ -1584,30 +1591,44 @@ def vocab_growth(
     dedup-shaped groupBy(word) — map-side-combined, the shuffle
     carries one row per DISTINCT word (the `dedup_exact`
     discipline); the occurrence rollup is 10 rows straight off the
-    generator. Everything downstream is grid-sized. The doc position
-    comes from ``ranks.two_level_row_number`` over monotone
-    ``doc_id div VOCAB_DOC_CHUNK`` chunks (r13 — this used to be the
-    corpus-sized single-task ROW_NUMBER the curriculum_stages rework
-    killed): chunk-local row_numbers in parallel, one |chunks|-row
-    prefix, and n_docs rides the SAME chunk-aggregate broadcast (the
-    old global COUNT() OVER () funnel is gone too). The word rollup
-    shuffles xxhash64(word) exactly as `dedup_substring`'s hashed
-    lane. ``doc_chunk`` overrides the chunk width (tests force the
-    multi-chunk path at fixture scale).
+    generator. Everything downstream is grid-sized. BELOW
+    ``VOCAB_WINDOW_DOC_CEILING`` documents (footer-derived hint) the
+    doc position is the plain single-window row_number — the audited
+    allowlist class, cheaper at small scale. ABOVE it (r13 — this
+    used to be a corpus-sized single-task ROW_NUMBER at EVERY scale,
+    the shape the curriculum_stages rework killed),
+    ``ranks.two_level_row_number`` over monotone
+    ``doc_id div VOCAB_DOC_CHUNK`` chunks: chunk-local row_numbers in
+    parallel, one |chunks|-row prefix, and n_docs rides the SAME
+    chunk-aggregate broadcast (the global COUNT() OVER () funnel goes
+    with it). Bit-identical twin. The word rollup shuffles
+    xxhash64(word) exactly as `dedup_substring`'s hashed lane.
+    ``doc_chunk`` forces the big lane with that chunk width (tests
+    exercise the multi-chunk path at fixture scale).
     """
-    from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
-        two_level_row_number,
-    )
-
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    width = doc_chunk or VOCAB_DOC_CHUNK
-    d = two_level_row_number(
-        docs.select("doc_id", "text"),
-        chunk=F.expr(f"doc_id div {width}"),
-        order_cols=["doc_id"],
-        out="pos",
-        total_col="n_docs",
-    ).select("text", "pos", "n_docs")
+    if n_docs_hint == 0:
+        n_docs_hint = table_rowcount(sf_dir, "documents")
+    if doc_chunk or n_docs_hint > VOCAB_WINDOW_DOC_CEILING:
+        from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+            two_level_row_number,
+        )
+
+        width = doc_chunk or VOCAB_DOC_CHUNK
+        d = two_level_row_number(
+            docs.select("doc_id", "text"),
+            chunk=F.expr(f"doc_id div {width}"),
+            order_cols=["doc_id"],
+            out="pos",
+            total_col="n_docs",
+        ).select("text", "pos", "n_docs")
+    else:
+        w = Window.orderBy("doc_id")
+        d = docs.select(
+            "text",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_docs"),
+        )
     tok = d.select(
         "pos", "n_docs", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

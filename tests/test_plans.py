@@ -2664,6 +2664,15 @@ def test_size_dispatch_derives_from_footer(spark, sf_dir, monkeypatch):
     assert "percentile(" not in p
     assert re.search(r"windowspecdefinition\(_chunk#\d+L, lat_us#\d+", p)
 
+    # vocab_growth (r13): hint-free call above the doc ceiling must
+    # plan the chunked doc-position device, not the single-task sort.
+    from cpt_database_sync_spark.operators import llm_text as lt
+
+    monkeypatch.setattr(lt, "VOCAB_WINDOW_DOC_CEILING", 1)
+    p = plan_string(lt.vocab_growth(spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(doc_id#\d+L? ASC", p)
+    assert re.search(r"windowspecdefinition\(_chunk#\d+L, doc_id#\d+", p)
+
 
 def test_quantile_normalize_two_level_plan_shape(spark, sf_dir):
     """Above the ceiling, quantile_normalize must never sort the fact

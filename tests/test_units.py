@@ -3706,11 +3706,12 @@ def test_event_sweep_family_two_level_lanes_identical(spark, sf_dir):
 
 
 def test_vocab_growth_chunked_position_twin(spark, sf_dir):
-    """vocab_growth's two-level doc-position device (r13 — replaced
-    the corpus-sized single-task ROW_NUMBER + the global COUNT()
-    OVER () funnel): a forced tiny chunk width (multi-chunk path at
-    fixture scale) must be bit-identical to the default width (whole
-    fixture in one chunk ≡ the old single-window form)."""
+    """vocab_growth's two-level doc-position dispatch (r13 — above
+    VOCAB_WINDOW_DOC_CEILING the corpus-sized single-task ROW_NUMBER
+    and the global COUNT() OVER () funnel leave the plan): the forced
+    big lane with a tiny chunk width (multi-chunk path at fixture
+    scale) must be bit-identical to the default single-window small
+    lane."""
     from cpt_database_sync_spark.operators.llm_text import vocab_growth
 
     a = sorted(map(tuple, vocab_growth(spark, sf_dir).collect()))
