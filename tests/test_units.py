@@ -3340,6 +3340,55 @@ def test_registry_descriptions_nonempty():
     )
 
 
+def test_group_quantiles_cont_global_property(spark):
+    """Property form of the exact-percentile device's GLOBAL (no-group)
+    path (hypothesis) — the funnel_latency lane: for ANY value multiset
+    and ANY positive chunk width (single-chunk, one-value-per-chunk,
+    boundary multiples, heavy ties), group_quantiles_cont([], ...) must
+    bit-equal Spark's built-in exact Percentile on the same rows for
+    q ∈ {0.25, 0.5, 0.9}, and n must equal the row count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.ranks import group_quantiles_cont
+
+    values = st.one_of(
+        st.floats(
+            min_value=-1e5, max_value=1e5,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.integers(min_value=-8, max_value=8).map(lambda k: k * 50.0),
+    )
+
+    @given(
+        vals=st.lists(values, min_size=1, max_size=25),
+        width=st.sampled_from([1.0, 7.0, 50.0, 1e4, 1e9]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(vals, width):
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        got = group_quantiles_cont(
+            df, [], "v", {"q25": 0.25, "q50": 0.5, "q90": 0.9},
+            chunk_width=width,
+        ).collect()[0]
+        want = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.percentile("v", 0.25).alias("q25"),
+            F.percentile("v", 0.5).alias("q50"),
+            F.percentile("v", 0.9).alias("q90"),
+        ).collect()[0]
+        assert got["n"] == want["n"] == len(vals)
+        for q in ("q25", "q50", "q90"):
+            assert got[q] == want[q], (q, vals, width, got[q], want[q])
+
+    check()
+
+
 def test_rank_avg2_two_level_property(spark):
     """Property form of the two-level twin (hypothesis): for ANY
     distinct-value relation — negative values, values spanning many
