@@ -232,6 +232,158 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENT_PATTERN = r"[.!?]+"  # sentence-terminator runs
+SYLL_PATTERN = r"[aeiouy]+"  # vowel-group syllable heuristic
+
+# Flesch reading ease off exact integer counts: two divisions + one
+# linear combination, ONE shared closed-form text — operands are exact
+# INTs so both engines run identical IEEE steps; zero-word / zero-
+# sentence docs go NULL via NULLIF (not a fake 0 score).
+_FLESCH_EXPR = (
+    "round(206.835"
+    " - 1.015 * (CAST(n_words AS DOUBLE)"
+    " / NULLIF(CAST(n_sents AS DOUBLE), CAST(0 AS DOUBLE)))"
+    " - 84.6 * (CAST(n_syll AS DOUBLE)"
+    " / NULLIF(CAST(n_words AS DOUBLE), CAST(0 AS DOUBLE))), 9)"
+)
+
+
+@register(
+    "readability_score",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT)
+               AS n_words,
+             CAST(len(regexp_extract_all(text, '{SENT_PATTERN}')) AS INT)
+               AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '{SYLL_PATTERN}'))
+               AS INT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll, {_FLESCH_EXPR} AS flesch
+    FROM c
+    """,
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document off deterministic integer
+    counts — words (the shared TOKEN_PATTERN), sentence-terminator
+    runs, and vowel-group syllables (the standard dictionary-free
+    heuristic): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words). The classic prose-complexity signal a
+    curation pipeline bands corpora by (beside `quality_score`'s
+    junk gates and `quality_gopher_rules`' structural cuts — this
+    grades DIFFICULTY, not junkiness). No reference analogue
+    (`sync/QueryBuilder.java:46-75` moves rows; text features are
+    rebuilt surface).
+
+    Exactness: all three counts are exact INTs from regexes with
+    identical Java-regex/RE2 semantics (the `token_count` pairing:
+    regexp_count ↔ len(regexp_extract_all)); the score is ONE shared
+    closed-form text over exact operands (two IEEE divisions + a
+    linear combination), round-9; wordless/sentenceless docs NULL via
+    NULLIF both sides; NULL text propagates NULL everywhere.
+
+    Physics: map-only scalar pass, zero shuffles, zero joins —
+    embarrassingly parallel at any corpus size (plan: one scan, no
+    Exchange).
+    """
+    d = load(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN))
+        .cast("int")
+        .alias("n_words"),
+        F.regexp_count("text", F.lit(SENT_PATTERN))
+        .cast("int")
+        .alias("n_sents"),
+        F.regexp_count(F.lower("text"), F.lit(SYLL_PATTERN))
+        .cast("int")
+        .alias("n_syll"),
+    )
+    return counted.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        F.expr(_FLESCH_EXPR).alias("flesch"),
+    )
+
+
+# Fixed 64-token bins for the corpus length profile: documents.text is
+# a few hundred tokens at most in the fixtures and bounded by the
+# sequence limit in a real pipeline — |buckets| = max_len/64, a
+# domain-sized relation at any corpus volume.
+LENGTH_HIST_BIN = 64
+
+_LENGTH_HIST_SQL = f"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT)
+               AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT n_tokens // {LENGTH_HIST_BIN} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(bucket * {LENGTH_HIST_BIN} AS INT) AS lo_tokens,
+           n_docs, n_tokens,
+           round(CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+                 / (SELECT SUM(n_docs) FROM b), 9) AS cum_doc_share
+    FROM b
+"""
+
+
+@register("doc_length_histogram", oracle=_LENGTH_HIST_SQL)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents bucketed into fixed 64-token
+    bins with per-bin doc/token totals and the cumulative share of
+    docs — the standard pre-packing readout (`sequence_packing` fills
+    fixed windows, `curriculum_stages` orders by length; this shows
+    the DISTRIBUTION those decisions are made against). No reference
+    analogue.
+
+    Exactness: token counts are the shared TOKEN_PATTERN exact INTs;
+    bucket = integer `div` (↔ `//`); bin totals exact BIGINT; the one
+    float is the cumulative share — exact BIGINT cumsum divided by the
+    exact total in ONE IEEE step, round-9 both engines.
+
+    Physics: map-only count + a |buckets|-sized rollup (the only
+    shuffle carries one row per bin); the cumulative window and the
+    one-row total broadcast run over the bin relation —
+    domain-bounded, never corpus-sized.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select(
+        F.regexp_count("text", F.lit(TOKEN_PATTERN))
+        .cast("int")
+        .alias("n_tokens")
+    )
+    b = t.groupBy(
+        F.expr(f"CAST(n_tokens div {LENGTH_HIST_BIN} AS INT)").alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = b.agg(F.sum("n_docs").alias("tot"))
+    return b.crossJoin(F.broadcast(total)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("bucket") * F.lit(LENGTH_HIST_BIN))
+        .cast("int")
+        .alias("lo_tokens"),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sum("n_docs").over(wc).cast("double") / F.col("tot"), 9
+        ).alias("cum_doc_share"),
+    )
+
+
 @register(
     "text_normalize",
     oracle=f"""

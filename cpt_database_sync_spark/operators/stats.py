@@ -3600,6 +3600,117 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cohen's kappa ----------------------------------------------------------
+
+# Chance-corrected agreement over the SAME 2x2 indicator cells as
+# mcnemar_test. Both the kappa numerator n(a+d) - pe_num and the
+# denominator n^2 - pe_num are EXACT DECIMAL(38,0) integers (pe_num =
+# (a+b)(a+c) + (c+d)(b+d) — row-margin x column-margin products); each
+# display column is ONE terminal IEEE division of exact operands,
+# round-9. Degenerates (n=0, or pe = 1 when one rater is constant and
+# agreement is total) go NULL via NULLIF on both engines.
+_KAPPA_PE_NUM = (
+    "CAST(a + b AS DECIMAL(38,0)) * (a + c)"
+    " + CAST(c + d AS DECIMAL(38,0)) * (b + d)"
+)
+
+_KAPPA_EXPRS = {
+    "po": (
+        "round(CAST(a + d AS DOUBLE)"
+        " / NULLIF(CAST(n_users AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+    ),
+    "pe": (
+        "round(CAST(pe_num AS DOUBLE)"
+        " / NULLIF(CAST(CAST(n_users AS DECIMAL(38,0)) * n_users"
+        " AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+    ),
+    "kappa": (
+        "round(CAST(CAST(n_users AS DECIMAL(38,0)) * (a + d) - pe_num"
+        " AS DOUBLE)"
+        " / NULLIF(CAST(CAST(n_users AS DECIMAL(38,0)) * n_users - pe_num"
+        " AS DOUBLE), CAST(0 AS DOUBLE)), 9)"
+    ),
+}
+
+_KAPPA_SQL = f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = '{MWU_GROUP1}' THEN 1 ELSE 0 END)
+               AS b1,
+             MAX(CASE WHEN event_type = '{MWU_GROUP2}' THEN 1 ELSE 0 END)
+               AS b2
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(b1 * b2) AS BIGINT) AS a,
+             CAST(SUM(b1 * (1 - b2)) AS BIGINT) AS b,
+             CAST(SUM((1 - b1) * b2) AS BIGINT) AS c,
+             CAST(SUM((1 - b1) * (1 - b2)) AS BIGINT) AS d
+      FROM u
+    ),
+    withpe AS (SELECT *, {_KAPPA_PE_NUM} AS pe_num FROM cells)
+    SELECT n_users, a, b, c, d,
+           {_KAPPA_EXPRS['po']} AS po,
+           {_KAPPA_EXPRS['pe']} AS pe,
+           {_KAPPA_EXPRS['kappa']} AS kappa
+    FROM withpe
+"""
+
+
+@register("cohens_kappa", oracle=_KAPPA_SQL)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between the two
+    per-user binary indicators mcnemar_test pairs ("ever clicked" vs
+    "ever purchased"): po = (a+d)/n observed agreement, pe the
+    agreement expected from the marginals alone, kappa =
+    (po−pe)/(1−pe). The AGREEMENT-strength companion to the battery's
+    difference tests — `mcnemar_test` asks "do the marginal rates
+    differ", kappa asks "do the two behaviors co-occur beyond
+    chance" (the inter-annotator-agreement statistic every labeling
+    pipeline reports). The reference moves event rows with no test
+    surface (`sync/QueryBuilder.java:46-75`).
+
+    Exactness: cells are mcnemar_test's exact-BIGINT rollup verbatim;
+    the kappa numerator n(a+d)−pe_num and denominator n²−pe_num are
+    exact DECIMAL(38,0) (margin products never touch a double);
+    po/pe/kappa are each ONE terminal IEEE division of exact operands
+    — one shared closed-form text per column, round-9. Degenerates
+    (no users; pe=1 — a constant rater with total agreement) NULL via
+    NULLIF on both engines.
+
+    Physics: one map-side-combined user rollup (the only corpus-sized
+    shuffle — shared shape with mcnemar_test) and a single-row fold;
+    scale-invariant past the rollup.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == MWU_GROUP1, 1).otherwise(0)
+        ).alias("b1"),
+        F.max(
+            F.when(F.col("event_type") == MWU_GROUP2, 1).otherwise(0)
+        ).alias("b2"),
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("b1") * F.col("b2")).cast("long").alias("a"),
+        F.sum(F.col("b1") * (1 - F.col("b2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("b1")) * F.col("b2")).cast("long").alias("c"),
+        F.sum((1 - F.col("b1")) * (1 - F.col("b2"))).cast("long").alias("d"),
+    )
+    withpe = cells.withColumn("pe_num", F.expr(_KAPPA_PE_NUM))
+    return withpe.select(
+        "n_users", "a", "b", "c", "d",
+        F.expr(_KAPPA_EXPRS["po"]).alias("po"),
+        F.expr(_KAPPA_EXPRS["pe"]).alias("pe"),
+        F.expr(_KAPPA_EXPRS["kappa"]).alias("kappa"),
+    )
+
+
 # --- Theil's U (uncertainty coefficient) --------------------------------------
 
 # Quantized-ln decimal device (entropy_profile): every ln is rounded to

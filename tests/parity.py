@@ -94,6 +94,7 @@ def decimal_display_offenders(sdf) -> list[str]:
 UNPARTITIONED_WINDOW_ALLOWLIST = {
     "bm25_retrieval",        # |top-k candidates| rank, docstring-costed
     "data_skew_profile",     # |distinct keys| rollup rank
+    "doc_length_histogram",  # |64-token bins| cumulative share (domain-sized)
     "funnel_latency",        # |chunks| prefix above the ceiling (two-level
                              # device; chunks = event-time span in hours,
                              # domain-bounded — the mann_whitney_u class)
