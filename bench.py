@@ -237,6 +237,10 @@ HEADLINE = [
     "kl_divergence",
     "cohens_d",
     "curriculum_stages",
+    # r13 additions (map-only / bin-rollup — sub-second class)
+    "cohens_kappa",
+    "readability_score",
+    "doc_length_histogram",
 ]
 
 
