@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cpt_database_sync_spark.plans.registry import register
+from cpt_database_sync_spark.session import session_checkpoint
 from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 # Minimum absolute support for a reported co-occurrence pair.
@@ -94,11 +95,17 @@ def _pair_sets(li: DataFrame) -> DataFrame:
     fuse every NULL-key row into ONE phantom basket and mint pairs the
     oracle never counts. NULL l_partkey needs no filter — collect_set
     skips NULLs exactly where the oracle's a.pk < b.pk drops them.
+
+    Checkpoint-memoized (r13, guide §2.4): the incidence feeds the pair
+    build PLUS the per-item supports and order totals of
+    ``frequent_pairs``/``assoc_rules`` — before the memo each consumer
+    re-scanned lineitem and re-paid the distinct exchange, every call.
     """
-    return (
+    return session_checkpoint(
+        "graph.pair_sets",
         li.filter(F.col("l_orderkey").isNotNull())
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .distinct(),
     )
 
 
@@ -113,6 +120,13 @@ def _cooccur_pairs(li: DataFrame) -> DataFrame:
     combined on (pa, pb). The self-join formulation computes the same
     thing but shuffles the incidence twice AND loses the combine on
     skewed pairs; the HOF path is the 100 TB shape.
+
+    Checkpoint-memoized (r13, guide §2.4): five operators consume this
+    relation (frequent_pairs, assoc_rules, triangle_count,
+    local_clustering, jaccard_neighbors) — before the memo each of them
+    re-ran the incidence scan + HOF expansion + pair-count shuffle on
+    every invocation; now the first caller in a session builds it and
+    the rest filter the materialized |pairs| relation.
     """
     sets = _pair_sets(li).groupBy("ok").agg(
         F.array_sort(F.collect_set("pk")).alias("items")
@@ -127,11 +141,12 @@ def _cooccur_pairs(li: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
+    return session_checkpoint(
+        "graph.cooccur_pairs",
         sets.select(F.explode(pairs).alias("pr"))
         .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
     )
 
 
@@ -231,14 +246,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     # The thresholded edge relation feeds five consumers (three join
-    # legs + two counts); materialize it once so the incidence pass
-    # over lineitem runs once, not per consumer. Executor-local
-    # checkpoint storage scales with |edges|, not the corpus.
+    # legs + two counts); the memoized pair relation is already an
+    # ExistingRDD barrier, so the filter over it is all each consumer
+    # re-evaluates — the incidence pass over lineitem runs once per
+    # session, not per consumer or per call (r13).
     edges = (
         _cooccur_pairs(li)
         .filter(F.col("cnt") >= EDGE_MIN_COOCCUR)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -268,20 +283,26 @@ def _trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4-way fact join per consumer (observed in pagerank: 39 exchanges
     -> 5). Executor-local checkpoint storage scales with |edges|, not
     the corpus.
+
+    Checkpoint-memoized (r13, guide §2.4): SEVEN operators consume this
+    relation (pagerank, bfs, shortest_path, connected_components,
+    label_propagation, degree_assortativity, graph_reciprocity) — before
+    the memo each of them re-ran the 4-way fact join on every
+    invocation; now one build per session serves the whole battery.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supp = load(spark, sf_dir, "supplier")
     cust = load(spark, sf_dir, "customer")
-    return (
+    return session_checkpoint(
+        "graph.trade_flows",
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).alias("w")),
     )
 
 
@@ -1261,7 +1282,6 @@ def local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cooccur_pairs(li)
         .filter(F.col("cnt") >= EDGE_MIN_COOCCUR)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -1378,7 +1398,6 @@ def jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cooccur_pairs(li)
         .filter(F.col("cnt") >= EDGE_MIN_COOCCUR)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
     )
     adj = edges.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
