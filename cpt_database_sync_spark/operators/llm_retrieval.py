@@ -195,17 +195,28 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fluency/perplexity-proxy quality gate (docs of improbable bigram
     sequences → bottom of the ranking, boilerplate → top).
 
-    Dataflow: one corpus pass builds bigram counts (partial+final hash
-    agg); unigram context counts REUSE the bigram aggregate (sum over
-    w2 — no second corpus pass); the doc-bigram ⋈ counts joins are
-    term-keyed and stay distributed (billion-bigram vocabularies must
-    never broadcast). Engine parity is exact, not approximate: each
-    probability is an IEEE-exact integer division computed identically
-    on both engines, then summed as DECIMAL(12,10) — order-independent,
-    so Spark's partial aggregation order cannot drift from DuckDB's
-    serial fold.
+    Dataflow (r13, guide §2.3/§2.4): ONE corpus pass builds the
+    per-(doc, bigram) multiplicity rollup; the corpus-level bigram counts
+    REUSE that rollup's exchange (sum over doc — ReusedExchange, no
+    second corpus scan), unigram context counts reuse the bigram
+    aggregate (sum over w2). Every exchange after the first carries
+    rolled-up rows, never raw occurrences with text-derived keys; the
+    pre-r13 shape scanned + exploded the corpus three times behind a
+    full-text repartition (plans/r13/ngram_lm_score_before.txt: 3 Scan
+    parquet / 3 Generate / 18 Exchange). The counts joins are term-keyed
+    and sized by AQE (billion-bigram vocabularies must never broadcast;
+    at bench scale AQE picks broadcast from runtime stats). Engine parity
+    is exact, not approximate: each probability is an IEEE-exact integer
+    division computed identically on both engines, then summed as
+    DECIMAL(12,10) scaled by the occurrence multiplicity — k identical
+    exact decimals sum to exactly k*p, so the rollup is bit-identical to
+    the oracle's per-occurrence fold and order-independent.
     """
     docs = load(spark, sf_dir, "documents")
+    # Fan the tokenize+explode across cores: the corpus parquet arrives
+    # as few splits (1 at bench scale) and the explode is the CPU-heavy
+    # step; the exchange carries the raw text once — and only once,
+    # because everything downstream reads the cached rollup below.
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ws = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
     # guard: sequence(0, -1) on a 1-word doc would step NEGATIVE in Spark
@@ -218,13 +229,22 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # Per-(doc, bigram) multiplicity: the ONLY fact-scale exchange (map-
+    # side partial agg shrinks it to distinct doc-bigrams), cached so the
+    # three consumers (bigram counts, context counts, the scoring join)
+    # share ONE corpus scan + explode instead of re-deriving it each.
+    dbg = bounded_cache(
+        "ngram_lm.dbg",
+        big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k")),
+    )
+    bc = dbg.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
-        big.join(bc, ["w1", "w2"])
+        dbg.join(bc, ["w1", "w2"])
         .join(uc, ["w1"])
         .select(
             "doc_id",
+            F.col("k"),
             (F.col("c2").cast("double") / F.col("c1"))
             .cast("decimal(12,10)")
             .alias("p"),
@@ -234,9 +254,9 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.round(
-                F.sum("p").cast("double") / F.count(F.lit(1)), 9
+                F.sum(F.col("p") * F.col("k")).cast("double") / F.sum("k"), 9
             ).alias("avg_p"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("k").alias("n_bigrams"),
         )
         .orderBy(F.col("avg_p").desc(), "doc_id")
         .limit(NGRAM_TOPK_DOCS)
