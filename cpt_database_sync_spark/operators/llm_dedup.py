@@ -444,19 +444,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edge-count ceiling below which the component solve itself runs on the
+# driver (union-find over the collected, ALREADY-VERIFIED pair relation)
+# instead of as a distributed min-label loop. Near-dup edge sets are the
+# smallest relation in the whole dedup pipeline — |pairs| ≪ |docs| by the
+# dedup rate — and the fixture/sf1 graphs are a few hundred to a few
+# thousand edges, so the iterative lane's per-round job+shuffle overhead
+# (2 blocking jobs × O(diameter) rounds) dwarfs the actual work by ~10×
+# (r13 measurement: 2.98 s for 256 edges / 477 nodes). 500k edges collect
+# to ~8 MB of longs — the same bounded-literal class as the k-centroid /
+# per-dim-range collects. Above the ceiling the distributed loop runs
+# unchanged; both lanes produce the identical min-label-per-component
+# fixed point (exact integer labels, no tie hazard) and are
+# differential-twin-tested in tests/test_llm_ops.py.
+DEDUP_CC_EDGE_CEILING = 500_000
+
+
+def _cc_driver(rows, edges: DataFrame) -> DataFrame:
+    """Driver union-find lane for ``connected_components`` — path-
+    compressed union-find over the collected (a_id, b_id) edge rows
+    (symmetry is implicit in union-find), labels = min node id per
+    component (bit-identical to the distributed fixed point; exact
+    integer labels, no tie hazard)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comps: dict = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    labels = []
+    for members in comps.values():
+        m = min(members)
+        labels.extend((node, m) for node in members)
+    labels.sort()
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    node_t = edges.schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t, False),
+            T.StructField("component", node_t, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
-    """Connected components by iterative min-label propagation:
+    """Connected components by min-label propagation:
     (node, component) where component = min node id in the component.
 
-    Each iteration joins current labels across edges and keeps the
-    per-node min — converging in O(diameter) rounds (near-dup clusters
-    have tiny diameters; chains through transitive duplicates are short).
-    Lineage is cut per round with localCheckpoint so the plan doesn't grow
-    unboundedly. This is the canonical Spark shape for iterative graph
-    algorithms (label propagation / small-star); at 100 TB the same loop
-    runs with edges pre-partitioned by node and labels persisted per
-    round.
+    Size-dispatched (r13, guide §2.1/§2.4): one bounded probe —
+    ``limit(DEDUP_CC_EDGE_CEILING + 1).collect()`` on the pair relation,
+    bounded BY CONSTRUCTION regardless of corpus size — both decides the
+    lane and, below the ceiling, already holds the full edge list, so
+    the small lane costs exactly one job + a driver union-find
+    (``_cc_driver``). The edge relation is the pipeline's smallest
+    (|pairs| ≪ |docs| by the dedup rate) and the distributed loop's cost
+    at that size is pure job overhead. Above the ceiling the probe rows
+    are discarded and the iterative lane runs: each round joins current
+    labels across edges
+    and keeps the per-node min — converging in O(diameter) rounds
+    (near-dup clusters have tiny diameters). Lineage is cut per round
+    with localCheckpoint so the plan doesn't grow unboundedly; the
+    convergence check is a flag folded into the label pass (counted on
+    the round's checkpointed output — no extra label⋈label join per
+    round, r13). At 100 TB the same loop runs with edges pre-partitioned
+    by node and labels persisted per round.
     """
+    probe = edges.select("a_id", "b_id").limit(
+        DEDUP_CC_EDGE_CEILING + 1
+    ).collect()
+    if len(probe) <= DEDUP_CC_EDGE_CEILING:
+        return _cc_driver(probe, edges)
     sym = edges.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
@@ -479,16 +554,14 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 F.least(
                     "component", F.coalesce("ncomp", F.col("component"))
                 ).alias("component"),
+                # strict improvement ⇔ the label changes this round
+                # (new = least(old, ncomp) ≠ old ⇔ ncomp < old)
+                (F.col("ncomp") < F.col("component")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels
