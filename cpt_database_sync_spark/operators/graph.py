@@ -82,6 +82,232 @@ def _nodes_hint(sf_dir: str, n_nodes_hint: int) -> int:
     return n_nodes_hint if n_nodes_hint else table_rowcount(sf_dir, "nation")
 
 
+# Edge-count ceiling below which the ITERATION of the loop-shaped graph
+# ops (pagerank, CC, BFS, shortest path, LPA) solves on the driver over
+# the collected aggregated edge relation instead of as per-round
+# join+agg jobs (r13, guide §2.4). The fact-scale work — the 4-way
+# lineitem⋈orders⋈supplier⋈customer rollup — ALWAYS runs distributed
+# (`_trade_flows`); what moves to the driver is only the ≤|nodes|²
+# AGGREGATED edge list, probed with a limit(ceiling+1).collect() that is
+# bounded BY CONSTRUCTION (≤ 500k (src,dst,w) triples ≈ 12 MB) — the
+# same bounded-literal class as the k-centroid / per-dim-range collects.
+# Rationale: every one of these loops is exact-integer arithmetic whose
+# per-round cost at nation scale (≤ 625 edges) is pure job/shuffle
+# overhead — 3-5 rounds × 2-3 jobs measured 0.7-2.3 s per operator for
+# microseconds of actual arithmetic. Above the ceiling the distributed
+# loops run unchanged (broadcast or co-partitioned per
+# GRAPH_BCAST_NODE_CEILING); all lanes are bit-identical — the loop
+# bodies are exact integer expressions replicated verbatim (floor div on
+# non-negative operands ≡ Python //) — and differential-twin-tested.
+GRAPH_DRIVER_EDGE_CEILING = 500_000
+
+_FLOWS_ROWS_MEMO: list = []  # [flows_frame, rows-or-None] single slot
+
+
+def _flows_literal(flows: DataFrame):
+    """Collected (src, dst, w) triples of the aggregated trade-edge
+    relation when it fits under ``GRAPH_DRIVER_EDGE_CEILING``; None when
+    it doesn't (the distributed loop lane must run). Memoized on the
+    frame's identity — ``_trade_flows``'s session_checkpoint memo hands
+    every consumer the SAME checkpointed frame, so the probe job runs
+    once per session, not once per operator call."""
+    if _FLOWS_ROWS_MEMO and _FLOWS_ROWS_MEMO[0] is flows:
+        return _FLOWS_ROWS_MEMO[1]
+    probe = (
+        flows.select("src", "dst", "w")
+        .limit(GRAPH_DRIVER_EDGE_CEILING + 1)
+        .collect()
+    )
+    rows = (
+        [(r[0], r[1], r[2]) for r in probe]
+        if len(probe) <= GRAPH_DRIVER_EDGE_CEILING
+        else None
+    )
+    _FLOWS_ROWS_MEMO[:] = [flows, rows]
+    return rows
+
+
+def _node_rows_df(flows: DataFrame, rows, fields) -> DataFrame:
+    """Small ``(node, <values...>)`` frame from driver-computed rows.
+    ``fields`` is a list of ``(name, dtype-or-None, nullable)``; a None
+    dtype means "same as the node column". The node dtype is copied
+    from the edge relation so downstream joins see the exact
+    lane-independent schema either lane produces."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    node_t = flows.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_t, False)]
+        + [T.StructField(n, t or node_t, nl) for n, t, nl in fields]
+    )
+    return flows.sparkSession.createDataFrame(
+        sorted(rows, key=lambda r: r[0]), schema
+    )
+
+
+def _pagerank_driver(flows: DataFrame, rows) -> DataFrame:
+    """Driver lane for the PageRank iteration (see
+    ``GRAPH_DRIVER_EDGE_CEILING``): the IDENTICAL scaled-integer fixed
+    point — every expression below mirrors the distributed loop verbatim
+    and Python ``//`` ≡ Spark ``div`` on these non-negative operands, so
+    the lanes are bit-identical (twin-tested in tests/test_plans.py)."""
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    ranks: dict = {}
+    if nodes:
+        n = len(nodes)
+        wout: dict = {}
+        for s, _, w in rows:
+            wout[s] = wout.get(s, 0) + w
+        p = [(s, d, (w * PR_SCALE) // wout[s]) for s, d, w in rows]
+        r = {v: PR_SCALE // n for v in nodes}
+        for _ in range(PR_ROUNDS):
+            inflow: dict = {}
+            for s, d, pp in p:
+                c = (((r[s] * pp) // PR_SCALE) * 85) // 100
+                inflow[d] = inflow.get(d, 0) + c
+            r = {v: 150_000_000 // n + inflow.get(v, 0) for v in nodes}
+        ranks = r
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return _node_rows_df(
+        flows, list(ranks.items()), [("r", T.LongType(), False)]
+    )
+
+
+def _cc_nations_driver(flows: DataFrame, rows) -> DataFrame:
+    """Driver lane for the strong-component solve: same strong-edge
+    filter (w·3 ≥ max_w·2, exact ints), min-label fixed point via
+    path-compressed union-find — the distributed pointer-jumping loop's
+    proven-converged fixed point, computed directly."""
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    comp: dict = {}
+    if nodes:
+        mw = max(w for _, _, w in rows)
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d, w in rows:
+            if w * 3 >= mw * 2:
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+        groups: dict = {}
+        for v in nodes:
+            groups.setdefault(find(v), []).append(v)
+        for members in groups.values():
+            m = min(members)
+            for v in members:
+                comp[v] = m
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    csize: dict = {}
+    for c in comp.values():
+        csize[c] = csize.get(c, 0) + 1
+    return _node_rows_df(
+        flows,
+        [(v, c, csize[c]) for v, c in comp.items()],
+        [("comp", None, False), ("comp_size", T.LongType(), False)],
+    )
+
+
+def _bfs_driver(flows: DataFrame, rows) -> DataFrame:
+    """Driver lane for the BFS frontier loop: identical per-round
+    expansion (dedup per round, visited nodes never relabel) from
+    ``BFS_SOURCE_NATION``, hop labels exact ints."""
+    adj: dict = {}
+    nodes = set()
+    for s, d, _ in rows:
+        adj.setdefault(s, set()).add(d)
+        nodes.add(s)
+        nodes.add(d)
+    hops: dict = {}
+    if BFS_SOURCE_NATION in nodes:
+        hops[BFS_SOURCE_NATION] = 0
+        frontier = [BFS_SOURCE_NATION]
+        for k in range(1, BFS_MAX_HOPS + 1):
+            nxt = {d for u in frontier for d in adj.get(u, ())} - hops.keys()
+            for v in nxt:
+                hops[v] = k
+            frontier = list(nxt)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return _node_rows_df(
+        flows,
+        [(v, hops.get(v)) for v in nodes],
+        [("hops", T.IntegerType(), True)],
+    )
+
+
+def _sp_driver(flows: DataFrame, rows) -> DataFrame:
+    """Driver lane for the Bellman-Ford relaxation: identical
+    SP_MAX_EDGES rounds of relax + min-merge, costs the same exact
+    BIGINT expression (SP_COST_NUM // w + 1)."""
+    edges = [(s, d, SP_COST_NUM // w + 1) for s, d, w in rows]
+    nodes = {s for s, _, _ in rows} | {d for _, d, _ in rows}
+    dist: dict = {}
+    if SP_SOURCE_NATION in nodes:
+        dist = {SP_SOURCE_NATION: 0}
+        for _ in range(SP_MAX_EDGES):
+            relaxed: dict = {}
+            for s, d, c in edges:
+                if s in dist:
+                    nd = dist[s] + c
+                    if d not in relaxed or nd < relaxed[d]:
+                        relaxed[d] = nd
+            for v, nd in relaxed.items():
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return _node_rows_df(
+        flows,
+        [(v, dist.get(v)) for v in sorted(nodes)],
+        [("d", T.LongType(), True)],
+    )
+
+
+def _lpa_driver(flows: DataFrame, rows) -> DataFrame:
+    """Driver lane for synchronous weighted label propagation: identical
+    symmetrized-weight build (self-loops excluded), per-round
+    (ws DESC, lab ASC) argmax — the same total order as the distributed
+    MIN(struct(-ws, lab)) — LPA_ROUNDS fixed rounds, isolated nodes keep
+    their label."""
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    eu: dict = {}
+    for s, d, w in rows:
+        if s == d:
+            continue
+        eu[(s, d)] = eu.get((s, d), 0) + w
+        eu[(d, s)] = eu.get((d, s), 0) + w
+    lab = {v: v for v in nodes}
+    for _ in range(LPA_ROUNDS):
+        ws: dict = {}
+        for (s, d), w in eu.items():
+            k = (d, lab[s])
+            ws[k] = ws.get(k, 0) + w
+        pick: dict = {}
+        for (node, lb), v in ws.items():
+            key = (-v, lb)
+            if node not in pick or key < pick[node]:
+                pick[node] = key
+        lab = {v: (pick[v][1] if v in pick else lab[v]) for v in nodes}
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    csize: dict = {}
+    for lb in lab.values():
+        csize[lb] = csize.get(lb, 0) + 1
+    return _node_rows_df(
+        flows,
+        [(v, lb, csize[lb]) for v, lb in lab.items()],
+        [("lab", None, False), ("csize", T.LongType(), False)],
+    )
+
+
 _OP_CTE = """
     op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
 """
@@ -399,6 +625,22 @@ def pagerank_nations(
     differential test in tests/test_plans.py.
     """
     flows = _trade_flows(spark, sf_dir)
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
+    rows = (
+        _flows_literal(flows)
+        if n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
+        else None
+    )
+    if rows is not None:
+        ranks = _pagerank_driver(flows, rows)
+        nation = load(spark, sf_dir, "nation")
+        return ranks.join(
+            F.broadcast(nation), ranks.node == nation.n_nationkey
+        ).select(
+            "n_name",
+            F.col("r").cast("long").alias("rank_scaled"),
+            F.round(F.col("r").cast("double") / PR_SCALE, 9).alias("pr"),
+        )
     nodes = (
         flows.select(F.col("src").alias("node"))
         .union(flows.select(F.col("dst").alias("node")))
@@ -560,6 +802,13 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no float, no tie, no ordering sensitivity anywhere.
     """
     flows = _trade_flows(spark, sf_dir)
+    rows = _flows_literal(flows)
+    if rows is not None:
+        hops = _bfs_driver(flows, rows)
+        nation = load(spark, sf_dir, "nation")
+        return hops.join(
+            F.broadcast(nation), hops.node == nation.n_nationkey
+        ).select("n_name", F.col("hops").cast("int").alias("hops"))
     e = flows.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -672,6 +921,18 @@ def shortest_path_weighted(
     the analytics surface it never had.
     """
     flows = _trade_flows(spark, sf_dir)
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
+    rows = (
+        _flows_literal(flows)
+        if n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
+        else None
+    )
+    if rows is not None:
+        dist = _sp_driver(flows, rows)
+        nation = load(spark, sf_dir, "nation")
+        return dist.join(
+            F.broadcast(nation), dist.node == nation.n_nationkey
+        ).select("n_name", F.col("d").cast("long").alias("dist"))
     e = flows.select(
         "src",
         "dst",
@@ -895,6 +1156,22 @@ def connected_components(
     analytics surface it never had.
     """
     flows = _trade_flows(spark, sf_dir)
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
+    rows = (
+        _flows_literal(flows)
+        if n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
+        else None
+    )
+    if rows is not None:
+        lab = _cc_nations_driver(flows, rows)
+        nation = load(spark, sf_dir, "nation")
+        return lab.join(
+            F.broadcast(nation), lab.node == nation.n_nationkey
+        ).select(
+            "n_name",
+            F.col("comp").cast("long").alias("comp"),
+            F.col("comp_size").cast("long").alias("comp_size"),
+        )
     mw = flows.agg(F.max("w").alias("mw"))
     strong = flows.crossJoin(F.broadcast(mw)).filter(
         F.col("w") * 3 >= F.col("mw") * 2
@@ -1156,6 +1433,22 @@ def label_propagation(
     so the lineage is bounded; per-round localCheckpoint cuts it.
     """
     flows = _trade_flows(spark, sf_dir)
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
+    rows = (
+        _flows_literal(flows)
+        if n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
+        else None
+    )
+    if rows is not None:
+        lab = _lpa_driver(flows, rows)
+        nation = load(spark, sf_dir, "nation")
+        return lab.join(
+            F.broadcast(nation), lab.node == nation.n_nationkey
+        ).select(
+            "n_name",
+            F.col("lab").cast("long").alias("community"),
+            F.col("csize").cast("long").alias("community_size"),
+        )
     base = flows.filter(F.col("src") != F.col("dst"))
     eu = (
         base.select("src", "dst", "w")

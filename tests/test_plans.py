@@ -2861,3 +2861,43 @@ def test_vocab_growth_two_level_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_graph_driver_lane_twin_and_dispatch(spark, sf_dir, monkeypatch):
+    """r13 graph driver lane: at nation scale the loop-shaped graph ops
+    (pagerank, CC, BFS, shortest path, LPA) solve the ITERATION on the
+    driver over the collected aggregated edge relation. The lanes must
+    be bit-identical: forcing GRAPH_DRIVER_EDGE_CEILING to 0 (probe
+    over-runs -> distributed loop) must reproduce the driver lane's
+    rows exactly for all five ops, and the driver lane's final plan
+    must contain NO distributed iteration machinery (a scan of the
+    local node relation joined to the broadcast nation dim only)."""
+    import cpt_database_sync_spark.operators.graph as gr
+
+    ops = [
+        gr.pagerank_nations,
+        gr.connected_components,
+        gr.bfs_hops,
+        gr.shortest_path_weighted,
+        gr.label_propagation,
+    ]
+    driver_rows = {}
+    for op in ops:
+        df = op(spark, sf_dir)
+        driver_rows[op.__name__] = sorted(map(tuple, df.collect()))
+        assert len(driver_rows[op.__name__]) > 0
+        # the driver lane's plan is a local-relation scan + one
+        # broadcast dim join: no iteration joins, no fact scan
+        p = plan_string(df, "simple")
+        assert "Scan parquet" not in p or "nation" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # force the distributed loop lane (fresh memo so the patched
+    # ceiling is actually consulted) and require bit-identity
+    monkeypatch.setattr(gr, "GRAPH_DRIVER_EDGE_CEILING", 0)
+    monkeypatch.setattr(gr, "_FLOWS_ROWS_MEMO", [])
+    for op in ops:
+        dist = sorted(map(tuple, op(spark, sf_dir).collect()))
+        assert dist == driver_rows[op.__name__], (
+            f"{op.__name__}: distributed lane diverged from driver lane"
+        )
