@@ -835,6 +835,61 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 12
 
+# Vocab-size ceiling below which the BPE merge LOOP runs on the driver
+# over the collected (word, freq) table instead of as 2 jobs per merge
+# round (r13, guide §2.4/§5 — the GRAPH_DRIVER_EDGE_CEILING device).
+# The corpus-scale work (explode + word-frequency shuffle) ALWAYS runs
+# distributed; what moves to the driver is the vocab-sized iteration,
+# probed with a bounded limit(ceiling+1).collect() (≤ ~200k (w, freq)
+# pairs ≈ a few MB — the bounded-literal collect class). The driver
+# loop replicates the distributed expressions verbatim: same adjacent
+# pair counting weighted by freq, same (count DESC, pair ASC) tie-break
+# (Spark string order = UTF-8 binary = Python code-point order), same
+# leftmost-greedy fold — differential-twin-tested in tests/test_plans.py.
+BPE_VOCAB_DRIVER_CEILING = 200_000
+
+
+def _bpe_learn_driver(spark: SparkSession, rows) -> DataFrame:
+    """Driver lane for the BPE merge loop (see
+    ``BPE_VOCAB_DRIVER_CEILING``): ``rows`` is the collected
+    ``(w, freq)`` vocabulary; every expression mirrors the distributed
+    loop bit-for-bit."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    syms = {w: list(w) for w, _ in rows}
+    for _ in range(BPE_MERGES):
+        counts: dict = {}
+        for w, f in rows:
+            s = syms[w]
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        a, b = min(counts, key=lambda k: (-counts[k], k))
+        m = a + b
+        for w, _ in rows:
+            s = syms[w]
+            out: list = []
+            for t in s:
+                if out and out[-1] == a and t == b:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            syms[w] = out
+    schema = T.StructType(
+        [
+            T.StructField("w", T.StringType(), False),
+            T.StructField("freq", T.LongType(), False),
+            T.StructField("tokens", T.StringType(), False),
+            T.StructField("n_tokens", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(w, f, " ".join(syms[w]), len(syms[w])) for w, f in sorted(rows)],
+        schema,
+    )
+
 
 def _apply_merge(syms_col, a: str, b: str):
     """Leftmost-greedy application of one BPE merge (a, b) -> a+b over a
@@ -882,13 +937,12 @@ def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
+    vocab_base = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    probe = vocab_base.limit(BPE_VOCAB_DRIVER_CEILING + 1).collect()
+    if len(probe) <= BPE_VOCAB_DRIVER_CEILING:
+        return _bpe_learn_driver(spark, [(r["w"], r["freq"]) for r in probe])
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("syms", chars)
-        .localCheckpoint(eager=True)
-    )
+    vocab = vocab_base.withColumn("syms", chars).localCheckpoint(eager=True)
     pair_col = F.expr(
         "transform(sequence(0, size(syms) - 2),"
         " i -> struct(syms[i] AS a, syms[i + 1] AS b))"

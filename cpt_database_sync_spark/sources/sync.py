@@ -1088,56 +1088,81 @@ def sync_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so NULL child keys never match — counted in their own lane). All
     BIGINT.
 
-    Physics: per edge ONE left join of the child against the distinct
-    parent keys (orphans + nulls + totals fall out of one conditional
-    aggregation — no anti-join branch per statistic) plus one anti the
-    other way over DISTINCT child keys (bounded by |parent|). Dims
-    broadcast; the fact-sized edges shuffle on the join key once. The
-    whole audit is one lazy union — zero driver-side actions. At 100 TB
-    this is the standard post-load audit shape; bucketed layouts
-    co-locate it.
+    Physics (r13 rework, guide §2.3 aggregate before you shuffle /
+    §3.4 turn the join into an aggregation): per edge, both sides
+    project to a TAGGED key stream — child rows as (key, 1, 0), parent
+    rows as (key, 0, 1) — whose union feeds ONE hash rollup: the
+    partial aggregate collapses each scan's partitions to distinct-key
+    counts BEFORE the single |distinct key|-sized exchange, and all
+    four statistics fall out of one conditional aggregation over the
+    merged (key, n_child_rows, n_parent_rows) groups. No join node at
+    all (the old left+anti pair re-scanned each table and, at real
+    parent cardinalities, would shuffle the fact), each table is
+    scanned exactly once per edge, and no fact-sized row ever crosses
+    an exchange. The whole audit is one lazy union — zero driver-side
+    actions. At 100 TB this is the standard post-load audit shape;
+    bucketed layouts co-locate it.
     """
     out = None
     for name, child, ck, parent, pk in _FK_EDGES:
         c = load(spark, sf_dir, child)
         p = load(spark, sf_dir, parent)
-        pkeys = p.select(F.col(pk).alias("_pk")).distinct()
-        j = c.join(pkeys, F.col(ck) == F.col("_pk"), "left")
-        stats = j.agg(
-            F.count(F.lit(1)).cast("long").alias("n_child"),
-            # coalesce: SUM over an EMPTY child is NULL where the
+        # Tagged union -> one map-side-combined rollup per edge. The
+        # NULL-key group carries the n_null_fk lane; oracle semantics
+        # are equi-match (NOT EXISTS), so a NULL key on EITHER side
+        # matches nothing: NULL child FKs are never orphans, NULL
+        # parent keys are unconditionally childless.
+        u = c.select(
+            F.col(ck).alias("_k"),
+            F.lit(1).alias("_c"),
+            F.lit(0).alias("_p"),
+        ).unionByName(
+            p.select(
+                F.col(pk).alias("_k"),
+                F.lit(0).alias("_c"),
+                F.lit(1).alias("_p"),
+            )
+        )
+        g = u.groupBy("_k").agg(
+            F.sum("_c").alias("_cn"), F.sum("_p").alias("_pn")
+        )
+        row = g.agg(
+            # coalesce: SUM over an EMPTY union is NULL where the
             # oracle's COUNT(*) is 0 (degenerate-fixture gate)
-            F.coalesce(F.sum(F.col(ck).isNull().cast("long")), F.lit(0))
+            F.coalesce(F.sum("_cn"), F.lit(0)).cast("long").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("_k").isNull(), F.col("_cn"))), F.lit(0)
+            )
             .cast("long")
             .alias("n_null_fk"),
             F.coalesce(
                 F.sum(
-                    (F.col(ck).isNotNull() & F.col("_pk").isNull()).cast(
-                        "long"
+                    F.when(
+                        F.col("_k").isNotNull() & (F.col("_pn") == 0),
+                        F.col("_cn"),
                     )
                 ),
                 F.lit(0),
             )
             .cast("long")
             .alias("n_orphans"),
-        )
-        childless = (
-            p.join(
-                c.select(F.col(ck).alias("_ck")).distinct(),
-                F.col(pk) == F.col("_ck"),
-                "left_anti",
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_k").isNull() | (F.col("_cn") == 0),
+                        F.col("_pn"),
+                    )
+                ),
+                F.lit(0),
             )
-            .agg(F.count(F.lit(1)).cast("long").alias("n_childless"))
-        )
-        row = (
-            stats.crossJoin(childless)
-            .select(
-                F.lit(name).alias("edge"),
-                "n_child",
-                "n_null_fk",
-                "n_orphans",
-                "n_childless",
-            )
+            .cast("long")
+            .alias("n_childless"),
+        ).select(
+            F.lit(name).alias("edge"),
+            "n_child",
+            "n_null_fk",
+            "n_orphans",
+            "n_childless",
         )
         out = row if out is None else out.unionByName(row)
     return out

@@ -1990,6 +1990,7 @@ def test_r11_keys_plan_physics(spark, sf_dir):
     from cpt_database_sync_spark.operators.timeseries import hampel_filter
     from cpt_database_sync_spark.sources.sync import (
         _CHECKSUM_COLS,
+        _FK_EDGES,
         sync_checksum,
         sync_fk_audit,
     )
@@ -2000,11 +2001,15 @@ def test_r11_keys_plan_physics(spark, sf_dir):
     assert p.count("Scan parquet") == len(_CHECKSUM_COLS)
     assert "partial_sum" in p and "Join" not in p and "Sort" not in p
 
-    # FK audit: every join hashes (dims broadcast); no sort-merge, no
-    # cartesian — and the whole audit is one lazy union (no actions)
+    # FK audit (r13 rework): per edge both tables scan ONCE into a
+    # tagged union feeding a single map-side-combined key rollup — NO
+    # join node anywhere, one |distinct key|-sized exchange per edge,
+    # no fact-sized row crosses an exchange, and the whole audit is
+    # one lazy union (no actions)
     p = plan(sync_fk_audit)
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Join" not in p and "Sort" not in p
+    assert p.count("Scan parquet") == 2 * len(_FK_EDGES)
+    assert "partial_sum" in p
 
     # script mix: map-only — a single scan, ZERO exchanges
     p = plan(script_mix)
@@ -2901,3 +2906,17 @@ def test_graph_driver_lane_twin_and_dispatch(spark, sf_dir, monkeypatch):
         assert dist == driver_rows[op.__name__], (
             f"{op.__name__}: distributed lane diverged from driver lane"
         )
+
+
+def test_bpe_learn_driver_lane_twin(spark, sf_dir, monkeypatch):
+    """r13 BPE driver lane: below BPE_VOCAB_DRIVER_CEILING the merge
+    loop solves on the driver over the collected (w, freq) vocabulary.
+    Forcing the ceiling to 0 (probe over-runs -> distributed loop) must
+    reproduce the driver lane's segmentation bit-identically."""
+    import cpt_database_sync_spark.operators.llm_text as lt
+
+    drv = sorted(map(tuple, lt.bpe_learn(spark, sf_dir).collect()))
+    assert len(drv) > 0
+    monkeypatch.setattr(lt, "BPE_VOCAB_DRIVER_CEILING", 0)
+    dist = sorted(map(tuple, lt.bpe_learn(spark, sf_dir).collect()))
+    assert dist == drv, "distributed BPE lane diverged from driver lane"
