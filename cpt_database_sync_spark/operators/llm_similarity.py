@@ -63,6 +63,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def dbl_array_lit(values) -> Column:
+    """Array-of-doubles literal rendered as ONE SQL string for a single
+    F.expr py4j call (r13, guide §5.1 — the driver is part of the
+    plan): the per-value ``F.array(*[F.lit(v) ...])`` form cost one
+    py4j round trip PER VALUE, ~0.7-0.9 s of driver time per 512-value
+    literal. Values stay bit-identical through the text trip: repr()
+    is the shortest round-trip decimal, Spark parses it as an exact
+    DECIMAL and CAST(decimal AS DOUBLE) is correctly rounded back to
+    the original double. Non-finite/None values (impossible for the
+    in-domain callers, guarded anyway) and the empty list fall back to
+    the per-value form."""
+    import math
+
+    vals = [None if v is None else float(v) for v in values]
+    if not vals or any(v is None or not math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr(
+        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+    )
+
+
 _SQL_DOT = (
     "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 )
@@ -151,7 +172,7 @@ def lsh_buckets(vec: Column, dim: int = 64) -> Column:
     for t in range(LSH_TABLES):
         bucket = F.lit(0)
         for r in range(LSH_PLANES_PER_TABLE):
-            w = F.array(*[F.lit(x) for x in planes[t * LSH_PLANES_PER_TABLE + r]])
+            w = dbl_array_lit(planes[t * LSH_PLANES_PER_TABLE + r])
             bucket = bucket + F.when(dot(vec, w) > 0, F.lit(1 << r)).otherwise(F.lit(0))
         tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
     return F.array(*tables)
@@ -163,7 +184,7 @@ def lsh_bucket(vec: Column, dim: int = 64) -> Column:
     planes = _plane_weights(LSH_PLANES_PER_TABLE, dim)
     bucket = F.lit(0)
     for r, plane in enumerate(planes):
-        w = F.array(*[F.lit(x) for x in plane])
+        w = dbl_array_lit(plane)
         bucket = bucket + F.when(dot(vec, w) > 0, F.lit(1 << r)).otherwise(F.lit(0))
     return bucket
 
@@ -281,11 +302,13 @@ def _ivf_cell_ranks(cent_rows) -> Column:
     ``ROW_NUMBER() ... ORDER BY cos DESC, c_id``. Negation is exact in
     IEEE doubles, so the sort key loses no precision.
     """
+    # One rendered F.expr per literal (see dbl_array_lit): the K x dims
+    # per-value py4j build was a measurable driver cost.
     cent_lit = F.array(
         *[
             F.struct(
                 F.lit(int(r["c_id"])).cast("bigint").alias("c_id"),
-                F.array(*[F.lit(float(v)) for v in r["ce"]]).alias("ce"),
+                dbl_array_lit(r["ce"]).alias("ce"),
             )
             for r in sorted(cent_rows, key=lambda r: r["c_id"])
         ]
@@ -593,8 +616,8 @@ def _lims_literals(spark: SparkSession, lims_dir: str):
     dims = spark.read.parquet(lims_dir).collect()
     dims = sorted(dims, key=lambda r: r.pos)
     return (
-        F.array(*[F.lit(float(r.lo)) for r in dims]),
-        F.array(*[F.lit(float(r.hi)) for r in dims]),
+        dbl_array_lit([r.lo for r in dims]),
+        dbl_array_lit([r.hi for r in dims]),
     )
 
 
@@ -789,15 +812,25 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id bigint, cid bigint")
 
     def centroid_literal(rows) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["cid"])).cast("bigint").alias("cid"),
-                    F.array(*[F.lit(float(v)) for v in r["ce"]]).alias("ce"),
-                )
-                for r in sorted(rows, key=lambda r: r["cid"])
-            ]
-        )
+        # r13 (guide §5.1 — the driver is part of the plan): the K x
+        # dims literal used to be built as 512+ individual F.lit/
+        # F.struct py4j calls, ~0.7-0.9 s of DRIVER time per iteration
+        # at K=8, dims=64. One rendered SQL string -> one F.expr call
+        # parses in the JVM instead. Values stay bit-identical: repr()
+        # is the shortest round-trip decimal, Spark parses it as an
+        # exact DECIMAL and CAST(decimal AS DOUBLE) is correctly
+        # rounded, so every double survives the text trip unchanged
+        # (non-finite values can't occur: means of finite corpus
+        # doubles; and -0.0 vs 0.0 compare equal in Spark's ordering,
+        # so the argmax tie-break is unaffected).
+        parts = []
+        for r in sorted(rows, key=lambda r: r["cid"]):
+            vals = ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in r["ce"])
+            parts.append(
+                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
+                f" 'ce', array({vals}))"
+            )
+        return F.expr("array(" + ",".join(parts) + ")")
 
     def assign_with(rows) -> DataFrame:
         # K x dims above the literal ceiling -> broadcast-relation path
@@ -920,8 +953,8 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
         .collect()
     )
-    lo = F.array(*[F.lit(r.lo) for r in sorted(dims, key=lambda r: r.pos)])
-    hi = F.array(*[F.lit(r.hi) for r in sorted(dims, key=lambda r: r.pos)])
+    lo = dbl_array_lit([r.lo for r in sorted(dims, key=lambda r: r.pos)])
+    hi = dbl_array_lit([r.hi for r in sorted(dims, key=lambda r: r.pos)])
     qv = F.expr(
         "transform(sequence(0, size(e) - 1), i -> IF(hi_a[i] = lo_a[i], 0L, "
         "CAST(floor((e[i] - lo_a[i]) / (hi_a[i] - lo_a[i]) * 255.0D + 0.5D) "
