@@ -345,9 +345,14 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shared by the shingle branch and the final output
     kept_c = bounded_cache("pipeline_e2e.kept", kept)
+    # r13 (guide §2.4 remove repeated work): the kept-corpus trigram
+    # hash arrays are cached like the shingle sets in
+    # classify_increment — the xxhash64 HOF over every kept doc was
+    # the dominant recomputed work of a warm invocation; the explode/
+    # join/distinct stay per-run.
+    kept_hs = bounded_cache("pipeline_e2e.kept_hs", hashed_tri(kept_c))
     contaminated = (
-        hashed_tri(kept_c)
-        .select("doc_id", F.explode("hs").alias("g"))
+        kept_hs.select("doc_id", F.explode("hs").alias("g"))
         .join(F.broadcast(bench_vocab), "g")
         .select("doc_id")
         .distinct()
