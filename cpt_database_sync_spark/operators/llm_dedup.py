@@ -1256,7 +1256,9 @@ def consecutive_runs(df, ord_col: str):
 SUBSTRING_SPAN_TOKENS = 12  # minimum repeated-span length, in tokens
 
 
-def repeated_window_hits(w: DataFrame, hashed: bool = True) -> DataFrame:
+def repeated_window_hits(
+    w: DataFrame, hashed: bool = True, cache_key: str | None = None
+) -> DataFrame:
     """Cross-doc repeated-window detection shared by the substring
     detector and excisor: given the slid K-token windows
     ``(doc_id, pos, win)``, return every occurrence of a window that
@@ -1304,19 +1306,26 @@ def repeated_window_hits(w: DataFrame, hashed: bool = True) -> DataFrame:
     )
     # Phase 2 — bucket-local verify over the candidate slice only: the
     # literal-string min!=max test removes any collision-merged pair.
-    # The final probe joins the raw window stream against the verified
-    # (tiny) rep set rather than re-deriving the candidate slice, so
-    # the expensive phase-1 aggregate appears ONCE in the plan; the
-    # map-only window expansion (from the cached token arrays) is the
-    # side that repeats.
+    # r13 (guide §2.4 remove repeated work): both the verify AND the
+    # final probe consume the SAME candidate slice — every wh row whose
+    # (h, win) survives verification has h in cand, so probing the
+    # slice is identical to probing the raw window stream. Before, the
+    # probe re-joined wh, re-running the map-only window expansion a
+    # third time; now the plan carries TWO expansions (the phase-1 agg
+    # pass and the slice build), and with a cache_key the
+    # candidate-sized slice (only windows whose hash repeats — tiny by
+    # the dedup rate) is bounded_cache'd so warm invocations skip the
+    # second one too.
+    sl = wh.join(cand, "h")
+    if cache_key is not None:
+        sl = bounded_cache(cache_key, sl)
     rep = (
-        wh.join(cand, "h")
-        .groupBy("h", "win")
+        sl.groupBy("h", "win")
         .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
         .filter(F.col("d0") != F.col("d1"))
         .select("h", "win", "d0")
     )
-    return wh.join(rep, ["h", "win"]).select("doc_id", "pos", "d0")
+    return sl.join(rep, ["h", "win"]).select("doc_id", "pos", "d0")
 
 _SUBSTRING_SQL = f"""
     WITH toks AS (
@@ -1417,7 +1426,9 @@ def dedup_substring(
     # map-side-combined agg pass over the hashed window key —
     # count_distinct would add a second full exchange (dedup expansion),
     # and a string key would widen the hot shuffle ~9×.
-    hit = repeated_window_hits(w, hashed=hashed).select("doc_id", "pos")
+    hit = repeated_window_hits(
+        w, hashed=hashed, cache_key="dedup_substring.slice" if hashed else None
+    ).select("doc_id", "pos")
     spans = consecutive_runs(hit, "pos").groupBy("doc_id", "run_id").agg(
         F.min("pos").alias("start_tok"),
         (F.max("pos") + K - 1).alias("end_tok"),
@@ -1528,7 +1539,11 @@ def dedup_substring_excise(
         ).alias("x"),
     ).select("doc_id", "x.pos", "x.win")
     hit = (
-        repeated_window_hits(w, hashed=hashed)
+        repeated_window_hits(
+            w,
+            hashed=hashed,
+            cache_key="dedup_substring_excise.slice" if hashed else None,
+        )
         .filter(F.col("doc_id") != F.col("d0"))
         .select(
             "doc_id",

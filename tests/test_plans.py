@@ -1003,10 +1003,15 @@ def test_dedup_substring_plan_shape(spark, sf_dir):
     assert win_keyed and all(len(ks) == 2 for ks in win_keyed), (
         f"string window key may only appear in the (h, win) verify agg: {key_sets}"
     )
-    hash_only = [
-        ks for ks in key_sets if len(ks) == 1 and re.match(r"h#\d+L?", ks[0])
-    ]
-    assert len(hash_only) == 2, (  # partial + final of ONE aggregate
+    hash_only = {
+        ks[0]
+        for ks in key_sets
+        if len(ks) == 1 and re.match(r"h#\d+L?", ks[0])
+    }
+    # ONE hash-keyed aggregate (a warm bounded_cache reprints the
+    # cached subtree per InMemoryRelation consumer, so count DISTINCT
+    # key expr-ids, not text occurrences — the ngram_lm_score note)
+    assert len(hash_only) == 1, (
         f"phase-1 hash aggregate must appear exactly once: {key_sets}"
     )
     assert re.search(r"hashpartitioning\(h#\d+L?, \d+\)", plan), (
