@@ -206,10 +206,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def found(pattern: str) -> F.Column:
-        return (
-            F.length("text") - F.length(F.regexp_replace(F.col("text"), pattern, ""))
-            > 0
-        ).cast("int")
+        # r13 (guide §2.3 do less work per row): presence-testing via a
+        # full regexp_replace re-scanned (and rebuilt) the whole text
+        # per pattern; RLIKE stops at the first match. Equivalent: these
+        # patterns cannot match a zero-width string, so "replace changed
+        # the length" <=> "at least one match" <=> RLIKE.
+        return F.col("text").rlike(pattern).cast("int")
 
     return aug.select(
         "doc_id",
