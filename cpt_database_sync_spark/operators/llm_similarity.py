@@ -69,18 +69,20 @@ def dbl_array_lit(values) -> Column:
     plan): the per-value ``F.array(*[F.lit(v) ...])`` form cost one
     py4j round trip PER VALUE, ~0.7-0.9 s of driver time per 512-value
     literal. Values stay bit-identical through the text trip: repr()
-    is the shortest round-trip decimal, Spark parses it as an exact
-    DECIMAL and CAST(decimal AS DOUBLE) is correctly rounded back to
-    the original double. Non-finite/None values (impossible for the
-    in-domain callers, guarded anyway) and the empty list fall back to
-    the per-value form."""
+    is the shortest round-trip decimal and CAST(string AS DOUBLE) is
+    the correctly-rounded parse (Double.parseDouble semantics — the
+    string form rather than a bare numeric literal, which would lex as
+    DECIMAL and lose -0.0's sign), constant-folded at analysis. The
+    round trip is bit-checked in tests/test_units.py. Non-finite/None
+    values (impossible for the in-domain callers, guarded anyway) and
+    the empty list fall back to the per-value form."""
     import math
 
     vals = [None if v is None else float(v) for v in values]
     if not vals or any(v is None or not math.isfinite(v) for v in vals):
         return F.array(*[F.lit(v) for v in vals])
     return F.expr(
-        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
     )
 
 
@@ -817,15 +819,14 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F.struct py4j calls, ~0.7-0.9 s of DRIVER time per iteration
         # at K=8, dims=64. One rendered SQL string -> one F.expr call
         # parses in the JVM instead. Values stay bit-identical: repr()
-        # is the shortest round-trip decimal, Spark parses it as an
-        # exact DECIMAL and CAST(decimal AS DOUBLE) is correctly
-        # rounded, so every double survives the text trip unchanged
-        # (non-finite values can't occur: means of finite corpus
-        # doubles; and -0.0 vs 0.0 compare equal in Spark's ordering,
-        # so the argmax tie-break is unaffected).
+        # is the shortest round-trip decimal and CAST(string AS DOUBLE)
+        # is the correctly-rounded parse (the string form, not a bare
+        # numeric literal — see dbl_array_lit; bit-checked in
+        # tests/test_units.py). Non-finite values can't occur: means of
+        # finite corpus doubles.
         parts = []
         for r in sorted(rows, key=lambda r: r["cid"]):
-            vals = ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in r["ce"])
+            vals = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in r["ce"])
             parts.append(
                 f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
                 f" 'ce', array({vals}))"

@@ -3944,3 +3944,53 @@ def test_lpa_sf1_oracle_rewrite_value_identical(spark, sf_dir):
     a = sorted(con.execute(_LPA_SQL).fetchall())
     b = sorted(con.execute(_sf1_lpa_oracle(con)).fetchall())
     assert a == b and len(a) > 0
+
+
+def test_dbl_array_lit_round_trip_exact(spark):
+    """r13 dbl_array_lit: the rendered-SQL literal must reproduce every
+    double BIT-identically to the per-value F.lit form (repr is the
+    shortest round-trip decimal; Spark parses it as exact DECIMAL and
+    CAST(decimal AS DOUBLE) is correctly rounded). Adversarial values:
+    subnormals, 17-significant-digit irrationals, exponent forms,
+    negatives, huge/tiny magnitudes; None/NaN/inf fall back to the
+    per-value form."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from cpt_database_sync_spark.operators.llm_similarity import (
+        dbl_array_lit,
+    )
+
+    vals = [
+        0.1,
+        -0.1,
+        1.0 / 3.0,
+        math.pi,
+        math.e,
+        1e-300,
+        -1e300,
+        5e-324,          # smallest subnormal
+        1.7976931348623157e308,  # DBL_MAX
+        123456.78901234567,
+        1e-05,
+        2.0 ** -1022,
+        -0.0,
+        0.0,
+        0.6822871999174,
+    ]
+    row = spark.range(1).select(
+        dbl_array_lit(vals).alias("a"),
+        F.array(*[F.lit(v) for v in vals]).alias("b"),
+    ).first()
+    bits = lambda x: struct.pack("<d", x)
+    assert [bits(x) for x in row["a"]] == [bits(x) for x in row["b"]]
+    # fallback lanes: None and non-finite use the per-value form
+    row2 = spark.range(1).select(
+        dbl_array_lit([1.0, None, float("nan"), float("inf")]).alias("a")
+    ).first()
+    assert row2["a"][0] == 1.0 and row2["a"][1] is None
+    assert math.isnan(row2["a"][2]) and math.isinf(row2["a"][3])
+    # empty list stays an empty array
+    assert spark.range(1).select(dbl_array_lit([]).alias("a")).first()["a"] == []
