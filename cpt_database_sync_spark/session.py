@@ -117,8 +117,75 @@ def _same_plan(a, b) -> bool:
         return False
 
 
-_CHECKPOINT_MEMO: dict = {}  # key -> (source_df, checkpointed_df)
+_CHECKPOINT_MEMO: dict = {}  # key -> (source_df, checkpointed_df, jrdd)
 _CHECKPOINT_CAP = max(1, int(os.environ.get("SPARK_GRAFT_CKPT_CAP", "8")))
+#: Byte bound on the memo's live checkpoint blocks (VERDICT r13 next #1:
+#: the r13 memo capped FRAMES, not bytes, and eviction relied on lazy
+#: ContextCleaner GC — with a 32g driver heap a full GC may never run
+#: inside a bench shard, so evicted/stale checkpoint blocks could sit in
+#: the block manager for the whole session). 1 GiB default: ~50x the
+#: sf0.1 working set, and on a production driver a deliberate fraction
+#: of storage memory.
+_CHECKPOINT_MB = max(64, int(os.environ.get("SPARK_GRAFT_CKPT_MB", "1024")))
+
+
+def _ckpt_rdd(ck):
+    """The persisted JVM RDD behind an eager localCheckpoint frame (the
+    LogicalRDD's ``rdd`` field) — the handle ``unpersist`` needs. None
+    when the plan shape is unexpected (then eviction falls back to the
+    old GC-reclaim behavior for that entry)."""
+    try:
+        return ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
+
+def _memo_bytes(spark) -> int:
+    """Total block-manager bytes (mem+disk) held by the memo's live
+    checkpoint RDDs, read from the JVM's own storage accounting."""
+    ids = set()
+    for _, _, jrdd in _CHECKPOINT_MEMO.values():
+        if jrdd is not None:
+            try:
+                ids.add(jrdd.id())
+            except Exception:
+                pass
+    total = 0
+    try:
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() in ids:
+                total += info.memSize() + info.diskSize()
+    except Exception:
+        return 0  # accounting unavailable: byte bound becomes a no-op
+    return total
+
+
+def unpersist_checkpoint(ck) -> None:
+    """Explicitly free the blocks of a non-memoized ``localCheckpoint``
+    frame the caller has finished with (r14: relying on ContextCleaner GC
+    leaves blocks in the block manager for the whole session under a big,
+    rarely-collected driver heap). Safe only when no still-to-run plan
+    reads ``ck`` — a localCheckpoint cannot recompute. Never raises."""
+    jrdd = _ckpt_rdd(ck)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(True)  # blocking: the byte bound
+            # recomputes right after eviction and must see the change
+        except Exception:
+            pass
+
+
+def _evict_checkpoint(memo_key) -> None:
+    """Drop one memo entry and EXPLICITLY unpersist its blocks (r14:
+    eviction used to rely on ContextCleaner GC, which is driven by JVM
+    GC pressure and can lag the whole session)."""
+    _, _, jrdd = _CHECKPOINT_MEMO.pop(memo_key)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(True)  # blocking, so the byte accounting and
+            # the block manager agree immediately
+        except Exception:
+            pass  # a handle from a stopped session evicts silently
 
 
 def session_checkpoint(key: str, df):
@@ -137,27 +204,38 @@ def session_checkpoint(key: str, df):
     while keeping what ``localCheckpoint`` was chosen for: the lineage
     cut (iterative consumers), the ExistingRDD execution barrier (no
     re-derivation per consumer), and immunity to cache eviction.
-    Unlike ``bounded_cache`` there is no ``unpersist`` on eviction —
-    a checkpoint's blocks are reclaimed by the ContextCleaner when the
-    frame is dropped; the cap only bounds how many live frames the memo
-    itself keeps (before this device, every CALL leaked one checkpoint
-    until GC, so the memo strictly reduces block pressure).
+
+    Bounds (r14, VERDICT r13 next #1): the memo is capped by FRAMES
+    (``_CHECKPOINT_CAP``) and by BYTES (``_CHECKPOINT_MB``, block-manager
+    accounting), and eviction/replacement EXPLICITLY unpersists the
+    evicted checkpoint's blocks instead of waiting for ContextCleaner GC.
+    Unpersisting a checkpoint that an in-flight plan still reads would
+    break that plan (a localCheckpoint cannot recompute), so the byte
+    bound always keeps the 2 most-recent entries: callers build at most
+    two session checkpoints before executing (flows + pair counts), and
+    anything older has already been executed by the harness's
+    build-then-run discipline.
 
     Same immutability assumption as ``bounded_cache``: fixture files are
     never rewritten in place mid-session.
     """
     prev = _CHECKPOINT_MEMO.get(key)
     if prev is not None:
-        src, ck = prev
+        src, ck, _ = prev
         if src.sparkSession is df.sparkSession and _same_plan(src, df):
             _CHECKPOINT_MEMO.pop(key)  # refresh recency
-            _CHECKPOINT_MEMO[key] = (src, ck)
+            _CHECKPOINT_MEMO[key] = prev
             return ck
-        _CHECKPOINT_MEMO.pop(key, None)
+        _evict_checkpoint(key)  # stale plan: free the blocks NOW
     while len(_CHECKPOINT_MEMO) >= _CHECKPOINT_CAP:
-        _CHECKPOINT_MEMO.pop(next(iter(_CHECKPOINT_MEMO)))
+        _evict_checkpoint(next(iter(_CHECKPOINT_MEMO)))
     ck = df.localCheckpoint(eager=True)
-    _CHECKPOINT_MEMO[key] = (df, ck)
+    _CHECKPOINT_MEMO[key] = (df, ck, _ckpt_rdd(ck))
+    while (
+        len(_CHECKPOINT_MEMO) > 2
+        and _memo_bytes(df.sparkSession) > _CHECKPOINT_MB * 1024 * 1024
+    ):
+        _evict_checkpoint(next(iter(_CHECKPOINT_MEMO)))
     return ck
 
 

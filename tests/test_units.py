@@ -1760,6 +1760,57 @@ def test_bounded_cache_global_lru_cap(spark):
                 pass
 
 
+def test_session_checkpoint_evict_unpersists_blocks(spark):
+    """r14 (VERDICT r13 next #1): checkpoint-memo eviction must free the
+    evicted checkpoint's block-manager blocks EXPLICITLY (the r13 memo
+    relied on ContextCleaner GC, which can lag a whole bench shard under
+    a big rarely-collected heap), and the memo is additionally bounded
+    by BYTES with a keep-2-most-recent guard for in-flight callers."""
+    from cpt_database_sync_spark import session as S
+
+    def live_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    S._CHECKPOINT_MEMO.clear()
+    old_cap, old_mb = S._CHECKPOINT_CAP, S._CHECKPOINT_MB
+    S._CHECKPOINT_CAP = 2
+    try:
+        ck0 = S.session_checkpoint("ck.a", spark.range(0, 1000))
+        rid0 = S._ckpt_rdd(ck0).id()
+        assert rid0 in live_ids(), "eager checkpoint must hold blocks"
+        # same plan -> memo hit, same frame, blocks still live
+        assert S.session_checkpoint("ck.a", spark.range(0, 1000)) is ck0
+        S.session_checkpoint("ck.b", spark.range(1, 1001))
+        S.session_checkpoint("ck.c", spark.range(2, 1002))  # evicts ck.a
+        assert "ck.a" not in S._CHECKPOINT_MEMO
+        assert rid0 not in live_ids(), (
+            "evicted checkpoint must unpersist its blocks, not wait for GC"
+        )
+        # stale replacement (same key, different plan) frees the old blocks
+        ckb = S._CHECKPOINT_MEMO["ck.b"][1]
+        ridb = S._ckpt_rdd(ckb).id()
+        S.session_checkpoint("ck.b", spark.range(500, 1500))
+        assert ridb not in live_ids(), "stale replacement must unpersist"
+        # byte bound: a tiny cap evicts down to the 2 most recent, never
+        # below (in-flight callers build at most two before executing)
+        S._CHECKPOINT_MB = 0  # forces the bound for any non-empty blocks
+        S._CHECKPOINT_CAP = 8
+        S.session_checkpoint("ck.d", spark.range(3, 1003))
+        S.session_checkpoint("ck.e", spark.range(4, 1004))
+        assert len(S._CHECKPOINT_MEMO) == 2, (
+            f"byte bound must keep exactly the 2 most recent, "
+            f"got {list(S._CHECKPOINT_MEMO)}"
+        )
+        assert list(S._CHECKPOINT_MEMO) == ["ck.d", "ck.e"]
+    finally:
+        S._CHECKPOINT_CAP, S._CHECKPOINT_MB = old_cap, old_mb
+        for k in list(S._CHECKPOINT_MEMO):
+            S._evict_checkpoint(k)
+
+
 def test_bench_headline_line_fits_driver_tail():
     """The driver keeps only the last ~2000 chars of bench stdout; r5/r7
     printed a full per-query dict that overflowed the window and were
@@ -3782,11 +3833,20 @@ def test_exact_percentile_family_two_level_lanes_identical(spark, sf_dir):
         iqr_fences,
         tail_cvar,
     )
-    from cpt_database_sync_spark.operators.stats import levene_test
+    from cpt_database_sync_spark.operators.stats import (
+        levene_test,
+        winsorize_approx,
+    )
 
     from cpt_database_sync_spark.operators.analytics import funnel_latency
 
-    for fn in (iqr_fences, tail_cvar, levene_test, funnel_latency):
+    for fn in (
+        iqr_fences,
+        tail_cvar,
+        levene_test,
+        funnel_latency,
+        winsorize_approx,  # r14: p05/p95 through the same device
+    ):
         a = sorted(map(tuple, fn(spark, sf_dir).collect()))
         b = sorted(
             map(tuple, fn(spark, sf_dir, n_rows_hint=10**18).collect())
