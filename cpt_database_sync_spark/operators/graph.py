@@ -774,7 +774,9 @@ def bfs_frontier(
 
 
 @register("bfs_hops", oracle=_BFS_SQL)
-def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bfs_hops(
+    spark: SparkSession, sf_dir: str, n_nodes_hint: int = 0
+) -> DataFrame:
     """Single-source BFS over the nation trade graph: minimum hop count
     from BFS_SOURCE_NATION to every node within BFS_MAX_HOPS (NULL =
     unreachable inside the bound) — the reachability primitive behind
@@ -802,7 +804,15 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no float, no tie, no ordering sensitivity anywhere.
     """
     flows = _trade_flows(spark, sf_dir)
-    rows = _flows_literal(flows)
+    # Same n_nodes_hint gate as the four sibling loops (ADVICE r13 #3):
+    # above the node ceiling the up-to-500k-row probe collect is skipped
+    # outright and BFS dispatches distributed with the rest of the family.
+    n_nodes_hint = _nodes_hint(sf_dir, n_nodes_hint)
+    rows = (
+        _flows_literal(flows)
+        if n_nodes_hint <= GRAPH_BCAST_NODE_CEILING
+        else None
+    )
     if rows is not None:
         hops = _bfs_driver(flows, rows)
         nation = load(spark, sf_dir, "nation")

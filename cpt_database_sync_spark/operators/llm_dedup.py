@@ -31,7 +31,10 @@ from cpt_database_sync_spark.plans.golden import (
 )
 from cpt_database_sync_spark.functions.textnorm import norm_ws, sql_norm_ws
 from cpt_database_sync_spark.plans.registry import register
-from cpt_database_sync_spark.session import bounded_cache
+from cpt_database_sync_spark.session import (
+    bounded_cache,
+    unpersist_checkpoint as _unpersist_quietly,
+)
 from cpt_database_sync_spark.sources.tables import load, table_rowcount
 
 SHINGLE_K = 3
@@ -527,20 +530,34 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     round, r13). At 100 TB the same loop runs with edges pre-partitioned
     by node and labels persisted per round.
     """
-    probe = edges.select("a_id", "b_id").limit(
-        DEDUP_CC_EDGE_CEILING + 1
-    ).collect()
+    # Materialize the pair pipeline ONCE before probing (ADVICE r13 #1:
+    # the bare probe collect fully evaluated the un-materialized near-dup
+    # pipeline, and above the ceiling those rows were discarded while the
+    # distributed lane's sym checkpoint re-derived the same pipeline —
+    # TWICE, once per union arm). Now every lane pays exactly one
+    # evaluation: the probe reads checkpointed blocks, and sym below is a
+    # block-read union, not a recompute.
+    edges = edges.select("a_id", "b_id").localCheckpoint(eager=True)
+    probe = edges.limit(DEDUP_CC_EDGE_CEILING + 1).collect()
     if len(probe) <= DEDUP_CC_EDGE_CEILING:
-        return _cc_driver(probe, edges)
+        # the collected rows ARE the edge list: free the blocks now
+        # instead of leaving them to ContextCleaner GC (r14 block-
+        # pressure discipline, VERDICT r13 next #1)
+        result = _cc_driver(probe, edges)
+        _unpersist_quietly(edges)
+        return result
     sym = edges.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-    sym = sym.localCheckpoint(eager=True)  # compute edge set once
+    sym = sym.localCheckpoint(eager=True)  # one symmetric edge relation
+    _unpersist_quietly(edges)  # sym is self-contained once materialized
     labels = (
         sym.select("u").distinct().select(F.col("u").alias("node"))
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ck = labels  # the round's superseded checkpoint FRAME (labels
+    # itself becomes a projection over it after round 1)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -561,9 +578,13 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("chg").count()
+        _unpersist_quietly(prev_ck)  # superseded round's label blocks
+        prev_ck = new_labels
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    _unpersist_quietly(sym)  # the returned labels checkpoint is
+    # self-contained; the symmetric edge relation is loop-only
     return labels
 
 

@@ -63,27 +63,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def dbl_array_sql(values) -> str | None:
+    """The rendered-SQL text of an array-of-doubles literal, or None
+    when the guard trips (empty list, None, non-finite) and the caller
+    must fall back to the per-value form. ONE home for the
+    bit-exactness logic (ADVICE r13 #2): repr() is the shortest
+    round-trip decimal and CAST(string AS DOUBLE) is the
+    correctly-rounded parse (Double.parseDouble semantics — the string
+    form rather than a bare numeric literal, which would lex as DECIMAL
+    and lose -0.0's sign), constant-folded at analysis. The round trip
+    is bit-checked in tests/test_units.py."""
+    import math
+
+    vals = [None if v is None else float(v) for v in values]
+    if not vals or any(v is None or not math.isfinite(v) for v in vals):
+        return None
+    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
+
+
 def dbl_array_lit(values) -> Column:
     """Array-of-doubles literal rendered as ONE SQL string for a single
     F.expr py4j call (r13, guide §5.1 — the driver is part of the
     plan): the per-value ``F.array(*[F.lit(v) ...])`` form cost one
     py4j round trip PER VALUE, ~0.7-0.9 s of driver time per 512-value
-    literal. Values stay bit-identical through the text trip: repr()
-    is the shortest round-trip decimal and CAST(string AS DOUBLE) is
-    the correctly-rounded parse (Double.parseDouble semantics — the
-    string form rather than a bare numeric literal, which would lex as
-    DECIMAL and lose -0.0's sign), constant-folded at analysis. The
-    round trip is bit-checked in tests/test_units.py. Non-finite/None
-    values (impossible for the in-domain callers, guarded anyway) and
-    the empty list fall back to the per-value form."""
-    import math
-
-    vals = [None if v is None else float(v) for v in values]
-    if not vals or any(v is None or not math.isfinite(v) for v in vals):
-        return F.array(*[F.lit(v) for v in vals])
-    return F.expr(
-        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
-    )
+    literal. Guard misses (None/non-finite values — impossible for the
+    in-domain callers — and the empty list) fall back to the per-value
+    form; the rendering and guard live in ``dbl_array_sql``."""
+    sql = dbl_array_sql(values)
+    if sql is None:
+        return F.array(
+            *[F.lit(None if v is None else float(v)) for v in values]
+        )
+    return F.expr(sql)
 
 
 _SQL_DOT = (
@@ -328,13 +339,20 @@ def _ivf_cell_ranks(cent_rows) -> Column:
 
 def _ivf_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(assign, probes): both map-only passes over the corpus scan —
-    no join, no window, no Exchange (plan-gated in test_plans.py)."""
-    emb = (
+    no join, no window, no Exchange (plan-gated in test_plans.py).
+
+    The casted/filtered corpus is bounded_cache'd (r14, VERDICT r13
+    next #6): every IVF variant (`sim_ann_ivf`, `_pq`, `_indexed`) and
+    every repeated call re-derived the same cast+filter scan for BOTH
+    its passes (centroid collect, assign/probes) — now the family
+    shares one cached relation per session, the kmeans pattern."""
+    emb = bounded_cache(
+        "ivf.emb",
         load(spark, sf_dir, "embeddings")
         .withColumn("e", F.col("embedding").cast("array<double>"))
         # null embeddings can neither seed cells nor be indexed/probed;
         # both engines drop them (oracles: embedding IS NOT NULL)
-        .filter(F.col("e").isNotNull())
+        .filter(F.col("e").isNotNull()),
     )
     cent_rows = (
         emb.filter(F.col("vec_id") < IVF_NLIST)
@@ -347,12 +365,25 @@ def _ivf_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         # array would type as array<void> and fail analysis)
         return None, None
     ranks = _ivf_cell_ranks(cent_rows)
-    assign = emb.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("e").alias("ce_vec"),
-        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
-        F.element_at(ranks, 1)["c_id"].alias("c_id"),
+    # Both relations bounded_cache'd (r14): the 1.1 s isolated cost of
+    # the on-the-fly IVF was ~50% per-call ANALYSIS+CODEGEN of the
+    # NLIST x dims literal plan, paid again every invocation — caching
+    # swaps the big literal subtree for an InMemoryTableScan in every
+    # downstream plan (probe join, PQ rerank), the in-session analogue
+    # of the parquet cell index `sim_ann_ivf_indexed` persists.
+    assign = bounded_cache(
+        "ivf.assign",
+        emb.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("e").alias("ce_vec"),
+            F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+            F.element_at(ranks, 1)["c_id"].alias("c_id"),
+        ),
     )
+    # probes stays UNCACHED: it is tiny (N_QUERIES x NPROBE rows), and
+    # hiding its selective vec_id predicate inside an InMemoryRelation
+    # kills dynamic partition pruning on sim_ann_ivf_indexed's
+    # cell-partitioned index scan (gate-checked).
     probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
@@ -815,21 +846,25 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def centroid_literal(rows) -> Column:
         # r13 (guide §5.1 — the driver is part of the plan): the K x
-        # dims literal used to be built as 512+ individual F.lit/
-        # F.struct py4j calls, ~0.7-0.9 s of DRIVER time per iteration
-        # at K=8, dims=64. One rendered SQL string -> one F.expr call
-        # parses in the JVM instead. Values stay bit-identical: repr()
-        # is the shortest round-trip decimal and CAST(string AS DOUBLE)
-        # is the correctly-rounded parse (the string form, not a bare
-        # numeric literal — see dbl_array_lit; bit-checked in
-        # tests/test_units.py). Non-finite values can't occur: means of
-        # finite corpus doubles.
+        # dims literal used to be built as 512+ individual F.lit py4j
+        # calls, ~0.7-0.9 s of DRIVER time per iteration at K=8,
+        # dims=64. The whole K-centroid array renders as ONE SQL string
+        # -> ONE F.expr py4j call; the per-array text (and its
+        # None/non-finite guard + bit-exactness contract) comes from
+        # the shared dbl_array_sql (r14, ADVICE r13 #2 — one home for
+        # the rendered-literal logic; a guard miss falls back to the
+        # broadcast-relation path, which assign_with also takes above
+        # the literal ceiling). An F.struct-per-centroid variant
+        # measured +0.17 s/call in the r14 isolated lane — the single
+        # rendered call is the point of this device.
         parts = []
         for r in sorted(rows, key=lambda r: r["cid"]):
-            vals = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in r["ce"])
+            arr = dbl_array_sql(r["ce"])
+            if arr is None:  # non-finite centroid: relation path
+                return None
             parts.append(
                 f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
-                f" 'ce', array({vals}))"
+                f" 'ce', {arr})"
             )
         return F.expr("array(" + ",".join(parts) + ")")
 
@@ -838,8 +873,15 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (same argmax fold, centroids shipped as data not plan nodes);
         # below it, the literal keeps the plan self-contained. At KM_K=8
         # the literal path runs — results are identical either way
-        # (equality-checked in tests/test_plans.py).
-        if len(rows) * len(rows[0]["ce"]) > CENTROID_LITERAL_CEILING:
+        # (equality-checked in tests/test_plans.py). A guard miss in
+        # the literal render (non-finite centroid — argued impossible)
+        # also takes the relation path.
+        lit = (
+            None
+            if len(rows) * len(rows[0]["ce"]) > CENTROID_LITERAL_CEILING
+            else centroid_literal(rows)
+        )
+        if lit is None:
             cent_df = emb.sparkSession.createDataFrame(
                 [(int(r["cid"]), [float(v) for v in r["ce"]]) for r in rows],
                 "cid bigint, ce array<double>",
@@ -849,7 +891,7 @@ def kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         # then max(-cid) == min cid for the deterministic tie-break.
         best = F.array_max(
             F.transform(
-                centroid_literal(rows),
+                lit,
                 lambda c: F.struct(
                     cosine(F.col("e"), c["ce"]).alias("cos"),
                     (-c["cid"]).alias("ncid"),
