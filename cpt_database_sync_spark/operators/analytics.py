@@ -804,12 +804,28 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").alias("b_to"),
         "bucket",
     )
+    # Canonical-bucket emission (r14, guide §2.4 — remove shuffles
+    # outright): a pair sharing k day buckets used to be emitted k times
+    # and collapsed by a full .distinct() Exchange+Aggregate over the
+    # pair set. Instead each qualifying pair is kept ONLY in the bucket
+    # of its overlap start (max(a_from, b_from)) — a bucket both
+    # intervals provably touch (overlap_start lies inside both), so
+    # exactly one copy survives and the distinct disappears. Row-set
+    # equivalence to the old distinct: within a user pair, SCD2 intervals
+    # of one user are disjoint-or-touching, so two different interval
+    # pairs can never produce the same (overlap_start, overlap_end)
+    # (strict-overlap filter forces start < end inside BOTH intervals) —
+    # distinct rows ↔ distinct interval pairs ↔ canonical emissions.
     return (
         a.join(b, "bucket")
         .filter(
             (F.col("a_user") < F.col("b_user"))
             & (F.col("a_from") < F.col("b_to"))
             & (F.col("b_from") < F.col("a_to"))
+            & (
+                F.col("bucket")
+                == F.date_trunc("day", F.greatest("a_from", "b_from"))
+            )
         )
         .select(
             "a_user",
@@ -817,7 +833,6 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("a_from", "b_from").alias("overlap_start"),
             F.least("a_to", "b_to").alias("overlap_end"),
         )
-        .distinct()
     )
 
 
