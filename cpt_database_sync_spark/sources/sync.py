@@ -1103,69 +1103,101 @@ def sync_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     actions. At 100 TB this is the standard post-load audit shape;
     bucketed layouts co-locate it.
     """
-    out = None
+    # r14 (guide §2.4 — remove repeated work outright): the r13 form
+    # scanned each table once PER EDGE ROLE (lineitem 3x, nation 3x,
+    # orders 2x — 14 scans, one exchange per edge). Every role of a
+    # table differs only in which key column it projects and which tag
+    # it carries, so ONE scan per table can emit all of its roles via
+    # `inline` over a literal array of (edge, key, c, p) structs, and
+    # the whole audit collapses to one (edge, key)-keyed rollup: 7
+    # scans, ONE |distinct (edge, key)|-sized exchange, same per-edge
+    # groups as before (the edge tag partitions the key space exactly
+    # as the per-edge plans did). NULL-key semantics unchanged: a NULL
+    # child FK is never an orphan, a NULL parent key is unconditionally
+    # childless. Keys cast to BIGINT so int32/int64 key columns share
+    # the union (cast preserves value equality and NULL-ness).
+    roles: dict[str, list] = {}
     for name, child, ck, parent, pk in _FK_EDGES:
-        c = load(spark, sf_dir, child)
-        p = load(spark, sf_dir, parent)
-        # Tagged union -> one map-side-combined rollup per edge. The
-        # NULL-key group carries the n_null_fk lane; oracle semantics
-        # are equi-match (NOT EXISTS), so a NULL key on EITHER side
-        # matches nothing: NULL child FKs are never orphans, NULL
-        # parent keys are unconditionally childless.
-        u = c.select(
-            F.col(ck).alias("_k"),
-            F.lit(1).alias("_c"),
-            F.lit(0).alias("_p"),
-        ).unionByName(
-            p.select(
-                F.col(pk).alias("_k"),
-                F.lit(0).alias("_c"),
-                F.lit(1).alias("_p"),
-            )
+        roles.setdefault(child, []).append((name, ck, 1, 0))
+        roles.setdefault(parent, []).append((name, pk, 0, 1))
+    u = None
+    for tbl, rs in roles.items():
+        t = load(spark, sf_dir, tbl)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("_e"),
+                    F.col(kc).cast("long").alias("_k"),
+                    F.lit(c).alias("_c"),
+                    F.lit(p).alias("_p"),
+                )
+                for name, kc, c, p in rs
+            ]
         )
-        g = u.groupBy("_k").agg(
-            F.sum("_c").alias("_cn"), F.sum("_p").alias("_pn")
+        part = t.select(F.inline(arr))
+        u = part if u is None else u.unionByName(part)
+    # Zero-contribution seed per edge: guarantees one group per edge so
+    # empty tables still yield their all-zero audit row (degenerate-
+    # fixture gate); a (NULL key, 0, 0) seed adds 0 to every statistic.
+    seeds = spark.createDataFrame(
+        [(name, None, 0, 0) for name, *_ in _FK_EDGES],
+        "_e string, _k bigint, _c int, _p int",
+    )
+    g = (
+        u.unionByName(seeds)
+        .groupBy("_e", "_k")
+        .agg(F.sum("_c").alias("_cn"), F.sum("_p").alias("_pn"))
+    )
+    stats = g.groupBy("_e").agg(
+        F.coalesce(F.sum("_cn"), F.lit(0)).cast("long").alias("n_child"),
+        F.coalesce(
+            F.sum(F.when(F.col("_k").isNull(), F.col("_cn"))), F.lit(0)
         )
-        row = g.agg(
-            # coalesce: SUM over an EMPTY union is NULL where the
-            # oracle's COUNT(*) is 0 (degenerate-fixture gate)
-            F.coalesce(F.sum("_cn"), F.lit(0)).cast("long").alias("n_child"),
-            F.coalesce(
-                F.sum(F.when(F.col("_k").isNull(), F.col("_cn"))), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_null_fk"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("_k").isNotNull() & (F.col("_pn") == 0),
-                        F.col("_cn"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_orphans"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("_k").isNull() | (F.col("_cn") == 0),
-                        F.col("_pn"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_childless"),
-        ).select(
-            F.lit(name).alias("edge"),
+        .cast("long")
+        .alias("n_null_fk"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_k").isNotNull() & (F.col("_pn") == 0),
+                    F.col("_cn"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_orphans"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_k").isNull() | (F.col("_cn") == 0),
+                    F.col("_pn"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_childless"),
+    )
+    # Pin the legacy per-edge output order (the r13 union emitted rows
+    # in _FK_EDGES order); 7 rows, a free sort.
+    order_map = F.create_map(
+        *[
+            lit
+            for i, (name, *_rest) in enumerate(_FK_EDGES)
+            for lit in (F.lit(name), F.lit(i))
+        ]
+    )
+    return (
+        stats.withColumn("_ord", order_map[F.col("_e")])
+        .orderBy("_ord")
+        .select(
+            F.col("_e").alias("edge"),
             "n_child",
             "n_null_fk",
             "n_orphans",
             "n_childless",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 # --- Column-level drift localization ---------------------------------------

@@ -2006,14 +2006,16 @@ def test_r11_keys_plan_physics(spark, sf_dir):
     assert p.count("Scan parquet") == len(_CHECKSUM_COLS)
     assert "partial_sum" in p and "Join" not in p and "Sort" not in p
 
-    # FK audit (r13 rework): per edge both tables scan ONCE into a
-    # tagged union feeding a single map-side-combined key rollup — NO
-    # join node anywhere, one |distinct key|-sized exchange per edge,
-    # no fact-sized row crosses an exchange, and the whole audit is
-    # one lazy union (no actions)
+    # FK audit (r14 rework): ONE scan per distinct table (r13 scanned
+    # per edge ROLE — lineitem 3x, nation 3x; 14 scans), each emitting
+    # all of its (edge, key) roles via inline, feeding a single
+    # map-side-combined global rollup — NO join node anywhere, ONE
+    # (edge, key)-keyed exchange for the whole audit, no fact-sized row
+    # ever crossing it. The only Sort is the 7-row output-order pin.
     p = plan(sync_fk_audit)
-    assert "Join" not in p and "Sort" not in p
-    assert p.count("Scan parquet") == 2 * len(_FK_EDGES)
+    n_tables = len({e[1] for e in _FK_EDGES} | {e[3] for e in _FK_EDGES})
+    assert "Join" not in p
+    assert p.count("Scan parquet") == n_tables
     assert "partial_sum" in p
 
     # script mix: map-only — a single scan, ZERO exchanges
@@ -2811,10 +2813,27 @@ def test_exact_percentile_family_two_level_plan_shape(spark, sf_dir):
     )
     from cpt_database_sync_spark.operators.stats import levene_test
 
+    # r14: winsorize_approx's exact p05/p95 joined the family. Its
+    # bounds relation hides behind a lazy localCheckpoint in the served
+    # plan, so the gate inspects the PRE-checkpoint helper directly.
+    from cpt_database_sync_spark.operators.stats import _winsor_bounds
+    from cpt_database_sync_spark.sources.tables import load as _load
+
+    def _winsor_big(spark_, sf_dir_, n_rows_hint):
+        from pyspark.sql import functions as F
+
+        ev = (
+            _load(spark_, sf_dir_, "events")
+            .filter(F.col("event_type").isNotNull())
+            .select("event_type", "value")
+        )
+        return _winsor_bounds(ev, n_rows_hint)
+
     for fn, grp, val in (
         (iqr_fences, r"event_type#\d+", r"value#\d+"),
         (tail_cvar, r"o_orderpriority#\d+", r"o_totalprice#\d+"),
         (levene_test, r"l_returnflag#\d+", r"(q|l_quantity)#\d+"),
+        (_winsor_big, r"event_type#\d+", r"value#\d+"),
     ):
         p = plan_string(fn(spark, sf_dir, n_rows_hint=10**18))
         assert "percentile(" not in p, (
