@@ -633,8 +633,13 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break by term), rounding only absorbs display noise.
     """
     docs = load(spark, sf_dir, "documents")
+    # N from the parquet footer (metadata-only, exact — the catalog-
+    # statistics device): r13 paid a full corpus pass THROUGH the
+    # repartition exchange just to count rows (r14, guide §1.2 — don't
+    # compute things you throw away). Footer miss (0 = unknown) falls
+    # back to the counting job.
+    n_docs = table_rowcount(sf_dir, "documents") or docs.count()
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    n_docs = docs.count()
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )

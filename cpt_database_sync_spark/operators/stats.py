@@ -1087,10 +1087,19 @@ def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("n"))
     top = counts.orderBy(F.desc("cnt"), "l_suppkey").limit(SKEW_TOP_K)
+    # The grand total is Σ per-key counts = COUNT(*) of the fact — the
+    # parquet footer already holds it (r14, guide §2.4: the r13 form
+    # ran the count-by-key rollup TWICE, once more just to re-sum it).
+    # Footer miss falls back to the second-pass aggregate.
+    n_rows = table_rowcount(sf_dir, "lineitem")
+    top = (
+        top.withColumn("n", F.lit(n_rows).cast("bigint"))
+        if n_rows
+        else top.crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("n"))))
+    )
     w = Window.orderBy(F.desc("cnt"), "l_suppkey")
-    return top.crossJoin(F.broadcast(total)).select(
+    return top.select(
         F.row_number().over(w).alias("rank"),
         "l_suppkey",
         "cnt",
@@ -1182,7 +1191,13 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    n_o, n_l, n_e = orders.count(), li.count(), ev.count()
+    # Table cardinalities from parquet footers (metadata-only, exact —
+    # the catalog-statistics device; r14, guide §1.2): r13 ran three
+    # full-scan count JOBS for numbers the footers already hold. Footer
+    # miss (0 = unknown) falls back to counting.
+    n_o = table_rowcount(sf_dir, "orders") or orders.count()
+    n_l = table_rowcount(sf_dir, "lineitem") or li.count()
+    n_e = table_rowcount(sf_dir, "events") or ev.count()
     h_ev = hist(ev, "user_id")
     h_lp = hist(li, "l_partkey")
     return (
@@ -1556,8 +1571,70 @@ _WINSOR_APPROX_SQL = """
 """
 
 
+def _winsor_bounds(ev, n_rows_hint: int):
+    """Per-type (nv, exact p05/p95, GK a05/a95) bounds relation for
+    ``winsorize_approx`` — PRE-checkpoint, so the plan gates can assert
+    the lane shape directly (the op wraps it in a lazy localCheckpoint,
+    which hides the subtree from the served plan).
+
+    BELOW ``PCTL_SORT_ROW_CEILING``: ONE exact-Percentile buffer and ONE
+    GK sketch per group serve both tail percentages (r14, guide §2.3 —
+    the two single-percentage aggregates each re-buffered/re-sketched
+    the group's values; array percentages share the state and are
+    bit-identical per element). ABOVE it (r14, VERDICT r13 next #7) the
+    exact p05/p95 come from the two-level chunked device
+    (`iqr_fences`/`tail_cvar` discipline — no per-group value buffer,
+    bit-identical interpolation) over the non-NULL values; the count and
+    the mergeable sketches stay one hash rollup, and the left join keeps
+    all-NULL groups (nv=0, NULL bounds) exactly as the small lane's
+    groupBy does."""
+    if n_rows_hint > PCTL_SORT_ROW_CEILING:
+        from cpt_database_sync_spark.operators.ranks import (  # noqa: PLC0415
+            group_quantiles_cont,
+        )
+
+        nvs = ev.groupBy("event_type").agg(
+            F.count("value").alias("nv"),
+            F.percentile_approx(
+                "value", F.array(F.lit(0.05), F.lit(0.95)), F.lit(WINSOR_ACC)
+            ).alias("_a"),
+        )
+        qex = group_quantiles_cont(
+            ev.filter(F.col("value").isNotNull()),
+            ["event_type"],
+            "value",
+            {"p05": 0.05, "p95": 0.95},
+            chunk_width=RANK_CHUNK_WIDTH,
+        ).drop("n")
+        return nvs.join(qex, "event_type", "left").select(
+            "event_type",
+            "nv",
+            "p05",
+            "p95",
+            F.col("_a")[0].alias("a05"),
+            F.col("_a")[1].alias("a95"),
+        )
+    b0 = ev.groupBy("event_type").agg(
+        F.count("value").alias("nv"),
+        F.percentile("value", F.array(F.lit(0.05), F.lit(0.95))).alias("_p"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.05), F.lit(0.95)), F.lit(WINSOR_ACC)
+        ).alias("_a"),
+    )
+    return b0.select(
+        "event_type",
+        "nv",
+        F.col("_p")[0].alias("p05"),
+        F.col("_p")[1].alias("p95"),
+        F.col("_a")[0].alias("a05"),
+        F.col("_a")[1].alias("a95"),
+    )
+
+
 @register("winsorize_approx", oracle=_WINSOR_APPROX_SQL)
-def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winsorize_approx(
+    spark: SparkSession, sf_dir: str, n_rows_hint: int = 0
+) -> DataFrame:
     """`winsorize_scale`'s documented 100 TB lane made checkable — the
     second half of VERDICT r9 next #5 (`anomaly_mad_approx` is the
     first): the p05/p95 clamp bounds swapped for ``percentile_approx``
@@ -1576,24 +1653,26 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (the oracle's equi-join drops it).
 
     Physics: two passes exactly like winsorize_scale — per-group bounds
-    (now carrying two sketches beside the exact percentiles), then one
-    broadcast-join + map-side-combined re-aggregation doing clamp
+    (carrying one shared GK sketch beside the exact percentiles), then
+    one broadcast-join + map-side-combined re-aggregation doing clamp
     counts, the winsorized decimal mean, and the four rank counts
-    together. At 100 TB the exact percentile lanes drop and the sketch
-    bounds drive the clamp — same plan, same flags.
+    together. BELOW ``PCTL_SORT_ROW_CEILING`` rows (footer-derived
+    hint) the exact p05/p95 share ONE Percentile buffer per group
+    (array percentages — r14; two single-percentage aggregates each
+    re-buffered the group). ABOVE it they come from the two-level
+    chunked device (``ranks.group_quantiles_cont``, bit-identical
+    interpolation — the ``iqr_fences``/``tail_cvar`` lane), so no
+    per-group value buffer exists at scale; the sketches are mergeable
+    either way.
     """
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isNotNull())
         .select("event_type", "value")
     )
-    bounds = ev.groupBy("event_type").agg(
-        F.count("value").alias("nv"),
-        F.percentile("value", 0.05).alias("p05"),
-        F.percentile("value", 0.95).alias("p95"),
-        F.percentile_approx("value", 0.05, WINSOR_ACC).alias("a05"),
-        F.percentile_approx("value", 0.95, WINSOR_ACC).alias("a95"),
-    ).localCheckpoint(eager=False)
+    if n_rows_hint == 0:
+        n_rows_hint = table_rowcount(sf_dir, "events")
+    bounds = _winsor_bounds(ev, n_rows_hint).localCheckpoint(eager=False)
     joined = ev.join(F.broadcast(bounds), "event_type")
     wv = (
         F.when(F.col("value") < F.col("p05"), F.col("p05"))

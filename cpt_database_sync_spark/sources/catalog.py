@@ -266,55 +266,70 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     per rule. The reference trusts its copies blind; this is the check
     its targets needed.
 
-    Each rule compiles to the cheapest plan for its class: uniqueness is
-    one partial+final agg with a HAVING gate; FK coverage a broadcast
-    left-anti join against the dim; range checks map-only counts — the
-    rule set evaluates in one job per rule over pruned column scans, and
-    at 100 TB rules attach to the same scan via observation metrics
-    instead of separate passes.
+    All five rules evaluate in ONE pass (r14, guide §2.4 — the r13 form
+    ran one driver-side count JOB per rule, re-scanning orders five
+    times): FK coverage rides a broadcast left join against the
+    DISTINCT dim keys (distinct so a degenerate duplicate-PK fixture
+    cannot multiply fact rows — preserving the old anti-join's NOT
+    EXISTS semantics), the per-row range/domain flags fold into the
+    same per-orderkey rollup that feeds the uniqueness check, and a
+    final `stack` unpivots the 1-row aggregate into the 5-row rule
+    relation — fully lazy, zero driver actions, exactly the
+    "attach rules to one scan" shape the docstring promised at 100 TB.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
     from cpt_database_sync_spark.sources.tables import load  # noqa: PLC0415
 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    dup = (
-        o.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .count()
-    )
-    orphan = o.join(
-        F.broadcast(c.select("c_custkey")),
+    matched = o.join(
+        F.broadcast(c.select("c_custkey").distinct()),
         o["o_custkey"] == c["c_custkey"],
-        "left_anti",
-    ).count()
-    nonpos = o.filter(
-        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
-    ).count()
-    out_of_range = o.filter(
-        (F.col("o_orderdate") < "1990-01-01")
-        | (F.col("o_orderdate") >= "2000-01-01")
-    ).count()
-    # the non-finite screen: NaN/±Inf measures cannot usefully enter the
-    # exact-decimal lanes — and the failure modes are ASYMMETRIC (Spark's
-    # double→DECIMAL cast silently NULLs non-finite even under ANSI,
-    # DuckDB's decimal cast aborts, pandas UDFs conflate NaN with NULL;
-    # pinned in tests/test_nonfinite.py) — this rule is the quarantine
-    # gate a pipeline runs BEFORE those operators (README §Correctness
-    # model)
-    nonfinite = o.filter(
-        F.isnan("o_totalprice")
-        | (F.col("o_totalprice") == F.lit(float("inf")))
-        | (F.col("o_totalprice") == F.lit(float("-inf")))
-    ).count()
-    return spark.createDataFrame(
-        [
-            ("orderkey_unique", dup),
-            ("custkey_fk_covered", orphan),
-            ("totalprice_positive", nonpos),
-            ("orderdate_in_range", out_of_range),
-            ("totalprice_finite", nonfinite),
-        ],
-        "rule string, n_violations bigint",
+        "left",
+    )
+    flag = (
+        lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    )
+    per_key = matched.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        # NULL o_custkey never equi-matches: counted orphan, as the old
+        # left-anti (≡ NOT EXISTS) did
+        flag(F.col("c_custkey").isNull()).alias("orphan"),
+        flag(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("nonpos"),
+        flag(
+            (F.col("o_orderdate") < "1990-01-01")
+            | (F.col("o_orderdate") >= "2000-01-01")
+        ).alias("oor"),
+        # the non-finite screen: NaN/±Inf measures cannot usefully enter
+        # the exact-decimal lanes — and the failure modes are ASYMMETRIC
+        # (Spark's double→DECIMAL cast silently NULLs non-finite even
+        # under ANSI, DuckDB's decimal cast aborts, pandas UDFs conflate
+        # NaN with NULL; pinned in tests/test_nonfinite.py) — this rule
+        # is the quarantine gate a pipeline runs BEFORE those operators
+        # (README §Correctness model)
+        flag(
+            F.isnan("o_totalprice")
+            | (F.col("o_totalprice") == F.lit(float("inf")))
+            | (F.col("o_totalprice") == F.lit(float("-inf")))
+        ).alias("nonfin"),
+    )
+    z = F.lit(0)  # empty-orders degenerate: SUM of nothing is NULL, not 0
+    totals = per_key.agg(
+        F.coalesce(flag(F.col("n") > 1), z).cast("long").alias("dup"),
+        F.coalesce(F.sum("orphan"), z).cast("long").alias("orphan"),
+        F.coalesce(F.sum("nonpos"), z).cast("long").alias("nonpos"),
+        F.coalesce(F.sum("oor"), z).cast("long").alias("oor"),
+        F.coalesce(F.sum("nonfin"), z).cast("long").alias("nonfin"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(5,"
+            " 'orderkey_unique', dup,"
+            " 'custkey_fk_covered', orphan,"
+            " 'totalprice_positive', nonpos,"
+            " 'orderdate_in_range', oor,"
+            " 'totalprice_finite', nonfin) AS (rule, n_violations)"
+        )
     )
