@@ -21,6 +21,7 @@ import pytest
 from tests.parity import run_query_pair
 
 from cpt_database_sync_spark.plans.registry import all_specs
+from tests.tiers import tier_keeps
 from cpt_database_sync_spark.sources.tables import ALL_TABLES
 
 
@@ -55,6 +56,8 @@ def test_every_query_total_on_empty_tables(spark, empty_sf_dir):
         )
     failures = []
     for name, spec in sorted(all_specs().items()):
+        if not tier_keeps(name):  # tiering: see tests/tiers.py
+            continue
         try:
             problems, _ = run_query_pair(
                 spark, con, spec.fn, spec.oracle, empty_sf_dir
@@ -110,6 +113,8 @@ def test_every_query_total_on_single_row_tables(spark, one_row_sf_dir):
         )
     failures = []
     for name, spec in sorted(all_specs().items()):
+        if not tier_keeps(name):  # tiering: see tests/tiers.py
+            continue
         try:
             if _golden_keyed(spec):
                 spec.fn(spark, one_row_sf_dir).collect()
@@ -186,6 +191,8 @@ def test_every_query_total_on_null_payloads(spark, payload_nulls_sf_dir):
         )
     failures = []
     for name, spec in sorted(all_specs().items()):
+        if not tier_keeps(name):  # tiering: see tests/tiers.py
+            continue
         try:
             if _golden_keyed(spec):
                 spec.fn(spark, payload_nulls_sf_dir).collect()
@@ -262,6 +269,8 @@ def test_every_query_total_on_unicode_text(spark, unicode_sf_dir):
         )
     failures = []
     for name, spec in sorted(all_specs().items()):
+        if not tier_keeps(name):  # tiering: see tests/tiers.py
+            continue
         try:
             if _golden_keyed(spec):
                 spec.fn(spark, unicode_sf_dir).collect()

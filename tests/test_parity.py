@@ -15,6 +15,17 @@ SPECS = all_specs()
 WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle is not None)
 ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
 
+# Tiering (VERDICT r13 next #2) — see tests/tiers.py for the policy.
+from tests.tiers import tier_keeps
+
+
+def _tier_skip(name: str) -> None:
+    if not tier_keeps(name):
+        pytest.skip(
+            "slow tier — SPARK_GRAFT_TEST_TIER=full runs the registry-wide "
+            "sweep"
+        )
+
 
 def assert_no_decimal_display(name: str, df) -> None:
     """Registry-wide display-schema lint (VERDICT r11 next #1) — see
@@ -33,6 +44,7 @@ def assert_no_decimal_display(name: str, df) -> None:
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(name, spark, oracle_con, sf_dir):
+    _tier_skip(name)
     spec = SPECS[name]
     problems, nrows = run_query_pair(
         spark, oracle_con, spec.fn, spec.oracle, sf_dir, name=name
@@ -42,6 +54,7 @@ def test_oracle_parity(name, spark, oracle_con, sf_dir):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(name, spark, sf_dir):
+    _tier_skip(name)
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     assert_no_decimal_display(name, df)
