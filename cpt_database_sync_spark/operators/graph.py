@@ -99,7 +99,19 @@ def _nodes_hint(sf_dir: str, n_nodes_hint: int) -> int:
 # GRAPH_BCAST_NODE_CEILING); all lanes are bit-identical — the loop
 # bodies are exact integer expressions replicated verbatim (floor div on
 # non-negative operands ≡ Python //) — and differential-twin-tested.
-GRAPH_DRIVER_EDGE_CEILING = 500_000
+#
+# 150k, not the original 500k (r14, VERDICT r13 next #5 — the ceiling
+# was a memory-bound assumption; CROSSOVER_r14.json is the measurement):
+# on identical synthetic flows the PageRank driver lane TIES the
+# distributed loop at ~120k edges (2.30 vs 2.43 s), loses 2.0x at ~390k
+# (3.34 vs 1.66 s) and 3.3x at ~1.6M — the per-round Python dict fold is
+# O(rounds x E) single-core, so the crossover sits near 150k for the
+# round-heaviest member. One shared ceiling gates all five loops (they
+# share the probe memo); union-find CC alone would tolerate far more
+# (driver still wins at 2M edges, same file), which the dedup-side
+# DEDUP_CC_EDGE_CEILING (500k, measured: 2.70 vs 2.82 s at 500k, 9.4 vs
+# 12.2 s at 2M) keeps exploiting.
+GRAPH_DRIVER_EDGE_CEILING = 150_000
 
 _FLOWS_ROWS_MEMO: list = []  # [flows_frame, rows-or-None] single slot
 

@@ -460,6 +460,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unchanged; both lanes produce the identical min-label-per-component
 # fixed point (exact integer labels, no tie hazard) and are
 # differential-twin-tested in tests/test_llm_ops.py.
+# r14 crossover measurement (CROSSOVER_r14.json, VERDICT r13 next #5):
+# the union-find driver lane beats the distributed loop at every size
+# tried — 2.48 vs 3.76 s at 125k edges, 2.70 vs 2.82 s AT the ceiling,
+# 9.4 vs 12.2 s at 2M (union-find is one O(E·α) pass, not O(rounds·E))
+# — so 500k is evidence-backed with margin; memory stays the binding
+# constraint (~8 MB of longs at the ceiling).
 DEDUP_CC_EDGE_CEILING = 500_000
 
 

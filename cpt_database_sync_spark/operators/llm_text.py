@@ -851,6 +851,12 @@ BPE_MERGES = 12
 # pair counting weighted by freq, same (count DESC, pair ASC) tie-break
 # (Spark string order = UTF-8 binary = Python code-point order), same
 # leftmost-greedy fold — differential-twin-tested in tests/test_plans.py.
+# r14 crossover measurement (CROSSOVER_r14.json, VERDICT r13 next #5):
+# the driver merge loop beats the 2-jobs-per-merge distributed loop at
+# every size tried — 4.0 vs 25.0 s at 50k distinct words, 16.3 vs
+# 41.1 s AT the ceiling, 57.6 vs 128.8 s at 800k — so 200k is
+# evidence-backed; what caps it is the driver-memory/latency budget
+# (a 57 s single-core stall at 800k), not the crossover.
 BPE_VOCAB_DRIVER_CEILING = 200_000
 
 

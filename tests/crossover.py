@@ -69,7 +69,7 @@ def run_cc(spark, sizes) -> dict:
         n_real = edges.count()
         saved = llm_dedup.DEDUP_CC_EDGE_CEILING
         try:
-            llm_dedup.DEDUP_CC_EDGE_CEILING = 1 << 60  # force driver lane
+            llm_dedup.DEDUP_CC_EDGE_CEILING = 2_000_000_000  # force driver lane (limit() takes int32)
             d_res, t_driver = _timed(
                 lambda: _rowset(llm_dedup.connected_components(edges))
             )
@@ -117,7 +117,7 @@ def run_graph(spark, sizes) -> dict:
             sf_small = "/root/testdata/sf0.001"
             graph._trade_flows = lambda s, d, _f=flows: _f
             graph._FLOWS_ROWS_MEMO[:] = []
-            graph.GRAPH_DRIVER_EDGE_CEILING = 1 << 60
+            graph.GRAPH_DRIVER_EDGE_CEILING = 2_000_000_000
             d_res, t_driver = _timed(
                 lambda: _rowset(graph.pagerank_nations(spark, sf_small,
                                                        n_nodes_hint=1))
@@ -162,7 +162,7 @@ def run_bpe(spark, sizes) -> dict:
             )
             n_real = docs.select("text").distinct().count()
             lt.load = lambda s, d, t, _docs=docs: _docs
-            lt.BPE_VOCAB_DRIVER_CEILING = 1 << 60
+            lt.BPE_VOCAB_DRIVER_CEILING = 2_000_000_000
             d_res, t_driver = _timed(
                 lambda: _rowset(lt.bpe_learn(spark, "/nonexistent"))
             )
