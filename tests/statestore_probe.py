@@ -42,6 +42,7 @@ ROCKS = (
 def main() -> None:
     sf_dir = sys.argv[1]
     provider = sys.argv[2]
+    keys = sys.argv[3:] or KEYS  # optional subset for focused re-probes
     spark = get_spark(app_name=f"statestore-{provider}")
     if provider == "rocksdb":
         spark.conf.set(
@@ -51,7 +52,7 @@ def main() -> None:
 
     specs = all_specs()
     out = {}
-    for k in KEYS:
+    for k in keys:
         fn = specs[k].fn
         fn(spark, sf_dir).count()  # warm (codegen, source listing)
         samples = []
